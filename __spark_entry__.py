@@ -1,38 +1,512 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+``entry(spark)`` — flagship: the reference's primary analytical query
+(A1 per-language histogram + mean precision per model,
+/root/reference/commands/count_fastwarc_result.sh:5-6) at sf0.001.
+
+``queries()`` / ``oracle_sql()`` — one entry per implemented operator from
+SURVEY.md §2 plus the frontier (north rule) and training-data operators.
+Oracle SQL is GENERATED from the same specs as the Spark code (see
+language_diversity_common_crawler_spark.functions.langspec) so values match
+exactly.
 """
 
 from __future__ import annotations
 
+import os
+import sys
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
 
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from language_diversity_common_crawler_spark.functions import (  # noqa: E402
+    dedup,
+    langspec,
+    similarity,
+    text_analysis,
+)
+from language_diversity_common_crawler_spark.functions.hashing import (  # noqa: E402
+    md5_60,
+    sql_md5_60,
+    sql_md5_60_salted,
+)
+from language_diversity_common_crawler_spark.functions.langid_models import (  # noqa: E402
+    with_model_predictions,
+)
+from language_diversity_common_crawler_spark.operators import (  # noqa: E402
+    crosstab,
+    histogram,
+    relational,
+    stats,
+)
+from language_diversity_common_crawler_spark.frontier import urlgen  # noqa: E402
+from language_diversity_common_crawler_spark.session import tune_session  # noqa: E402
+
+# ---------------------------------------------------------------------------
+# shared builders
+# ---------------------------------------------------------------------------
+
+def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/documents.parquet")
+
+
+def _docs_preds(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """documents + df/li/cld predictions (L5 fan-out, three pandas UDFs)."""
+    return with_model_predictions(_docs(spark, sf_dir), "text")
+
+
+# DuckDB predictions subquery over the registered `documents` view.
+_PREDS_SQL = langspec.sql_all_models_select("documents", ["doc_id"], "text")
+_PREDS_SQL_FULL = langspec.sql_all_models_select(
+    "documents", ["doc_id"], "text", extra_cols=["lang", "source"]
+)
+
+
+def _seeds_df(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Synthetic frontier seeds from orders (dialect-shared expressions)."""
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    return (
+        orders.select(
+            F.col("o_orderkey").alias("seed_id"),
+            F.expr(urlgen.synthetic_url_expr("spark")).alias("url_raw"),
+        )
+        .withColumn("url_canon", F.expr(urlgen.canonicalize_expr("url_raw", "spark")))
+        .withColumn("host", F.expr(urlgen.host_expr("url_canon", "spark")))
+    )
+
+
+_SEEDS_SQL = urlgen.sql_seed_table("duckdb", "orders")
+
+
+# ---------------------------------------------------------------------------
+# entry
+# ---------------------------------------------------------------------------
 
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    tune_session(spark)
+    preds = _docs_preds(spark, "/root/testdata/sf0.001")
+    return histogram.language_histogram(preds)
 
+
+# ---------------------------------------------------------------------------
+# queries
+# ---------------------------------------------------------------------------
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
+    q: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
 
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    # ---- reference core: language identification (L1-L5) ----
+    def lang_predictions(spark, sf_dir):
+        tune_session(spark)
+        return _docs_preds(spark, sf_dir).select(
+            "doc_id", "df_lang", "df_prec", "li_lang", "li_prec",
+            "cld_lang", "cld_prec",
+        )
 
+    q["lang_predictions"] = lang_predictions
+
+    def lang_histogram(spark, sf_dir):
+        tune_session(spark)
+        return histogram.language_histogram(_docs_preds(spark, sf_dir))
+
+    q["lang_histogram"] = lang_histogram
+
+    def accuracy_stats(spark, sf_dir):
+        tune_session(spark)
+        return stats.accuracy_stats(_docs_preds(spark, sf_dir))
+
+    q["accuracy_stats"] = accuracy_stats
+
+    def unknown_stats(spark, sf_dir):
+        tune_session(spark)
+        return stats.unknown_stats(_docs_preds(spark, sf_dir))
+
+    q["unknown_stats"] = unknown_stats
+
+    def fixed_lang_crosstab(spark, sf_dir):
+        tune_session(spark)
+        return crosstab.fixed_lang_crosstab(
+            _docs_preds(spark, sf_dir), "detect_fast", "de"
+        )
+
+    q["fixed_lang_crosstab"] = fixed_lang_crosstab
+
+    def hist_chunks(spark, sf_dir):
+        tune_session(spark)
+        h = histogram.language_histogram(_docs_preds(spark, sf_dir))
+        return histogram.chunk_paginate(h.select("lang"), "lang", 3)
+
+    q["hist_chunks"] = hist_chunks
+
+    # ---- reference core: projections / extraction (P1, P5-P8) ----
+    def decode_roundtrip(spark, sf_dir):
+        tune_session(spark)
+        d = _docs(spark, sf_dir)
+        return d.select(
+            "doc_id",
+            F.decode(F.encode(F.col("text"), "UTF-8"), "UTF-8").alias("decoded"),
+            F.length(F.encode(F.col("text"), "UTF-8")).cast("bigint").alias("content_length"),
+        )
+
+    q["decode_roundtrip"] = decode_roundtrip
+
+    def http_header_extract(spark, sf_dir):
+        tune_session(spark)
+        d = _docs(spark, sf_dir)
+        hdr = F.when(
+            F.col("doc_id") % 7 == 0, F.lit(None).cast("string")
+        ).otherwise(F.concat(F.col("lang"), F.lit("-XX,"), F.col("lang"), F.lit(";q=0.9")))
+        d = d.withColumn("accept_language", hdr)
+        return d.select(
+            "doc_id",
+            "accept_language",
+            F.coalesce(
+                F.element_at(F.split(F.col("accept_language"), ","), 1), F.lit("-")
+            ).alias("http_header"),
+        )
+
+    q["http_header_extract"] = http_header_extract
+
+    def meta_extract(spark, sf_dir):
+        tune_session(spark)
+        d = _docs(spark, sf_dir)
+        html = F.concat(
+            F.lit("<html"),
+            F.when(F.col("doc_id") % 3 == 0, F.lit("")).otherwise(
+                F.concat(F.lit(' lang="'), F.col("lang"), F.lit('"'))
+            ),
+            F.lit('><head><meta name="language" content="'),
+            F.when(F.col("doc_id") % 4 == 0, F.col("lang")).otherwise(F.lit("")),
+            F.lit('"></head><body>'), F.col("text"), F.lit("</body></html>"),
+        )
+        d = d.withColumn("html", html)
+        meta_c = F.regexp_extract(
+            F.col("html"), '<meta name="language" content="([^"]*)"', 1
+        )
+        lang_a = F.regexp_extract(F.col("html"), '<html lang="([^"]*)"', 1)
+        return d.select(
+            "doc_id",
+            F.when(meta_c != "", meta_c)
+            .when(lang_a != "", lang_a)
+            .otherwise(F.lit("-"))
+            .alias("meta_lang"),
+        )
+
+    q["meta_extract"] = meta_extract
+
+    def quote_sanitize(spark, sf_dir):
+        tune_session(spark)
+        d = _docs(spark, sf_dir)
+        return d.select(
+            "doc_id",
+            F.translate(F.col("text"), "'", "`").alias("sanitized"),
+        )
+
+    q["quote_sanitize"] = quote_sanitize
+
+    # ---- reference shell aggregations shape (J1, K1) ----
+    def segment_union_counts(spark, sf_dir):
+        tune_session(spark)
+        return (
+            _docs(spark, sf_dir)
+            .groupBy("source")
+            .agg(
+                F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+                F.sum(F.col("n_chars")).cast("bigint").alias("total_chars"),
+            )
+        )
+
+    q["segment_union_counts"] = segment_union_counts
+
+    def record_limit(spark, sf_dir):
+        tune_session(spark)
+        return (
+            _docs(spark, sf_dir)
+            .orderBy("doc_id")
+            .limit(100)
+            .select("doc_id", "n_chars")
+        )
+
+    q["record_limit"] = record_limit
+
+    # ---- relational headliners ----
+    q["pricing_summary"] = lambda s, d: relational.pricing_summary(tune_session(s), d)
+    q["top_customers"] = lambda s, d: relational.top_customers(tune_session(s), d)
+    q["nation_region_rollup"] = lambda s, d: relational.nation_region_rollup(
+        tune_session(s), d
+    )
+    q["window_events"] = lambda s, d: relational.window_events(tune_session(s), d)
+    q["events_hourly"] = lambda s, d: relational.events_hourly(tune_session(s), d)
+
+    # ---- training-data ops: text analysis ----
+    def token_quality_stats(spark, sf_dir):
+        tune_session(spark)
+        return text_analysis.with_text_stats(_docs(spark, sf_dir)).select(
+            "doc_id", "n_chars_norm", "n_tokens", "n_bpe_est", "avg_token_len",
+            "punct_cnt", "stopword_cnt", "stopword_ratio", "quality_score",
+            "fingerprint",
+        )
+
+    q["token_quality_stats"] = token_quality_stats
+
+    def simhash_fingerprints(spark, sf_dir):
+        tune_session(spark)
+        return _docs(spark, sf_dir).select(
+            "doc_id",
+            F.expr(text_analysis.simhash16_exprs("text", "spark")).alias("simhash16"),
+        )
+
+    q["simhash_fingerprints"] = simhash_fingerprints
+
+    # ---- training-data ops: dedup ----
+    def dedup_exact(spark, sf_dir):
+        tune_session(spark)
+        return (
+            _docs(spark, sf_dir)
+            .groupBy(F.md5(F.col("text")).alias("content_hash"))
+            .agg(
+                F.min("doc_id").cast("bigint").alias("keep_id"),
+                F.count(F.lit(1)).cast("bigint").alias("dup_cnt"),
+            )
+        )
+
+    q["dedup_exact"] = dedup_exact
+
+    def minhash_signatures(spark, sf_dir):
+        tune_session(spark)
+        return dedup.minhash_signatures(_docs(spark, sf_dir))
+
+    q["minhash_signatures"] = minhash_signatures
+
+    def minhash_lsh_pairs(spark, sf_dir):
+        tune_session(spark)
+        sigs = dedup.minhash_signatures(_docs(spark, sf_dir))
+        return dedup.lsh_candidate_pairs(sigs)
+
+    q["minhash_lsh_pairs"] = minhash_lsh_pairs
+
+    # ---- training-data ops: similarity search ----
+    def embedding_topk(spark, sf_dir):
+        tune_session(spark)
+        emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+        return similarity.brute_force_topk(emb, [0, 1, 2, 3, 4], k=10)
+
+    q["embedding_topk"] = embedding_topk
+
+    def embedding_lsh_neighbors(spark, sf_dir):
+        tune_session(spark)
+        emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+        return similarity.lsh_bucketed_neighbors(emb, min_cosine=0.2)
+
+    q["embedding_lsh_neighbors"] = embedding_lsh_neighbors
+
+    # ---- frontier (north rule) ----
+    def frontier_canonicalize(spark, sf_dir):
+        tune_session(spark)
+        return _seeds_df(spark, sf_dir)
+
+    q["frontier_canonicalize"] = frontier_canonicalize
+
+    def frontier_seen_antijoin(spark, sf_dir):
+        tune_session(spark)
+        seeds = _seeds_df(spark, sf_dir)
+        seen = seeds.filter(F.col("seed_id") % 3 == 0).select("url_canon")
+        fresh = seeds.join(seen, "url_canon", "left_anti")
+        return fresh.groupBy("url_canon", "host").agg(
+            F.min("seed_id").cast("bigint").alias("first_seed_id")
+        )
+
+    q["frontier_seen_antijoin"] = frontier_seen_antijoin
+
+    def frontier_politeness_schedule(spark, sf_dir):
+        tune_session(spark)
+        seeds = _seeds_df(spark, sf_dir).dropDuplicates(["url_canon"])
+        prio = (md5_60(F.concat(F.lit("prio:"), F.col("url_canon"))) % 1000000).alias(
+            "priority"
+        )
+        seeds = seeds.select("url_canon", "host", prio)
+        w = Window.partitionBy("host").orderBy(F.desc("priority"), F.asc("url_canon"))
+        return (
+            seeds.withColumn("slot", F.row_number().over(w))
+            .filter(F.col("slot") <= 3)
+            .select("host", "url_canon", "priority", "slot")
+        )
+
+    q["frontier_politeness_schedule"] = frontier_politeness_schedule
+
+    def frontier_robots_filter(spark, sf_dir):
+        tune_session(spark)
+        seeds = _seeds_df(spark, sf_dir)
+        nation = spark.read.parquet(f"{sf_dir}/nation.parquet")
+        robots = nation.select(
+            F.concat(
+                F.lit("host"), F.col("n_nationkey").cast("string"), F.lit(".example.com")
+            ).alias("r_host"),
+            F.when(F.col("n_nationkey") % 3 == 0, F.lit("/o/"))
+            .otherwise(F.lit("/private/"))
+            .alias("disallow_prefix"),
+        )
+        joined = seeds.join(
+            F.broadcast(robots), seeds.host == robots.r_host, "left"
+        )
+        path = F.regexp_extract(F.col("url_canon"), "^[a-z]+://[^/]*(/.*)$", 1)
+        allowed = (
+            F.col("disallow_prefix").isNull()
+            | ~path.startswith(F.col("disallow_prefix"))
+        )
+        return joined.filter(allowed).select("seed_id", "url_canon", "host")
+
+    q["frontier_robots_filter"] = frontier_robots_filter
+
+    return q
+
+
+# ---------------------------------------------------------------------------
+# oracle SQL (DuckDB; views pre-registered: region nation customer supplier
+# part orders lineitem events documents embeddings)
+# ---------------------------------------------------------------------------
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    o: dict[str, str] = {}
+
+    o["lang_predictions"] = _PREDS_SQL
+
+    o["lang_histogram"] = histogram.sql_language_histogram(_PREDS_SQL)
+    o["accuracy_stats"] = stats.sql_accuracy_stats(_PREDS_SQL)
+    o["unknown_stats"] = stats.sql_unknown_stats(_PREDS_SQL)
+    o["fixed_lang_crosstab"] = crosstab.sql_fixed_lang_crosstab(
+        _PREDS_SQL, "detect_fast", "de"
+    )
+    o["hist_chunks"] = (
+        f"WITH h AS ({histogram.sql_language_histogram(_PREDS_SQL)})\n"
+        "SELECT lang, rn, CAST(floor((rn - 1) / 3) AS BIGINT) AS chunk FROM ("
+        "SELECT lang, row_number() OVER (ORDER BY lang) AS rn FROM h)"
+    )
+
+    o["decode_roundtrip"] = (
+        "SELECT doc_id, decode(encode(text)) AS decoded, "
+        "CAST(octet_length(encode(text)) AS BIGINT) AS content_length "
+        "FROM documents"
+    )
+
+    o["http_header_extract"] = """
+WITH d AS (
+  SELECT doc_id,
+         CASE WHEN doc_id % 7 = 0 THEN NULL
+              ELSE concat(lang, '-XX,', lang, ';q=0.9') END AS accept_language
+  FROM documents)
+SELECT doc_id, accept_language,
+       coalesce(string_split(accept_language, ',')[1], '-') AS http_header
+FROM d
+"""
+
+    o["meta_extract"] = """
+WITH d AS (
+  SELECT doc_id,
+         concat('<html',
+                CASE WHEN doc_id % 3 = 0 THEN '' ELSE concat(' lang="', lang, '"') END,
+                '><head><meta name="language" content="',
+                CASE WHEN doc_id % 4 = 0 THEN lang ELSE '' END,
+                '"></head><body>', text, '</body></html>') AS html
+  FROM documents)
+SELECT doc_id,
+       CASE WHEN regexp_extract(html, '<meta name="language" content="([^"]*)"', 1) <> ''
+              THEN regexp_extract(html, '<meta name="language" content="([^"]*)"', 1)
+            WHEN regexp_extract(html, '<html lang="([^"]*)"', 1) <> ''
+              THEN regexp_extract(html, '<html lang="([^"]*)"', 1)
+            ELSE '-' END AS meta_lang
+FROM d
+"""
+
+    o["quote_sanitize"] = (
+        "SELECT doc_id, replace(text, '''', '`') AS sanitized FROM documents"
+    )
+
+    o["segment_union_counts"] = (
+        "SELECT source, CAST(count(*) AS BIGINT) AS n_docs, "
+        "CAST(sum(n_chars) AS BIGINT) AS total_chars FROM documents GROUP BY source"
+    )
+
+    o["record_limit"] = (
+        "SELECT doc_id, n_chars FROM documents ORDER BY doc_id LIMIT 100"
+    )
+
+    o["pricing_summary"] = relational.SQL_PRICING_SUMMARY
+    o["top_customers"] = relational.SQL_TOP_CUSTOMERS
+    o["nation_region_rollup"] = relational.SQL_NATION_REGION_ROLLUP
+    o["window_events"] = relational.SQL_WINDOW_EVENTS
+    o["events_hourly"] = relational.SQL_EVENTS_HOURLY
+
+    tok = text_analysis.token_stats_exprs("text", "duckdb")
+    qual = text_analysis.quality_exprs("text", "duckdb")
+    fp = text_analysis.fingerprint_expr("text", "duckdb")
+    cols = ",\n       ".join(
+        [f"{e} AS {n}" for n, e in {**tok, **qual}.items()] + [f"{fp} AS fingerprint"]
+    )
+    o["token_quality_stats"] = f"SELECT doc_id,\n       {cols}\nFROM documents"
+
+    o["simhash_fingerprints"] = (
+        f"SELECT doc_id, {text_analysis.simhash16_exprs('text', 'duckdb')} "
+        f"AS simhash16 FROM documents"
+    )
+
+    o["dedup_exact"] = (
+        "SELECT md5(text) AS content_hash, CAST(min(doc_id) AS BIGINT) AS keep_id, "
+        "CAST(count(*) AS BIGINT) AS dup_cnt FROM documents GROUP BY md5(text)"
+    )
+
+    o["minhash_signatures"] = dedup.sql_minhash_signatures("documents")
+    o["minhash_lsh_pairs"] = dedup.sql_lsh_candidate_pairs(
+        dedup.sql_minhash_signatures("documents")
+    )
+
+    o["embedding_topk"] = similarity.sql_brute_force_topk(
+        "embeddings", [0, 1, 2, 3, 4], k=10
+    )
+    o["embedding_lsh_neighbors"] = similarity.sql_lsh_bucketed_neighbors(
+        "embeddings", min_cosine=0.2
+    )
+
+    o["frontier_canonicalize"] = _SEEDS_SQL
+
+    o["frontier_seen_antijoin"] = f"""
+WITH seeds AS ({_SEEDS_SQL}),
+seen AS (SELECT url_canon FROM seeds WHERE seed_id % 3 = 0)
+SELECT url_canon, host, CAST(min(seed_id) AS BIGINT) AS first_seed_id
+FROM seeds
+WHERE NOT EXISTS (SELECT 1 FROM seen WHERE seen.url_canon = seeds.url_canon)
+GROUP BY url_canon, host
+"""
+
+    o["frontier_politeness_schedule"] = f"""
+WITH seeds AS ({_SEEDS_SQL}),
+uniq AS (
+  SELECT url_canon, host,
+         {sql_md5_60_salted("url_canon", "prio")} % 1000000 AS priority
+  FROM (SELECT DISTINCT url_canon, host FROM seeds)
+)
+SELECT host, url_canon, priority, slot FROM (
+  SELECT host, url_canon, priority,
+         row_number() OVER (PARTITION BY host ORDER BY priority DESC, url_canon ASC) AS slot
+  FROM uniq
+) WHERE slot <= 3
+"""
+
+    o["frontier_robots_filter"] = f"""
+WITH seeds AS ({_SEEDS_SQL}),
+robots AS (
+  SELECT concat('host', CAST(n_nationkey AS VARCHAR), '.example.com') AS r_host,
+         CASE WHEN n_nationkey % 3 = 0 THEN '/o/' ELSE '/private/' END AS disallow_prefix
+  FROM nation)
+SELECT seed_id, url_canon, host
+FROM seeds LEFT JOIN robots ON host = r_host
+WHERE disallow_prefix IS NULL
+   OR NOT starts_with(regexp_extract(url_canon, '^[a-z]+://[^/]*(/.*)$', 1), disallow_prefix)
+"""
+
+    return o

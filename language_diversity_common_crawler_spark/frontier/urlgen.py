@@ -1,0 +1,84 @@
+"""URL canonicalization + synthetic seed-URL generation (north rule).
+
+Canonicalization is the first stage of the frontier: it must be a PURE
+STRING FUNCTION (no network, no wall clock) so the URL-seen set and crawl
+order are reproducible. All rules are regexp/string expressions that run
+JVM-side in Spark (whole-stage codegen — canonicalizing 10^10 URLs is pure
+map work, no shuffle) and identically in DuckDB for the oracle.
+
+Rules implemented (standard crawler canon, cf. the reference's use of
+WARC-Target-URI verbatim — canonicalization is part of the frontier
+extension, SURVEY.md §7):
+  1. strip fragment (#…)
+  2. lowercase scheme and host
+  3. drop default ports (:80, :443)
+  4. resolve single-level dot segments (/a/../ → /)
+  5. strip tracking params (utm_*, ref) — synthetic URLs place them last
+  6. empty path → '/'
+
+The synthetic seed generator derives URLs deterministically from the
+driver's `orders` table so the DuckDB oracle can rebuild the identical
+input with the same SQL.
+"""
+
+from __future__ import annotations
+
+from ..functions.dialect import g_flag, rx
+
+_DOTSEG = r"/[^/]+/\.\./"
+
+
+def synthetic_url_expr(dialect: str) -> str:
+    """Messy raw URL from (o_orderkey, o_custkey): mixed case, default port,
+    trailing tracking params, fragments, dot-segments."""
+    cast_t = "VARCHAR" if dialect == "duckdb" else "STRING"
+    host_n = f"CAST(o_custkey % 50 AS {cast_t})"
+    key = f"CAST(o_orderkey AS {cast_t})"
+    return (
+        f"concat('HTTPS://Host', {host_n}, '.Example.COM:443',"
+        f" CASE WHEN o_orderkey % 11 = 0 THEN '/x/../o/' ELSE '/o/' END,"
+        f" {key},"
+        f" CASE WHEN o_orderkey % 5 = 0 THEN concat('?id=', {key},"
+        f"      '&utm_source=feed&utm_medium=rss&ref=home') ELSE '' END,"
+        f" CASE WHEN o_orderkey % 7 = 0 THEN '#section-2' ELSE '' END)"
+    )
+
+
+def canonicalize_expr(url: str, dialect: str) -> str:
+    """Canonical URL from a raw URL expression. Identical regexes in Java
+    (Spark) and RE2 (DuckDB); every multi-occurrence replace passes 'g' in
+    DuckDB to match Spark's replace-all semantics."""
+    g = g_flag(dialect)
+
+    # 1. strip fragment
+    e = f"regexp_replace({url}, '#.*$', ''{g})"
+    # 2+3. lowercase scheme://host and drop default port
+    scheme = f"lower(regexp_extract({e}, '^([A-Za-z][A-Za-z0-9+.-]*)://', 1))"
+    hostport = f"lower(regexp_extract({e}, '^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]*)', 1))"
+    host = f"regexp_replace({hostport}, ':(443|80)$', ''{g})"
+    pathq = f"regexp_extract({e}, '^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*(.*)$', 1)"
+    # 4. resolve single-level dot segments
+    dotseg = rx(_DOTSEG, dialect)
+    p1 = f"regexp_replace({pathq}, {dotseg}, '/'{g})"
+    # 5. strip tracking params (always trailing in well-formed canon input)
+    p2 = f"regexp_replace({p1}, '[?&](utm_[a-z]+|ref)=[^&#]*', ''{g})"
+    # dangling '?'/'&' cleanup, empty path → '/'
+    p3 = f"regexp_replace({p2}, '[?&]$', ''{g})"
+    path = f"CASE WHEN {p3} = '' THEN '/' ELSE {p3} END"
+    return f"concat({scheme}, '://', {host}, {path})"
+
+
+def host_expr(canon_url: str, dialect: str) -> str:
+    return f"regexp_extract({canon_url}, '^[a-z][a-z0-9+.-]*://([^/:?#]*)', 1)"
+
+
+def sql_seed_table(dialect: str, table: str = "orders") -> str:
+    """SELECT producing (seed_id, url_raw, url_canon, host)."""
+    raw = synthetic_url_expr(dialect)
+    canon = canonicalize_expr("url_raw", dialect)
+    host = host_expr("url_canon", dialect)
+    return (
+        f"SELECT seed_id, url_raw, url_canon, {host} AS host FROM ("
+        f"SELECT seed_id, url_raw, {canon} AS url_canon FROM ("
+        f"SELECT o_orderkey AS seed_id, {raw} AS url_raw FROM {table}))"
+    )

@@ -1,0 +1,160 @@
+"""Embedding similarity search (ANN) over an ``array<float>`` column.
+
+Numeric strategy: components are quantized to exact integers
+(round(x * 1e6) — float→double cast is exact, product/round deterministic
+IEEE in both engines), so dot products and norms are EXACT integer sums —
+order-independent, parallelizable, and bit-identical between Spark and the
+DuckDB oracle. Cosine = dot / sqrt(na*nb) is then a single deterministic
+double op.
+
+Scale path:
+- brute-force top-k: queries broadcast against the corpus (corpus stays
+  partitioned; each task scores its slice; global top-k via
+  per-partition top-k then merge — expressed as window rank, which AQE
+  executes as partial top-k).
+- LSH-bucketed: sign-bit bucket over leading dimensions → self-join within
+  bucket only. (A full random-hyperplane LSH is the same plan with better
+  buckets; sign-bits keep the oracle SQL-expressible.)
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+DIM = 64
+QUANT = 1000000.0
+
+
+def _q(dialect: str, arr: str, i: str) -> str:
+    """Quantized component i (1-based) of array expr."""
+    if dialect == "duckdb":
+        return f"round(CAST({arr}[{i}] AS DOUBLE) * {QUANT}, 0)"
+    return f"round(CAST(element_at({arr}, {i}) AS DOUBLE) * {QUANT}, 0)"
+
+
+def norm_sq_expr(arr: str, dialect: str) -> str:
+    """Σ q_i² as exact double-held integers."""
+    if dialect == "duckdb":
+        comp = _q(dialect, arr, "i")
+        return (
+            f"list_sum(list_transform(generate_series(1, {DIM}), "
+            f"i -> {comp} * {comp}))"
+        )
+    comp = _q("spark", arr, "CAST(i AS INT)")
+    return (
+        f"aggregate(sequence(1, {DIM}), CAST(0.0 AS DOUBLE), "
+        f"(acc, i) -> acc + {comp} * {comp})"
+    )
+
+
+def dot_expr(a: str, b: str, dialect: str) -> str:
+    if dialect == "duckdb":
+        ca, cb = _q(dialect, a, "i"), _q(dialect, b, "i")
+        return (
+            f"list_sum(list_transform(generate_series(1, {DIM}), "
+            f"i -> {ca} * {cb}))"
+        )
+    ca, cb = _q("spark", a, "CAST(i AS INT)"), _q("spark", b, "CAST(i AS INT)")
+    return (
+        f"aggregate(sequence(1, {DIM}), CAST(0.0 AS DOUBLE), "
+        f"(acc, i) -> acc + {ca} * {cb})"
+    )
+
+
+def cosine_expr(a: str, b: str, dialect: str) -> str:
+    dot = dot_expr(a, b, dialect)
+    na, nb = norm_sq_expr(a, dialect), norm_sq_expr(b, dialect)
+    return f"round(({dot}) / sqrt(({na}) * ({nb})), 6)"
+
+
+def sign_bucket_expr(arr: str, dialect: str, bits: int = 4) -> str:
+    """LSH bucket: sign bits of the first `bits` components."""
+    parts = []
+    for i in range(1, bits + 1):
+        comp = (f"{arr}[{i}]" if dialect == "duckdb"
+                else f"element_at({arr}, {i})")
+        parts.append(f"(CASE WHEN {comp} > 0 THEN {1 << (i - 1)} ELSE 0 END)")
+    return "CAST(" + " + ".join(parts) + " AS BIGINT)"
+
+
+def brute_force_topk(
+    emb: DataFrame,
+    query_ids: list[int],
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Top-k cosine neighbors for each query id (excluding self).
+
+    The query side is a handful of rows → broadcast; the corpus side never
+    shuffles until the final (tiny) top-k rank."""
+    queries = emb.filter(F.col(id_col).isin(query_ids)).select(
+        F.col(id_col).alias("q_id"), F.col(vec_col).alias("q_vec")
+    )
+    corpus = emb.select(F.col(id_col).alias("n_id"), F.col(vec_col).alias("n_vec"))
+    scored = (
+        corpus.crossJoin(F.broadcast(queries))
+        .filter(F.col("n_id") != F.col("q_id"))
+        .withColumn("cosine", F.expr(cosine_expr("q_vec", "n_vec", "spark")))
+    )
+    w = Window.partitionBy("q_id").orderBy(F.desc("cosine"), F.asc("n_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("q_id", "n_id", "rank", "cosine")
+    )
+
+
+def sql_brute_force_topk(table: str, query_ids: list[int], k: int = 10) -> str:
+    ids = ", ".join(str(i) for i in query_ids)
+    cos = cosine_expr("q.embedding", "n.embedding", "duckdb")
+    return f"""
+WITH q AS (SELECT vec_id AS q_id, embedding FROM {table} WHERE vec_id IN ({ids})),
+     n AS (SELECT vec_id AS n_id, embedding FROM {table}),
+scored AS (
+  SELECT q.q_id, n.n_id, {cos.replace('q.embedding', 'q.embedding').replace('n.embedding', 'n.embedding')} AS cosine
+  FROM q, n WHERE n.n_id <> q.q_id
+)
+SELECT q_id, n_id, rank, cosine FROM (
+  SELECT q_id, n_id, cosine,
+         row_number() OVER (PARTITION BY q_id ORDER BY cosine DESC, n_id ASC) AS rank
+  FROM scored
+) WHERE rank <= {k}
+"""
+
+
+def lsh_bucketed_neighbors(
+    emb: DataFrame, id_col: str = "vec_id", vec_col: str = "embedding",
+    min_cosine: float = 0.0,
+) -> DataFrame:
+    """Candidate pairs within the same sign-bucket + their exact cosine.
+    The self-join shuffles on the bucket key only."""
+    with_bucket = emb.select(
+        F.col(id_col).alias("id"),
+        F.col(vec_col).alias("vec"),
+        F.expr(sign_bucket_expr(vec_col, "spark")).alias("bucket"),
+    )
+    left = with_bucket.select(F.col("id").alias("a"), F.col("vec").alias("va"),
+                              "bucket")
+    right = with_bucket.select(F.col("id").alias("b"), F.col("vec").alias("vb"),
+                               "bucket")
+    return (
+        left.join(right, "bucket")
+        .filter(F.col("a") < F.col("b"))
+        .withColumn("cosine", F.expr(cosine_expr("va", "vb", "spark")))
+        .filter(F.col("cosine") >= min_cosine)
+        .select("bucket", "a", "b", "cosine")
+    )
+
+
+def sql_lsh_bucketed_neighbors(table: str, min_cosine: float = 0.0) -> str:
+    bucket = sign_bucket_expr("embedding", "duckdb")
+    cos = cosine_expr("l.embedding", "r.embedding", "duckdb")
+    return f"""
+WITH wb AS (SELECT vec_id, embedding, {bucket} AS bucket FROM {table})
+SELECT l.bucket AS bucket, l.vec_id AS a, r.vec_id AS b, {cos} AS cosine
+FROM wb l JOIN wb r ON l.bucket = r.bucket AND l.vec_id < r.vec_id
+WHERE {cos} >= {min_cosine}
+"""

@@ -1,0 +1,148 @@
+"""A2/A3 — the reference's running stats as single-pass aggregations.
+
+The reference mutates counters per record (stats_handler.py:36-38); in Spark
+each counter is ``sum(when(predicate, 1))`` in ONE ``agg()`` over the
+predictions — a full-scan, map-side-combined reduction with a single-row
+result (no shuffle beyond the final combine).
+
+Parity quirk #3 (SURVEY.md §2.6): the reference's third "wrong" branch
+compares the whole detect_fast result *dict* to a string
+(/root/reference/src/stats/accuracy.py:21), which is always unequal — so the
+branch degenerates to ``langid == cld2`` (guarded by the elif chain). We
+reproduce the *behavior*.
+
+The elif chains are order-sensitive; each branch's predicate therefore
+includes the negation of the prior branches, exactly as Python evaluates it.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from ..functions.langspec import MODEL_PREFIX, MODELS
+
+
+def _cnt(pred: Column) -> Column:
+    return F.sum(F.when(pred, F.lit(1)).otherwise(F.lit(0))).cast("bigint")
+
+
+def accuracy_stats(preds: DataFrame) -> DataFrame:
+    """A2 (stats/accuracy.py:6-30) — one row:
+    wrong_detect_fast/langid/cld2, uniq_*, match_cnt, size, plus *_pct."""
+    df, li, cld = (F.col("df_lang"), F.col("li_lang"), F.col("cld_lang"))
+
+    b1 = (df == li) & (df != cld)                    # cld2 wrong
+    b2 = ~b1 & (df == cld) & (df != li)              # langid wrong
+    b3 = ~b1 & ~((df == cld) & (df != li)) & (li == cld)  # quirk #3 branch
+
+    u1 = (df != "un") & (df != "en") & (li == "en") & (cld == "un")
+    u2 = ~u1 & (df == "un") & (li != "en") & (cld == "un")
+    u3 = (
+        ~u1
+        & ~((df == "un") & (li != "en") & (cld == "un"))
+        & (df == "un") & (li == "en") & (cld != "un") & (cld != "en")
+    )
+
+    match = ((df == li) & (li == cld)) | ((df == "un") & (li == "en") & (cld == "un"))
+
+    out = preds.agg(
+        _cnt(b3).alias("wrong_detect_fast"),
+        _cnt(b2).alias("wrong_langid"),
+        _cnt(b1).alias("wrong_cld2"),
+        _cnt(u1).alias("uniq_detect_fast"),
+        _cnt(u2).alias("uniq_langid"),
+        _cnt(u3).alias("uniq_cld2"),
+        _cnt(match).alias("match_cnt"),
+        F.count(F.lit(1)).cast("bigint").alias("size"),
+    )
+    for c in [
+        "wrong_detect_fast", "wrong_langid", "wrong_cld2",
+        "uniq_detect_fast", "uniq_langid", "uniq_cld2", "match_cnt",
+    ]:
+        out = out.withColumn(
+            f"{c}_pct", (F.col(c) * F.lit(100.0) / F.col("size")).cast("double")
+        )
+    return out
+
+
+def sql_accuracy_stats(preds_select: str) -> str:
+    """DuckDB oracle mirroring :func:`accuracy_stats` predicate-for-predicate."""
+    b1 = "(df_lang = li_lang AND df_lang <> cld_lang)"
+    b2 = f"(NOT {b1} AND df_lang = cld_lang AND df_lang <> li_lang)"
+    b3 = (
+        f"(NOT {b1} AND NOT (df_lang = cld_lang AND df_lang <> li_lang) "
+        f"AND li_lang = cld_lang)"
+    )
+    u1 = ("(df_lang <> 'un' AND df_lang <> 'en' AND li_lang = 'en' "
+          "AND cld_lang = 'un')")
+    u2 = f"(NOT {u1} AND df_lang = 'un' AND li_lang <> 'en' AND cld_lang = 'un')"
+    u3 = (
+        f"(NOT {u1} AND NOT (df_lang = 'un' AND li_lang <> 'en' AND "
+        f"cld_lang = 'un') AND df_lang = 'un' AND li_lang = 'en' "
+        f"AND cld_lang <> 'un' AND cld_lang <> 'en')"
+    )
+    match = (
+        "((df_lang = li_lang AND li_lang = cld_lang) OR "
+        "(df_lang = 'un' AND li_lang = 'en' AND cld_lang = 'un'))"
+    )
+
+    def cnt(p: str, alias: str) -> str:
+        return f"CAST(sum(CASE WHEN {p} THEN 1 ELSE 0 END) AS BIGINT) AS {alias}"
+
+    counters = [
+        cnt(b3, "wrong_detect_fast"), cnt(b2, "wrong_langid"), cnt(b1, "wrong_cld2"),
+        cnt(u1, "uniq_detect_fast"), cnt(u2, "uniq_langid"), cnt(u3, "uniq_cld2"),
+        cnt(match, "match_cnt"),
+        "CAST(count(*) AS BIGINT) AS size",
+    ]
+    base = ",\n       ".join(counters)
+    pct = ",\n       ".join(
+        f"CAST({c} * 100.0 / size AS DOUBLE) AS {c}_pct"
+        for c in [
+            "wrong_detect_fast", "wrong_langid", "wrong_cld2",
+            "uniq_detect_fast", "uniq_langid", "uniq_cld2", "match_cnt",
+        ]
+    )
+    return (
+        f"WITH preds AS ({preds_select}),\n"
+        f"c AS (SELECT {base} FROM preds)\n"
+        f"SELECT *,\n       {pct}\nFROM c"
+    )
+
+
+def unknown_stats(preds: DataFrame) -> DataFrame:
+    """A3 (stats/unknown.py:6-19): per-model 'un' counts + percent of size."""
+    aggs = [F.count(F.lit(1)).cast("bigint").alias("size")]
+    for m in MODELS:
+        p = MODEL_PREFIX[m]
+        aggs.append(_cnt(F.col(f"{p}_lang") == "un").alias(f"unknown_{p}"))
+    out = preds.agg(*aggs)
+    for m in MODELS:
+        p = MODEL_PREFIX[m]
+        out = out.withColumn(
+            f"unknown_{p}_pct",
+            (F.col(f"unknown_{p}") * F.lit(100.0) / F.col("size")).cast("double"),
+        )
+    return out
+
+
+def sql_unknown_stats(preds_select: str) -> str:
+    cols = ["CAST(count(*) AS BIGINT) AS size"]
+    for m in MODELS:
+        p = MODEL_PREFIX[m]
+        cols.append(
+            f"CAST(sum(CASE WHEN {p}_lang = 'un' THEN 1 ELSE 0 END) AS BIGINT)"
+            f" AS unknown_{p}"
+        )
+    base = ",\n       ".join(cols)
+    pct = ",\n       ".join(
+        f"CAST(unknown_{MODEL_PREFIX[m]} * 100.0 / size AS DOUBLE) "
+        f"AS unknown_{MODEL_PREFIX[m]}_pct"
+        for m in MODELS
+    )
+    return (
+        f"WITH preds AS ({preds_select}),\n"
+        f"c AS (SELECT {base} FROM preds)\n"
+        f"SELECT *,\n       {pct}\nFROM c"
+    )

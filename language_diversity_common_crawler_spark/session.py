@@ -1,0 +1,67 @@
+"""SparkSession factory tuned for the engine.
+
+Defaults are sized for the sandbox (local[N], 128 GiB box) but every knob is
+chosen to also be the right *shape* at cluster scale:
+
+- AQE on (coalesce + skew-join splitting) — hot-host skew in the frontier and
+  skewed group-bys at 100 TB re-plan at runtime.
+- ``spark.sql.shuffle.partitions`` proportional to cores locally; on a real
+  cluster this is overridden per-submit (or left to AQE's initial value).
+- Arrow enabled with a bounded batch size so pandas-UDF memory stays flat
+  regardless of partition size.
+- UTC session timezone: determinism bans wall-clock/zone dependence
+  (SURVEY.md §7.3).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+
+def get_spark(
+    app_name: str = "ldcc-spark",
+    cpus: int | None = None,
+    shuffle_partitions: int | None = None,
+    extra_conf: dict | None = None,
+) -> SparkSession:
+    """Build (or fetch) a SparkSession.
+
+    ``cpus`` defaults to $SPARK_GRAFT_CPUS (driver contract) or 32.
+    """
+    if cpus is None:
+        cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    if shuffle_partitions is None:
+        # 2x cores is a good local default; AQE coalesces down afterwards.
+        shuffle_partitions = max(2 * cpus, 8)
+
+    builder = (
+        SparkSession.builder.master(f"local[{cpus}]")
+        .appName(app_name)
+        .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.sql.execution.arrow.maxRecordsPerBatch", "10000")
+        .config("spark.driver.maxResultSize", "4g")
+        .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+        .config("spark.ui.enabled", "false")
+    )
+    for k, v in (extra_conf or {}).items():
+        builder = builder.config(k, v)
+    return builder.getOrCreate()
+
+
+def tune_session(spark: SparkSession) -> SparkSession:
+    """Apply runtime-settable tunings to an externally provided session
+    (the driver passes its own session to ``queries()`` callables)."""
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    try:
+        spark.conf.set("spark.sql.adaptive.enabled", "true")
+        spark.conf.set("spark.sql.execution.arrow.pyspark.enabled", "true")
+    except Exception:
+        pass  # non-settable at runtime on some builds; defaults are fine
+    return spark
