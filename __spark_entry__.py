@@ -305,6 +305,25 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["embedding_lsh_neighbors"] = embedding_lsh_neighbors
 
+    # ---- reference end-to-end pipeline on synthetic pages (P1+P2+F1+L1-L5)
+    # No oracle: the decode/boilerplate UDF chain is not SQL-expressible;
+    # correctness is covered by tests/test_pipeline_parity.py against the
+    # sequential oracle (byte-identity + log-line parity).
+    def pages_extract_pipeline(spark, sf_dir):
+        tune_session(spark)
+        from language_diversity_common_crawler_spark.plans.pipeline import (
+            extract_pipeline,
+        )
+        from language_diversity_common_crawler_spark.sources import pages as pg
+
+        n = 2000 if "0.1" in sf_dir else 500
+        df = pg.pages_df(spark, n, seed=42, n_partitions=16)
+        return extract_pipeline(df).select(
+            "url", "segment", "content", "df_lang", "li_lang", "cld_lang"
+        )
+
+    q["pages_extract_pipeline"] = pages_extract_pipeline
+
     # ---- frontier (north rule) ----
     def frontier_canonicalize(spark, sf_dir):
         tune_session(spark)

@@ -1,0 +1,93 @@
+"""P1 — charset decode with the reference's fallback chain.
+
+Reproduces /root/reference/src/strategies/decoding/decoding.py:4-55 exactly:
+
+- effective charset = 'utf-8' when the HTTP charset is None or 'utf-7'
+  (decoding.py:14-17);
+- on UnicodeDecodeError walk the fallback graph (decoding.py:37-55):
+    iso-8859-1 fails        → give up (sentinel)
+    utf-8 / (orig utf-7)    → retry iso-8859-1
+    gbk                     → gb18030
+    shift_jis               → shift_jisx0213
+    euc-jp                  → euc-jisx0213
+    windows-1251            → utf-8
+    anything else           → give up
+- the reference's sentinel `1` becomes NULL (dropped + counted downstream,
+  F1/A5, decoding_handler.py:25-29).
+
+Deviation (documented): an *unknown* charset name raises LookupError in the
+reference and crashes the whole run (uncaught at decoding.py:33); here it
+yields NULL so one bad record cannot kill a 100-TB job.
+
+The UDF is a pure per-element map (codec work is inherently per-string) but
+Arrow-batched: bytes cross the JVM↔Python boundary once per batch, not per
+row. The same plain function serves the sequential test oracle, which is
+what makes byte-identity checkable.
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+from pyspark.sql.functions import pandas_udf
+
+_FALLBACK_DEFAULT = "iso-8859-1"
+
+
+def decode_bytes(body: bytes | None, http_charset: str | None) -> str | None:
+    """Pure function: decode one record body per the reference chain."""
+    if body is None:
+        return None
+    if http_charset is None or http_charset == "utf-7":
+        charset = "utf-8"
+    else:
+        charset = http_charset
+    return _decode_intern(body, charset, http_charset)
+
+
+def _decode_intern(body: bytes, charset: str, orig: str | None) -> str | None:
+    try:
+        return body.decode(charset)
+    except UnicodeDecodeError:
+        if charset == _FALLBACK_DEFAULT:
+            return None
+        if charset == "utf-8" or charset is None or orig == "utf-7":
+            return _decode_intern(body, _FALLBACK_DEFAULT, orig)
+        if charset == "gbk":
+            return _decode_intern(body, "gb18030", orig)
+        if charset == "shift_jis":
+            return _decode_intern(body, "shift_jisx0213", orig)
+        if charset == "euc-jp":
+            return _decode_intern(body, "euc-jisx0213", orig)
+        if charset == "windows-1251":
+            return _decode_intern(body, "utf-8", orig)
+        return None
+    except LookupError:
+        # unknown codec name — reference would crash (decoding.py:33);
+        # we degrade to a dropped record.
+        return None
+
+
+def _decode_batch(html: pd.Series, http_charset: pd.Series) -> pd.Series:
+    return pd.Series(
+        [decode_bytes(b, c if isinstance(c, str) else None)
+         for b, c in zip(html, http_charset)],
+        dtype="object",
+    )
+
+
+_UDF = None
+
+
+def decode_udf(html: Column | str, charset: Column | str) -> Column:
+    """Arrow-batched decode column (UDF created lazily — needs a session)."""
+    global _UDF
+    if _UDF is None:
+        _UDF = pandas_udf("string")(_decode_batch)
+    h = F.col(html) if isinstance(html, str) else html
+    c = F.col(charset) if isinstance(charset, str) else charset
+    return _UDF(h, c)
+
+
+decoded_col = decode_udf

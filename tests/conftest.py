@@ -1,0 +1,16 @@
+from __future__ import annotations
+
+import os
+import sys
+
+import pytest
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+@pytest.fixture(scope="session")
+def spark():
+    from language_diversity_common_crawler_spark.session import get_spark
+
+    s = get_spark("ldcc-tests", cpus=4, shuffle_partitions=8)
+    yield s
