@@ -1,0 +1,122 @@
+#!/usr/bin/env python3
+"""Benchmark harness (driver contract).
+
+Runs the headline queries at ``$SPARK_GRAFT_SF_DIR`` (default
+/root/testdata/sf0.1) on ``local[$SPARK_GRAFT_CPUS]`` and prints ONE JSON
+line::
+
+    {"metric": "...", "value": <total_sec>, "unit": "sec",
+     "queries": {"q": sec, ...}, "sf": <sf>, ...}
+
+The headline set covers every layer of the engine:
+  - the reference's primary analytical query (A1 language histogram via the
+    three pandas-UDF lang-ID models),
+  - the full extract pipeline on synthetic pages (decode -> boilerplate ->
+    lang-ID, SURVEY.md §3.1),
+  - relational aggregation/join/window headliners,
+  - training-data ops (MinHash-LSH dedup, embedding top-k),
+  - the frontier (north rule): canonicalize -> seen anti-join -> robots
+    broadcast join -> per-host politeness schedule, plus a full crawl round
+    with bloom-filter URL-seen probe.
+
+Extra fields beyond the contract: ``frontier_urls_per_sec`` (frontier URLs
+scheduled/sec in the crawl-round benchmark) and ``extract_rows_per_sec``
+(extracted-text rows/sec), the two throughput numbers BASELINE.json's metric
+names. Scaling efficiency across parallelism levels is measured separately by
+``tools/scaling_bench.py`` and recorded in BASELINE.md.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+
+
+def _sf_of(path: str) -> float:
+    import re
+
+    m = re.search(r"sf([0-9.]+)", path)
+    return float(m.group(1).rstrip(".")) if m else 0.0
+
+
+HEADLINE = [
+    "lang_histogram",
+    "pages_extract_pipeline",
+    "pricing_summary",
+    "top_customers",
+    "window_events",
+    "token_quality_stats",
+    "minhash_lsh_pairs",
+    "embedding_topk",
+    "frontier_politeness_schedule",
+    "frontier_robots_filter",
+]
+
+
+def main() -> None:
+    from language_diversity_common_crawler_spark.session import get_spark
+
+    import __spark_entry__ as entrymod
+
+    spark = get_spark("ldcc-bench", cpus=CPUS)
+    qs = entrymod.queries()
+
+    timings: dict[str, float] = {}
+    row_counts: dict[str, int] = {}
+
+    # Warm the JVM + Arrow path once so per-query numbers measure the
+    # queries, not session startup.
+    qs["lang_predictions"](spark, SF_DIR.replace("0.1", "0.001")).count()
+
+    for name in HEADLINE:
+        fn = qs[name]
+        t0 = time.perf_counter()
+        row_counts[name] = fn(spark, SF_DIR).count()
+        timings[name] = round(time.perf_counter() - t0, 4)
+
+    # Frontier crawl round: canonicalize + bloom-seen probe + robots +
+    # politeness schedule over the orders-derived seed list; throughput in
+    # frontier URLs scheduled per second.
+    from language_diversity_common_crawler_spark.frontier import crawl
+
+    t0 = time.perf_counter()
+    n_seeds, n_scheduled = crawl.bench_round(spark, SF_DIR)
+    dt = time.perf_counter() - t0
+    timings["frontier_crawl_round"] = round(dt, 4)
+    frontier_urls_per_sec = round(n_seeds / dt, 1)
+
+    # Extract throughput: rows of extracted text per second from the
+    # pages_extract_pipeline timing.
+    extract_rows_per_sec = round(
+        row_counts["pages_extract_pipeline"] / timings["pages_extract_pipeline"], 1
+    )
+
+    total = round(sum(timings.values()), 4)
+    print(
+        json.dumps(
+            {
+                "metric": "headline query wall time (sum)",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": _sf_of(SF_DIR),
+                "cpus": CPUS,
+                "rows": row_counts,
+                "frontier_urls_per_sec": frontier_urls_per_sec,
+                "frontier_urls_scheduled": n_scheduled,
+                "extract_rows_per_sec": extract_rows_per_sec,
+            }
+        )
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

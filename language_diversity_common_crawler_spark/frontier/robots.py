@@ -1,0 +1,122 @@
+"""Robots.txt rules cache: parse once per host, broadcast per batch
+(north rule: "robots.txt rules cache broadcast per batch").
+
+The rules table is tiny relative to the frontier (one row per host, even at
+10^8 hosts it is GBs not TBs; per-batch it is the hosts touched by the
+round's candidates — typically small enough to broadcast). We broadcast-join
+it against candidate URLs so the 10^10-row side never shuffles for the
+robots check; the prefix test itself is ``F.exists`` over the host's
+disallow-prefix array, JVM-side.
+
+Parsing robots.txt bodies is string work over a per-host text column — a
+vectorized pandas transformation inside ``mapInPandas`` (no per-row Python
+UDF calls; one Python invocation per Arrow batch).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.types import ArrayType, StringType, StructField, StructType
+
+RULES_SCHEMA = StructType(
+    [
+        StructField("host", StringType(), False),
+        StructField("disallow", ArrayType(StringType(), False), False),
+        StructField("allow", ArrayType(StringType(), False), False),
+    ]
+)
+
+
+def parse_robots_txt(body: str, user_agent: str = "*") -> tuple[list[str], list[str]]:
+    """Disallow/Allow prefixes for ``user_agent`` from one robots.txt body.
+
+    Standard longest-match robots semantics are approximated by prefix
+    lists: a group applies if its User-agent line is ``*`` or equals ours.
+    Pure function — deterministic across oracle and executors.
+    """
+    disallow: list[str] = []
+    allow: list[str] = []
+    applies = False
+    saw_group = False
+    for raw in body.splitlines():
+        line = raw.split("#", 1)[0].strip()
+        if not line or ":" not in line:
+            continue
+        field, _, value = line.partition(":")
+        field = field.strip().lower()
+        value = value.strip()
+        if field == "user-agent":
+            if saw_group:
+                applies = False
+                saw_group = False
+            applies = applies or value == "*" or value.lower() == user_agent.lower()
+        elif field in ("disallow", "allow"):
+            saw_group = True
+            if applies and value:
+                (disallow if field == "disallow" else allow).append(value)
+    return disallow, allow
+
+
+def rules_from_bodies(
+    robots_df: DataFrame,
+    host_col: str = "host",
+    body_col: str = "robots_txt",
+    user_agent: str = "*",
+) -> DataFrame:
+    """(host, robots_txt) -> (host, disallow[], allow[]) via mapInPandas."""
+
+    def _parse(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            parsed = [parse_robots_txt(b or "", user_agent) for b in pdf[body_col]]
+            yield pd.DataFrame(
+                {
+                    "host": pdf[host_col].values,
+                    "disallow": [p[0] for p in parsed],
+                    "allow": [p[1] for p in parsed],
+                }
+            )
+
+    return robots_df.mapInPandas(_parse, RULES_SCHEMA)
+
+
+def url_path(url_col: str = "url_canon") -> F.Column:
+    return F.regexp_extract(F.col(url_col), "^[a-z][a-z0-9+.-]*://[^/]*(/.*)$", 1)
+
+
+def filter_allowed(
+    candidates: DataFrame,
+    rules: DataFrame,
+    url_col: str = "url_canon",
+    host_col: str = "host",
+) -> DataFrame:
+    """Drop candidates whose path hits a disallow prefix (unless a longer
+    allow prefix also matches). Broadcast join on host; array prefix test
+    runs in codegen via ``F.exists``."""
+    r = rules.select(
+        F.col("host").alias("__r_host"),
+        F.col("disallow").alias("__r_disallow"),
+        F.col("allow").alias("__r_allow"),
+    )
+    joined = candidates.join(
+        F.broadcast(r), candidates[host_col] == r["__r_host"], "left"
+    )
+    path = url_path(url_col)
+    hit_dis = F.exists("__r_disallow", lambda p: path.startswith(p))
+    hit_allow = F.exists("__r_allow", lambda p: path.startswith(p))
+    allowed = F.col("__r_host").isNull() | ~hit_dis | hit_allow
+    return joined.filter(allowed).drop("__r_host", "__r_disallow", "__r_allow")
+
+
+def py_allowed(url: str, disallow: list[str], allow: list[str]) -> bool:
+    """Python equivalent of :func:`filter_allowed`'s predicate (oracle)."""
+    import re
+
+    m = re.match(r"^[a-z][a-z0-9+.-]*://[^/]*(/.*)$", url)
+    path = m.group(1) if m else ""
+    hit_dis = any(path.startswith(p) for p in disallow)
+    hit_allow = any(path.startswith(p) for p in allow)
+    return (not hit_dis) or hit_allow

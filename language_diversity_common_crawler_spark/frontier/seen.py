@@ -1,0 +1,363 @@
+"""Partitioned URL-seen set: bloom-filter pre-filter + exact anti-join,
+with a cuckoo-filter fallback where deletions are needed (north rule).
+
+Design for 10^10 URLs (SURVEY.md §4.3):
+
+- The bitset is **partitioned by hash range**: ``part_id = pmod(xxhash64(url),
+  n_parts)``. Each partition owns an independent bloom filter over only its
+  keys, stored as one ``binary`` row. At 1% fpp, 10^10 keys need ~12 GB of
+  bitset total — partitioned over e.g. 4096 parts that is ~3 MB per task,
+  loaded only by the task probing that hash range (cogrouped
+  ``applyInPandas``: candidates and the filter slice meet on ``part_id``
+  without broadcasting the whole set).
+- Membership math is double hashing (Kirsch-Mitzenmacher): bit index
+  ``(h1 + i*h2) mod m`` for i in 0..k-1, fully vectorized in numpy over the
+  Arrow batch — no per-row Python (input_hint).
+- The bloom answer is only "definitely new" vs "maybe seen". Rows flagged
+  maybe-seen go through an **exact** ``left_anti`` join against the seen-URL
+  table; definitely-new rows skip that shuffle entirely. On a real crawl
+  the overwhelming majority of candidate URLs are re-discoveries of seen
+  URLs or brand-new — the bloom collapses the anti-join's probe side to the
+  (small) maybe set, which is what makes the 10^10-row anti-join cheap.
+- Deletions (e.g. recrawl-after-TTL) can't come out of a bloom filter; the
+  :class:`CuckooFilter` variant supports ``delete`` and serializes to the
+  same per-partition ``binary`` row layout.
+
+The reference has no URL-seen set at all (it re-reads whatever segment the
+config names, /root/reference/main.py:85-87); this module is the frontier
+extension mandated by BASELINE.json's north rule.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    BinaryType,
+    BooleanType,
+    IntegerType,
+    LongType,
+    StructField,
+    StructType,
+)
+
+BLOOM_SCHEMA = StructType(
+    [
+        StructField("part_id", IntegerType(), False),
+        StructField("bits", BinaryType(), False),
+        StructField("n_bits", LongType(), False),
+        StructField("n_hashes", IntegerType(), False),
+        StructField("n_keys", LongType(), False),
+    ]
+)
+
+
+def with_url_hashes(
+    df: DataFrame, url_col: str = "url_canon", n_parts: int = 64
+) -> DataFrame:
+    """Attach (h1, h2, part_id) 64-bit hash columns, JVM-side (xxhash64 in
+    whole-stage codegen — pure map, no shuffle)."""
+    h1 = F.xxhash64(F.col(url_col))
+    h2 = F.xxhash64(F.col(url_col), F.lit(1))
+    return (
+        df.withColumn("h1", h1)
+        .withColumn("h2", h2)
+        .withColumn("part_id", F.pmod(h1, F.lit(n_parts)).cast("int"))
+    )
+
+
+def _bit_indices(h1: np.ndarray, h2: np.ndarray, i: int, n_bits: int) -> np.ndarray:
+    # uint64 wraparound arithmetic is well-defined; mod brings it into range
+    return ((h1 + np.uint64(i) * h2) % np.uint64(n_bits)).astype(np.int64)
+
+
+def build_bloom(
+    hashed: DataFrame, n_bits_per_part: int = 1 << 20, n_hashes: int = 7
+) -> DataFrame:
+    """Per-partition bloom filters from a hashed URL DataFrame.
+
+    ``n_bits_per_part`` default (1 Mi bits = 128 KiB) holds ~100k keys/part
+    at ~1% fpp; size up with key count (m ≈ 9.6 n for 1% fpp).
+    """
+    n_bytes = (n_bits_per_part + 7) // 8
+
+    def _build(pdf: pd.DataFrame) -> pd.DataFrame:
+        bits = np.zeros(n_bytes, dtype=np.uint8)
+        h1 = pdf["h1"].to_numpy(dtype=np.int64).view(np.uint64)
+        h2 = pdf["h2"].to_numpy(dtype=np.int64).view(np.uint64)
+        for i in range(n_hashes):
+            idx = _bit_indices(h1, h2, i, n_bits_per_part)
+            np.bitwise_or.at(bits, idx >> 3, (1 << (idx & 7)).astype(np.uint8))
+        return pd.DataFrame(
+            {
+                "part_id": [int(pdf["part_id"].iloc[0])],
+                "bits": [bits.tobytes()],
+                "n_bits": [n_bits_per_part],
+                "n_hashes": [n_hashes],
+                "n_keys": [len(pdf)],
+            }
+        )
+
+    return hashed.groupBy("part_id").applyInPandas(_build, BLOOM_SCHEMA)
+
+
+def merge_bloom(a: DataFrame, b: DataFrame) -> DataFrame:
+    """OR two compatible per-partition filter sets (e.g. snapshot + delta).
+    Bloom filters of identical geometry merge by bitwise OR."""
+
+    def _merge(pdf: pd.DataFrame) -> pd.DataFrame:
+        arrs = [np.frombuffer(x, dtype=np.uint8) for x in pdf["bits"]]
+        merged = arrs[0].copy()
+        for x in arrs[1:]:
+            merged |= x
+        return pd.DataFrame(
+            {
+                "part_id": [int(pdf["part_id"].iloc[0])],
+                "bits": [merged.tobytes()],
+                "n_bits": [int(pdf["n_bits"].iloc[0])],
+                "n_hashes": [int(pdf["n_hashes"].iloc[0])],
+                "n_keys": [int(pdf["n_keys"].sum())],  # upper bound
+            }
+        )
+
+    return a.unionByName(b).groupBy("part_id").applyInPandas(_merge, BLOOM_SCHEMA)
+
+
+def probe_bloom(candidates: DataFrame, bloom: DataFrame) -> DataFrame:
+    """Flag each candidate row ``maybe_seen`` by probing its partition's
+    filter. Cogrouped on ``part_id`` so each task touches exactly one bitset
+    slice — the pattern that scales to a partitioned 10^10-key set.
+
+    ``candidates`` must carry (h1, h2, part_id) from :func:`with_url_hashes`.
+    Output = candidate columns + ``maybe_seen`` boolean.
+    """
+    out_schema = StructType(
+        candidates.schema.fields + [StructField("maybe_seen", BooleanType(), False)]
+    )
+    cols = [f.name for f in candidates.schema.fields]
+
+    def _probe(cand: pd.DataFrame, filt: pd.DataFrame) -> pd.DataFrame:
+        if cand.empty:
+            return pd.DataFrame(columns=cols + ["maybe_seen"])
+        if filt.empty:
+            out = cand.copy()
+            out["maybe_seen"] = False
+            return out
+        bits = np.frombuffer(filt["bits"].iloc[0], dtype=np.uint8)
+        n_bits = int(filt["n_bits"].iloc[0])
+        n_hashes = int(filt["n_hashes"].iloc[0])
+        h1 = cand["h1"].to_numpy(dtype=np.int64).view(np.uint64)
+        h2 = cand["h2"].to_numpy(dtype=np.int64).view(np.uint64)
+        hit = np.ones(len(cand), dtype=bool)
+        for i in range(n_hashes):
+            idx = _bit_indices(h1, h2, i, n_bits)
+            hit &= (bits[idx >> 3] & (1 << (idx & 7)).astype(np.uint8)) != 0
+        out = cand.copy()
+        out["maybe_seen"] = hit
+        return out
+
+    return (
+        candidates.groupBy("part_id")
+        .cogroup(bloom.groupBy("part_id"))
+        .applyInPandas(_probe, out_schema)
+    )
+
+
+def filter_unseen(
+    candidates: DataFrame,
+    seen_urls: DataFrame,
+    bloom: DataFrame | None = None,
+    url_col: str = "url_canon",
+) -> DataFrame:
+    """Exact unseen set: bloom pre-filter (if given) then precise anti-join.
+
+    ``seen_urls`` is the exact table (one ``url_canon`` column at minimum).
+    Definitely-new rows (bloom miss) bypass the anti-join shuffle; only the
+    maybe-seen remainder is joined. Without a bloom, plain ``left_anti``.
+    """
+    if bloom is None:
+        return candidates.join(
+            seen_urls.select(url_col), on=url_col, how="left_anti"
+        )
+    flagged = probe_bloom(candidates, bloom)
+    definitely_new = flagged.filter(~F.col("maybe_seen")).drop("maybe_seen")
+    maybe = flagged.filter(F.col("maybe_seen")).drop("maybe_seen")
+    confirmed_new = maybe.join(seen_urls.select(url_col), on=url_col, how="left_anti")
+    return definitely_new.unionByName(confirmed_new)
+
+
+# ---------------------------------------------------------------------------
+# Cuckoo filter — deletion-capable variant (north rule: "cuckoo-filter
+# fallback for deletions"). Same partitioned layout: one serialized filter
+# per hash-range partition.
+# ---------------------------------------------------------------------------
+
+class CuckooFilter:
+    """Bucketed cuckoo filter (4 slots/bucket, 16-bit fingerprints).
+
+    Standard construction (Fan et al., CoNEXT'14): a key hashes to bucket
+    ``i1 = h mod n`` and its alternate ``i2 = i1 XOR hash(fp)``; membership
+    checks both buckets for the fingerprint; delete removes one copy, which
+    bloom filters cannot do. Contains/delete are numpy-vectorized over
+    batches; insert uses the bounded kick loop.
+    """
+
+    SLOTS = 4
+    MAX_KICKS = 500
+
+    def __init__(self, n_buckets: int = 1 << 14, table: np.ndarray | None = None):
+        assert n_buckets & (n_buckets - 1) == 0, "n_buckets must be a power of 2"
+        self.n_buckets = n_buckets
+        self.table = (
+            table
+            if table is not None
+            else np.zeros((n_buckets, self.SLOTS), dtype=np.uint16)
+        )
+
+    # fingerprint: 16-bit, never 0 (0 marks an empty slot)
+    @staticmethod
+    def _fingerprint(h: np.ndarray) -> np.ndarray:
+        fp = ((h >> np.uint64(48)) & np.uint64(0xFFFF)).astype(np.uint16)
+        fp[fp == 0] = 1
+        return fp
+
+    def _alt_index(self, idx: np.ndarray, fp: np.ndarray) -> np.ndarray:
+        # MurmurHash-style fingerprint scramble for the partner bucket
+        scrambled = (fp.astype(np.uint64) * np.uint64(0x5BD1E995)) & np.uint64(
+            0xFFFFFFFF
+        )
+        return (idx ^ scrambled.astype(np.int64)) % self.n_buckets
+
+    def _indices(self, h: np.ndarray):
+        fp = self._fingerprint(h)
+        i1 = (h % np.uint64(self.n_buckets)).astype(np.int64)
+        i2 = self._alt_index(i1, fp)
+        return fp, i1, i2
+
+    def insert(self, h64: np.ndarray) -> int:
+        """Insert a batch of uint64 hashes; returns number that FAILED
+        (table too full). Idempotency is NOT guaranteed (multiset), matching
+        standard cuckoo semantics — callers dedupe first."""
+        fp, i1, i2 = self._indices(h64.view(np.uint64))
+        failed = 0
+        for f, a, b in zip(fp.tolist(), i1.tolist(), i2.tolist()):
+            if not self._insert_one(np.uint16(f), a, b):
+                failed += 1
+        return failed
+
+    def _insert_one(self, f: np.uint16, a: int, b: int) -> bool:
+        for idx in (a, b):
+            row = self.table[idx]
+            empty = np.nonzero(row == 0)[0]
+            if empty.size:
+                row[empty[0]] = f
+                return True
+        # kick loop
+        idx = a
+        rng_state = int(f)  # deterministic "random" slot choice
+        for _ in range(self.MAX_KICKS):
+            rng_state = (rng_state * 1103515245 + 12345) & 0x7FFFFFFF
+            slot = rng_state % self.SLOTS
+            f, self.table[idx, slot] = self.table[idx, slot], f
+            idx = int(
+                self._alt_index(
+                    np.array([idx], dtype=np.int64), np.array([f], dtype=np.uint16)
+                )[0]
+            )
+            row = self.table[idx]
+            empty = np.nonzero(row == 0)[0]
+            if empty.size:
+                row[empty[0]] = f
+                return True
+        return False
+
+    def contains(self, h64: np.ndarray) -> np.ndarray:
+        fp, i1, i2 = self._indices(h64.view(np.uint64))
+        fcol = fp[:, None]
+        return ((self.table[i1] == fcol) | (self.table[i2] == fcol)).any(axis=1)
+
+    def delete(self, h64: np.ndarray) -> np.ndarray:
+        """Delete one copy of each hash's fingerprint; returns boolean
+        array of which deletions found a copy."""
+        fp, i1, i2 = self._indices(h64.view(np.uint64))
+        out = np.zeros(len(fp), dtype=bool)
+        for j, (f, a, b) in enumerate(zip(fp.tolist(), i1.tolist(), i2.tolist())):
+            for idx in (a, b):
+                row = self.table[idx]
+                hit = np.nonzero(row == f)[0]
+                if hit.size:
+                    row[hit[0]] = 0
+                    out[j] = True
+                    break
+        return out
+
+    def to_bytes(self) -> bytes:
+        return self.table.tobytes()
+
+    @classmethod
+    def from_bytes(cls, data: bytes, n_buckets: int) -> "CuckooFilter":
+        table = (
+            np.frombuffer(data, dtype=np.uint16).reshape(n_buckets, cls.SLOTS).copy()
+        )
+        return cls(n_buckets, table)
+
+
+CUCKOO_SCHEMA = StructType(
+    [
+        StructField("part_id", IntegerType(), False),
+        StructField("table", BinaryType(), False),
+        StructField("n_buckets", IntegerType(), False),
+        StructField("n_keys", LongType(), False),
+    ]
+)
+
+
+def build_cuckoo(hashed: DataFrame, n_buckets: int = 1 << 14) -> DataFrame:
+    """Per-partition cuckoo filters (deletion-capable seen set)."""
+
+    def _build(pdf: pd.DataFrame) -> pd.DataFrame:
+        cf = CuckooFilter(n_buckets)
+        h = pdf["h1"].to_numpy(dtype=np.int64).view(np.uint64)
+        cf.insert(np.unique(h))
+        return pd.DataFrame(
+            {
+                "part_id": [int(pdf["part_id"].iloc[0])],
+                "table": [cf.to_bytes()],
+                "n_buckets": [n_buckets],
+                "n_keys": [len(pdf)],
+            }
+        )
+
+    return hashed.groupBy("part_id").applyInPandas(_build, CUCKOO_SCHEMA)
+
+
+def probe_cuckoo(candidates: DataFrame, cuckoo: DataFrame) -> DataFrame:
+    """``maybe_seen`` flag from the cuckoo variant (same contract as
+    :func:`probe_bloom`)."""
+    out_schema = StructType(
+        candidates.schema.fields + [StructField("maybe_seen", BooleanType(), False)]
+    )
+    cols = [f.name for f in candidates.schema.fields]
+
+    def _probe(cand: pd.DataFrame, filt: pd.DataFrame) -> pd.DataFrame:
+        if cand.empty:
+            return pd.DataFrame(columns=cols + ["maybe_seen"])
+        if filt.empty:
+            out = cand.copy()
+            out["maybe_seen"] = False
+            return out
+        cf = CuckooFilter.from_bytes(
+            filt["table"].iloc[0], int(filt["n_buckets"].iloc[0])
+        )
+        h = cand["h1"].to_numpy(dtype=np.int64).view(np.uint64)
+        out = cand.copy()
+        out["maybe_seen"] = cf.contains(h)
+        return out
+
+    return (
+        candidates.groupBy("part_id")
+        .cogroup(cuckoo.groupBy("part_id"))
+        .applyInPandas(_probe, out_schema)
+    )

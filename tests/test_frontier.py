@@ -1,0 +1,304 @@
+"""Frontier (north rule) tests: URL-seen set, politeness scheduler, robots,
+and full crawl-round parity against the sequential oracle — including exact
+resume from a mid-crawl checkpoint."""
+
+from __future__ import annotations
+
+import os
+import sys
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from language_diversity_common_crawler_spark.frontier import (  # noqa: E402
+    crawl,
+    oracle,
+    robots,
+    scheduler,
+    seen,
+    urlgen,
+)
+
+
+def _seed_pairs(n=60):
+    return [(k, (k * 7) % 50) for k in range(1, n + 1)]
+
+
+def _spark_seeds(spark, n=60):
+    df = spark.createDataFrame(_seed_pairs(n), ["o_orderkey", "o_custkey"])
+    return (
+        df.select(F.expr(urlgen.synthetic_url_expr("spark")).alias("url_raw"))
+        .withColumn("url_canon", F.expr(urlgen.canonicalize_expr("url_raw", "spark")))
+        .withColumn("host", F.expr(urlgen.host_expr("url_canon", "spark")))
+        .select("url_canon", "host")
+    )
+
+
+def _py_seeds(n=60):
+    return [
+        oracle.py_synthetic_url(k, c) for k, c in _seed_pairs(n)
+    ]
+
+
+# ---------------------------------------------------------------------------
+# canonicalization parity (Spark expr vs Python oracle)
+# ---------------------------------------------------------------------------
+
+def test_canonicalize_parity(spark):
+    got = {
+        r["url_canon"]
+        for r in _spark_seeds(spark, 80).select("url_canon").collect()
+    }
+    want = {oracle.py_canonicalize(u) for u in _py_seeds(80)}
+    assert got == want
+    for u in want:  # host extraction parity
+        assert u.startswith("https://host")
+        assert "?" not in u or "utm_" not in u
+
+
+# ---------------------------------------------------------------------------
+# bloom filter
+# ---------------------------------------------------------------------------
+
+def test_bloom_membership(spark):
+    urls = spark.createDataFrame(
+        [(f"https://h{i % 10}.ex/p/{i}",) for i in range(500)], ["url_canon"]
+    )
+    hashed = seen.with_url_hashes(urls, n_parts=8)
+    bloom = seen.build_bloom(hashed, n_bits_per_part=1 << 16)
+
+    # no false negatives: every inserted key must be flagged maybe_seen
+    flagged = seen.probe_bloom(hashed, bloom)
+    assert flagged.filter(~F.col("maybe_seen")).count() == 0
+
+    # false positive rate on disjoint keys stays low
+    other = seen.with_url_hashes(
+        spark.createDataFrame(
+            [(f"https://other{i}.ex/q/{i}",) for i in range(500)], ["url_canon"]
+        ),
+        n_parts=8,
+    )
+    fp = seen.probe_bloom(other, bloom).filter(F.col("maybe_seen")).count()
+    assert fp < 25  # 5% at default k=7, 64Ki bits/part for ~60 keys/part
+
+
+def test_filter_unseen_matches_plain_antijoin(spark):
+    all_urls = spark.createDataFrame(
+        [(f"https://h{i % 5}.ex/p/{i}", f"h{i % 5}.ex") for i in range(300)],
+        ["url_canon", "host"],
+    )
+    seen_urls = all_urls.filter(F.xxhash64("url_canon") % 2 == 0).select("url_canon")
+    cand = seen.with_url_hashes(all_urls, n_parts=8)
+    bloom = seen.build_bloom(seen.with_url_hashes(seen_urls, n_parts=8))
+
+    via_bloom = {
+        r["url_canon"]
+        for r in seen.filter_unseen(cand, seen_urls, bloom=bloom).collect()
+    }
+    plain = {
+        r["url_canon"]
+        for r in all_urls.join(seen_urls, "url_canon", "left_anti").collect()
+    }
+    assert via_bloom == plain
+
+
+def test_bloom_merge(spark):
+    a = seen.with_url_hashes(
+        spark.createDataFrame([(f"https://a/{i}",) for i in range(100)], ["url_canon"]),
+        n_parts=4,
+    )
+    b = seen.with_url_hashes(
+        spark.createDataFrame([(f"https://b/{i}",) for i in range(100)], ["url_canon"]),
+        n_parts=4,
+    )
+    merged = seen.merge_bloom(seen.build_bloom(a), seen.build_bloom(b))
+    both = a.unionByName(b)
+    assert seen.probe_bloom(both, merged).filter(~F.col("maybe_seen")).count() == 0
+
+
+# ---------------------------------------------------------------------------
+# cuckoo filter (deletion path)
+# ---------------------------------------------------------------------------
+
+def test_cuckoo_insert_contains_delete():
+    rng = np.random.default_rng(42)
+    keys = rng.integers(1, 2**63 - 1, size=2000, dtype=np.int64).astype(np.uint64)
+    keys = np.unique(keys)
+    cf = seen.CuckooFilter(n_buckets=1 << 11)  # 8192 slots for ~2000 keys
+    assert cf.insert(keys) == 0
+    assert cf.contains(keys).all()  # no false negatives
+
+    others = rng.integers(1, 2**63 - 1, size=2000, dtype=np.int64).astype(np.uint64)
+    others = np.setdiff1d(others, keys)
+    assert cf.contains(others).mean() < 0.05  # 16-bit fp => ~0.1% expected
+
+    # delete half, they must disappear; the rest must remain
+    half = keys[: len(keys) // 2]
+    assert cf.delete(half).all()
+    assert not cf.contains(half).any() or cf.contains(half).mean() < 0.05
+    assert cf.contains(keys[len(keys) // 2:]).all()
+
+    # serialization round-trip
+    cf2 = seen.CuckooFilter.from_bytes(cf.to_bytes(), cf.n_buckets)
+    assert (cf2.table == cf.table).all()
+
+
+def test_cuckoo_spark_probe(spark):
+    urls = spark.createDataFrame(
+        [(f"https://h{i % 4}.ex/p/{i}",) for i in range(400)], ["url_canon"]
+    )
+    hashed = seen.with_url_hashes(urls, n_parts=4)
+    ck = seen.build_cuckoo(hashed, n_buckets=1 << 10)
+    flagged = seen.probe_cuckoo(hashed, ck)
+    assert flagged.filter(~F.col("maybe_seen")).count() == 0
+
+
+# ---------------------------------------------------------------------------
+# robots
+# ---------------------------------------------------------------------------
+
+def test_robots_parse_and_filter(spark):
+    body = "User-agent: *\nDisallow: /private/\nAllow: /private/ok\n# c\n"
+    dis, alw = robots.parse_robots_txt(body)
+    assert dis == ["/private/"] and alw == ["/private/ok"]
+
+    cand = spark.createDataFrame(
+        [
+            ("https://a.ex/private/x", "a.ex"),
+            ("https://a.ex/private/ok/y", "a.ex"),
+            ("https://a.ex/pub", "a.ex"),
+            ("https://b.ex/private/x", "b.ex"),  # no rules for b.ex
+        ],
+        ["url_canon", "host"],
+    )
+    rules = robots.rules_from_bodies(
+        spark.createDataFrame([("a.ex", body)], ["host", "robots_txt"])
+    )
+    kept = {r["url_canon"] for r in robots.filter_allowed(cand, rules).collect()}
+    assert kept == {
+        "https://a.ex/private/ok/y",
+        "https://a.ex/pub",
+        "https://b.ex/private/x",
+    }
+    # python predicate agrees
+    assert not robots.py_allowed("https://a.ex/private/x", dis, alw)
+    assert robots.py_allowed("https://a.ex/private/ok/y", dis, alw)
+
+
+# ---------------------------------------------------------------------------
+# politeness scheduler
+# ---------------------------------------------------------------------------
+
+def test_politeness_budget_and_order(spark):
+    urls = [(f"https://h{i % 3}.ex/p/{i}", f"h{i % 3}.ex") for i in range(90)]
+    df = spark.createDataFrame(urls, ["url_canon", "host"])
+    sched = scheduler.politeness_schedule(df, budget=4).collect()
+    by_host = {}
+    for r in sched:
+        by_host.setdefault(r["host"], []).append(r)
+    for host, rows in by_host.items():
+        assert len(rows) == 4
+        rows.sort(key=lambda r: r["slot"])
+        # slots rank by (priority desc, url asc) — the oracle's exact order
+        want = sorted(
+            [u for u, h in urls if h == host],
+            key=lambda u: (-scheduler.py_priority(u), u),
+        )[:4]
+        assert [r["url_canon"] for r in rows] == want
+        assert [r["slot"] for r in rows] == [1, 2, 3, 4]
+
+
+# ---------------------------------------------------------------------------
+# full crawl parity vs sequential oracle + exact resume
+# ---------------------------------------------------------------------------
+
+ROBOTS_BODY = "User-agent: *\nDisallow: /o/1\n"
+ROBOTS_HOSTS = ["host7.example.com", "host14.example.com"]
+
+
+def _oracle_run(n_rounds: int):
+    rules = {
+        h: robots.parse_robots_txt(ROBOTS_BODY) for h in ROBOTS_HOSTS
+    }
+    oc = oracle.SequentialCrawler(_py_seeds(60), budget=2, rules=rules)
+    oc.run(n_rounds)
+    return oc
+
+
+def _spark_rules(spark):
+    return robots.rules_from_bodies(
+        spark.createDataFrame(
+            [(h, ROBOTS_BODY) for h in ROBOTS_HOSTS], ["host", "robots_txt"]
+        )
+    )
+
+
+def _spark_run(spark, ckpt: str, n_rounds: int, start: bool = True):
+    if start:
+        crawl.init_crawl(spark, _spark_seeds(spark, 60), ckpt)
+    rules = _spark_rules(spark)
+    for _ in range(n_rounds):
+        crawl.run_round(spark, ckpt, budget=2, rules=rules)
+
+
+def _order_tuples(spark, ckpt):
+    return [
+        (r["round"], r["host"], r["slot"], r["url_canon"], r["priority"])
+        for r in crawl.crawl_order(spark, ckpt).collect()
+    ]
+
+
+def test_crawl_matches_sequential_oracle(spark, tmp_path):
+    ckpt = str(tmp_path / "ckpt")
+    _spark_run(spark, ckpt, 3)
+    oc = _oracle_run(3)
+
+    got = _order_tuples(spark, ckpt)
+    want = sorted(oc.order, key=lambda t: (t[0], t[1], t[2]))
+    assert got == want
+
+    got_seen = {
+        r["url_canon"]
+        for r in crawl.read_seen(spark, ckpt, crawl.latest_round(ckpt)).collect()
+    }
+    assert got_seen == oc.seen
+
+
+def test_resume_mid_crawl(spark, tmp_path):
+    ckpt = str(tmp_path / "ckpt")
+    _spark_run(spark, ckpt, 2)
+
+    # simulate a crash mid-round-3: partial output, no manifest
+    os.makedirs(os.path.join(ckpt, "rounds", "r=0003", "scheduled"), exist_ok=True)
+    assert crawl.latest_round(ckpt) == 2
+
+    # resume: rounds 3..4 from the committed snapshot
+    _spark_run(spark, ckpt, 2, start=False)
+    oc = _oracle_run(4)
+    assert _order_tuples(spark, ckpt) == sorted(
+        oc.order, key=lambda t: (t[0], t[1], t[2])
+    )
+    got_seen = {
+        r["url_canon"]
+        for r in crawl.read_seen(spark, ckpt, 4).collect()
+    }
+    assert got_seen == oc.seen
+
+
+def test_crawl_metrics_lineage(spark, tmp_path):
+    ckpt = str(tmp_path / "ckpt")
+    _spark_run(spark, ckpt, 1)
+    m = spark.read.parquet(
+        os.path.join(ckpt, "rounds", "r=0001", "metrics")
+    )
+    rows = m.collect()
+    assert all(r["round"] == 1 for r in rows)
+    # lineage totals reconcile with the manifest
+    import json
+
+    with open(os.path.join(ckpt, "MANIFEST-0001.json")) as f:
+        man = json.load(f)
+    assert sum(r["n_new"] for r in rows) == man["n_new"]
