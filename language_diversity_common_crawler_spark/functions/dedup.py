@@ -35,19 +35,29 @@ def _norm(text: str, dialect: str) -> str:
     return f"regexp_replace(trim(lower({text})), {ws}, ' '{g_flag(dialect)})"
 
 
-def shingles_expr(text: str, dialect: str, k: int = 3) -> str:
-    """Array of word k-gram shingle strings (inline expression — no
-    subquery, so it runs inside whole-stage codegen / list ops)."""
+def tokens_expr(text: str, dialect: str) -> str:
+    """Whitespace-token array of the normalized text."""
     norm = _norm(text, dialect)
+    fn = "string_split" if dialect == "duckdb" else "split"
+    return f"{fn}({norm}, ' ')"
+
+
+def shingles_from_tokens(toks: str, dialect: str, k: int = 3) -> str:
+    """Array of word k-gram shingles from a TOKEN-ARRAY COLUMN reference.
+
+    ``toks`` must be a column name (or cheap expression): lambda bodies get
+    no common-subexpression elimination in Spark, so inlining the split here
+    would re-tokenize the text for every array element — materialize the
+    token array in its own projection first (Catalyst's CollapseProject
+    keeps a multiply-referenced non-trivial alias as a separate project, so
+    the split runs once per row)."""
     if dialect == "duckdb":
-        toks = f"string_split({norm}, ' ')"
         joined = " || ' ' || ".join(f"({toks})[i + {j}]" for j in range(k))
         return (
             f"CASE WHEN len({toks}) < {k} THEN []::VARCHAR[] "
             f"ELSE list_transform(generate_series(1, len({toks}) - {k - 1}), "
             f"i -> {joined}) END"
         )
-    toks = f"split({norm}, ' ')"
     joined = ", ".join(f"element_at({toks}, CAST(i + {j} AS INT))" for j in range(k))
     return (
         f"CASE WHEN size({toks}) < {k} THEN CAST(array() AS ARRAY<STRING>) "
@@ -56,17 +66,39 @@ def shingles_expr(text: str, dialect: str, k: int = 3) -> str:
     )
 
 
-def minhash_exprs(shingles: str, dialect: str) -> dict[str, str]:
-    """k salted 60-bit min-hashes over a shingle-array expression.
+def shingles_expr(text: str, dialect: str, k: int = 3) -> str:
+    """Inline variant (tokenizes inside the expression — fine for oracle
+    SQL; for Spark hot paths prefer tokens_expr + shingles_from_tokens)."""
+    return shingles_from_tokens(tokens_expr(text, dialect), dialect, k)
+
+
+MH_P = 2147483647  # 2^31 - 1; a_j * (h % p) + b_j stays inside int64
+_MH_A = [2971215073, 1640531527, 2654435761, 2246822519,
+         3266489917, 668265263, 374761393, 3144134277]
+_MH_B = [97, 193, 389, 769, 1543, 3079, 6151, 12289]
+
+
+def shingle_hash_expr(shingles: str, dialect: str) -> str:
+    """ONE 60-bit md5 per shingle, reduced mod p — the only expensive hash
+    pass. The k min-hashes derive from this array with integer-only affine
+    maps (universal hashing), so minhash costs 1 md5 pass, not k."""
+    h = sql_md5_60("s") if dialect == "duckdb" else (
+        "CAST(conv(substring(md5(s), 1, 15), 16, 10) AS BIGINT)"
+    )
+    fn = "list_transform" if dialect == "duckdb" else "transform"
+    return f"{fn}({shingles}, s -> {h} % {MH_P})"
+
+
+def minhash_exprs(hashed: str, dialect: str) -> dict[str, str]:
+    """k min-hashes over a shingle-hash-array expression (affine maps mod p,
+    pure int64 arithmetic — identical in Spark and DuckDB).
     Empty shingle set → NULL (doc too short to near-dup)."""
     out = {}
+    amin = "list_min" if dialect == "duckdb" else "array_min"
+    fn = "list_transform" if dialect == "duckdb" else "transform"
     for j in range(N_MINHASH):
-        if dialect == "duckdb":
-            h = sql_md5_60(f"concat('mh{j}:', s)")
-            out[f"mh{j}"] = f"list_min(list_transform({shingles}, s -> {h}))"
-        else:
-            h = f"CAST(conv(substring(md5(concat('mh{j}:', s)), 1, 15), 16, 10) AS BIGINT)"
-            out[f"mh{j}"] = f"array_min(transform({shingles}, s -> {h}))"
+        a, b = _MH_A[j], _MH_B[j]
+        out[f"mh{j}"] = f"{amin}({fn}({hashed}, h -> ({a} * h + {b}) % {MH_P}))"
     return out
 
 
@@ -95,10 +127,21 @@ def band_exprs(dialect: str) -> dict[str, str]:
 
 def minhash_signatures(df: DataFrame, id_col: str = "doc_id",
                        text_col: str = "text") -> DataFrame:
-    """Spark: id + mh0..mh{k-1} + band0..band{b-1} (all JVM-side exprs)."""
-    sh = shingles_expr(text_col, "spark")
-    out = df.select(id_col, *[F.expr(e).alias(n)
-                              for n, e in minhash_exprs(sh, "spark").items()])
+    """Spark: id + mh0..mh{k-1} + band0..band{b-1} (all JVM-side exprs).
+    The shingle-hash array is materialized as one intermediate column so the
+    md5 pass over shingles runs once, not once per minhash."""
+    toks = df.select(
+        id_col, F.expr(tokens_expr(text_col, "spark")).alias("__toks")
+    )
+    shingled = toks.select(
+        id_col,
+        F.expr(shingles_from_tokens("__toks", "spark")).alias("__shg"),
+    )
+    hashed = shingled.select(
+        id_col, F.expr(shingle_hash_expr("__shg", "spark")).alias("__sh")
+    )
+    out = hashed.select(id_col, *[F.expr(e).alias(n)
+                                  for n, e in minhash_exprs("__sh", "spark").items()])
     for n, e in band_exprs("spark").items():
         out = out.withColumn(n, F.expr(e))
     return out
@@ -107,13 +150,15 @@ def minhash_signatures(df: DataFrame, id_col: str = "doc_id",
 def sql_minhash_signatures(table: str, id_col: str = "doc_id",
                            text_col: str = "text") -> str:
     sh = shingles_expr(text_col, "duckdb")
+    hashed = shingle_hash_expr(sh, "duckdb")
     mh = ",\n       ".join(f"{e} AS {n}"
-                           for n, e in minhash_exprs(sh, "duckdb").items())
+                           for n, e in minhash_exprs("__sh", "duckdb").items())
     bands = ",\n       ".join(f"{e} AS {n}" for n, e in band_exprs("duckdb").items())
     return (
         f"SELECT {id_col}, mh0, mh1, mh2, mh3, mh4, mh5, mh6, mh7,\n"
         f"       {bands}\n"
-        f"FROM (SELECT {id_col}, {mh} FROM {table})"
+        f"FROM (SELECT {id_col}, {mh} FROM "
+        f"(SELECT {id_col}, {hashed} AS __sh FROM {table}))"
     )
 
 
@@ -121,17 +166,19 @@ def lsh_candidate_pairs(sigs: DataFrame, id_col: str = "doc_id") -> DataFrame:
     """Self-join per band on the bucket key → distinct candidate pairs a<b.
     Shuffles on the band hash (uniform by construction; no skew salting
     needed unless many identical docs — AQE skew-join covers that)."""
-    pairs = None
-    for b in range(N_BANDS):
-        left = sigs.select(F.col(id_col).alias("a"), F.col(f"band{b}").alias("bk"))
-        right = sigs.select(F.col(id_col).alias("b"), F.col(f"band{b}").alias("bk"))
-        p = (
-            left.join(right, "bk")
-            .filter(F.col("a") < F.col("b"))
-            .select("a", "b")
-        )
-        pairs = p if pairs is None else pairs.unionByName(p)
-    return pairs.distinct()
+    stack_args = ", ".join(f"{b}, band{b}" for b in range(N_BANDS))
+    stacked = sigs.select(
+        F.col(id_col),
+        F.expr(f"stack({N_BANDS}, {stack_args}) AS (bi, bk)"),
+    ).filter(F.col("bk").isNotNull())
+    left = stacked.select(F.col(id_col).alias("a"), "bi", "bk")
+    right = stacked.select(F.col(id_col).alias("b"), "bi", "bk")
+    return (
+        left.join(right, ["bi", "bk"])
+        .filter(F.col("a") < F.col("b"))
+        .select("a", "b")
+        .distinct()
+    )
 
 
 def sql_lsh_candidate_pairs(sigs_select: str) -> str:
