@@ -256,9 +256,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     def simhash_fingerprints(spark, sf_dir):
         tune_session(spark)
-        return _docs(spark, sf_dir).select(
-            "doc_id",
-            F.expr(text_analysis.simhash16_exprs("text", "spark")).alias("simhash16"),
+        return text_analysis.simhash16(_docs(spark, sf_dir)).select(
+            "doc_id", "simhash16"
         )
 
     q["simhash_fingerprints"] = simhash_fingerprints

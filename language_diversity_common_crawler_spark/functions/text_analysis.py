@@ -35,8 +35,14 @@ def _sql_count_char(expr: str, ch: str) -> str:
 
 
 def token_stats_exprs(text: str, dialect: str) -> dict[str, str]:
-    """Column-name → SQL expression for token statistics."""
-    norm = _sql_norm(text, dialect)
+    """Column-name → SQL expression for token statistics (inline norm —
+    fine for oracle SQL; Spark hot path materializes the norm first, see
+    with_text_stats)."""
+    return token_stats_from_norm(_sql_norm(text, dialect))
+
+
+def token_stats_from_norm(norm: str) -> dict[str, str]:
+    """Token statistics over an ALREADY-NORMALIZED text expression/column."""
     spaces = _sql_count_char(norm, " ")
     n_tokens = f"CASE WHEN length({norm}) = 0 THEN 0 ELSE {spaces} + 1 END"
     return {
@@ -51,9 +57,13 @@ def token_stats_exprs(text: str, dialect: str) -> dict[str, str]:
 
 
 def quality_exprs(text: str, dialect: str) -> dict[str, str]:
-    """Quality-scoring signals: punctuation count, stopword hits, ratios."""
+    """Quality-scoring signals (inline norm — oracle SQL path)."""
     norm = _sql_norm(text, dialect)
-    pad = f"concat(' ', lower({norm}), ' ')"
+    return quality_from_norm(norm, f"concat(' ', lower({norm}), ' ')")
+
+
+def quality_from_norm(norm: str, pad: str) -> dict[str, str]:
+    """Quality signals over pre-materialized norm + padded-lower columns."""
     punct = " + ".join(_sql_count_char(norm, p) for p in _PUNCT)
     stop_parts = []
     for w in _STOPWORDS:
@@ -86,13 +96,65 @@ def fingerprint_expr(text: str, dialect: str) -> str:
 
 
 def with_text_stats(df: DataFrame, text_col: str = "text") -> DataFrame:
-    """Spark side: apply all token/quality expressions via F.expr (JVM)."""
-    out = df
-    for name, e in {**token_stats_exprs(text_col, "spark"),
-                    **quality_exprs(text_col, "spark")}.items():
+    """Spark side: apply all token/quality expressions via F.expr (JVM).
+
+    The normalized text and its padded-lowercase variant are materialized
+    once as intermediate columns: the stat expressions reference them many
+    times, and Spark has no CSE across a lambda/alias re-inline — without
+    this, every stat column re-runs the whitespace-collapse regex
+    (~10 regex passes per row instead of 1)."""
+    out = df.withColumn("__norm", F.expr(_sql_norm(text_col, "spark")))
+    out = out.withColumn("__pad", F.expr("concat(' ', lower(__norm), ' ')"))
+    for name, e in {**token_stats_from_norm("__norm"),
+                    **quality_from_norm("__norm", "__pad")}.items():
         out = out.withColumn(name, F.expr(e))
-    out = out.withColumn("fingerprint", F.expr(fingerprint_expr(text_col, "spark")))
-    return out
+    out = out.withColumn(
+        "fingerprint",
+        F.expr("CAST(conv(substring(md5(__norm), 1, 15), 16, 10) AS BIGINT)"),
+    )
+    return out.drop("__norm", "__pad")
+
+
+def token_hash_expr(toks: str, dialect: str) -> str:
+    """60-bit md5 per token over a token-array column — the ONE expensive
+    pass; simhash bit-sums derive from this array with integer ops only."""
+    if dialect == "duckdb":
+        h = sql_md5_60("t")
+        return f"list_transform({toks}, t -> {h})"
+    h = "CAST(conv(substring(md5(t), 1, 15), 16, 10) AS BIGINT)"
+    return f"transform({toks}, t -> {h})"
+
+
+def simhash16_from_hashes(th: str, dialect: str) -> str:
+    """16-bit SimHash from a token-hash-array column (cheap bit math)."""
+    bits = []
+    for b in range(16):
+        if dialect == "duckdb":
+            bits.append(
+                f"(CASE WHEN list_sum(list_transform({th}, "
+                f"h -> CASE WHEN (h >> {b}) % 2 = 1 THEN 1 ELSE -1 END)) > 0 "
+                f"THEN {1 << b} ELSE 0 END)"
+            )
+        else:
+            bits.append(
+                f"(CASE WHEN aggregate(transform({th}, "
+                f"h -> CASE WHEN (h >> {b}) % 2 = 1 THEN 1 ELSE -1 END), "
+                f"0, (acc, x) -> acc + x) > 0 THEN {1 << b} ELSE 0 END)"
+            )
+    return "CAST(" + " + ".join(bits) + " AS BIGINT)"
+
+
+def simhash16(df: DataFrame, text_col: str = "text",
+              out_col: str = "simhash16") -> DataFrame:
+    """Spark: staged simhash — norm, token array, token-hash array each
+    materialized once (Spark lambdas get no CSE), then 16 bit aggregates."""
+    norm = _sql_norm(text_col, "spark")
+    out = (
+        df.withColumn("__toks", F.expr(f"split({norm}, ' ')"))
+        .withColumn("__th", F.expr(token_hash_expr("__toks", "spark")))
+        .withColumn(out_col, F.expr(simhash16_from_hashes("__th", "spark")))
+    )
+    return out.drop("__toks", "__th")
 
 
 def simhash16_exprs(text: str, dialect: str) -> str:
