@@ -69,13 +69,12 @@ _PREDS_SQL_FULL = langspec.sql_all_models_select(
 def _seeds_df(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Synthetic frontier seeds from orders (dialect-shared expressions)."""
     orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
-    return (
+    par = spark.sparkContext.defaultParallelism * 2
+    return urlgen.with_canonical(
         orders.select(
             F.col("o_orderkey").alias("seed_id"),
             F.expr(urlgen.synthetic_url_expr("spark")).alias("url_raw"),
-        )
-        .withColumn("url_canon", F.expr(urlgen.canonicalize_expr("url_raw", "spark")))
-        .withColumn("host", F.expr(urlgen.host_expr("url_canon", "spark")))
+        ).repartition(par)
     )
 
 
@@ -323,6 +322,30 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["pages_extract_pipeline"] = pages_extract_pipeline
 
+    # ---- training-data ops: multimodal (binary payload plumbing) ----
+    def media_decode_stats(spark, sf_dir):
+        tune_session(spark)
+        from language_diversity_common_crawler_spark.functions import multimodal
+
+        media = multimodal.media_from_documents(_docs(spark, sf_dir))
+        return multimodal.media_decode_stats(media)
+
+    q["media_decode_stats"] = media_decode_stats
+
+    def media_frame_sample(spark, sf_dir):
+        tune_session(spark)
+        from language_diversity_common_crawler_spark.functions import multimodal
+
+        media = multimodal.media_from_documents(_docs(spark, sf_dir))
+        frames = multimodal.sample_frames(media, every_n=1)
+        return frames.select(
+            "media_id",
+            "frame_idx",
+            F.length("frame_payload").cast("bigint").alias("frame_len"),
+        )
+
+    q["media_frame_sample"] = media_frame_sample
+
     # ---- frontier (north rule) ----
     def frontier_canonicalize(spark, sf_dir):
         tune_session(spark)
@@ -499,6 +522,38 @@ SELECT url_canon, host, CAST(min(seed_id) AS BIGINT) AS first_seed_id
 FROM seeds
 WHERE NOT EXISTS (SELECT 1 FROM seen WHERE seen.url_canon = seeds.url_canon)
 GROUP BY url_canon, host
+"""
+
+    _MEDIA_SQL = """
+SELECT doc_id AS media_id,
+       CASE WHEN doc_id % 3 = 0 THEN 'image'
+            WHEN doc_id % 3 = 1 THEN 'audio' ELSE 'video' END AS kind,
+       CASE WHEN doc_id % 3 = 0 THEN 'image/jpeg'
+            WHEN doc_id % 3 = 1 THEN 'audio/wav' ELSE 'video/mp4' END AS mime,
+       CAST(octet_length(encode(text)) AS BIGINT) AS byte_len,
+       CAST(octet_length(encode(text)) % 640 + 16 AS INT) AS width,
+       CAST(octet_length(encode(text)) % 480 + 16 AS INT) AS height,
+       CAST(octet_length(encode(text)) % 24 + 1 AS INT) AS n_frames
+FROM documents
+"""
+
+    o["media_decode_stats"] = (
+        f"SELECT media_id, kind, mime, byte_len, width, height "
+        f"FROM ({_MEDIA_SQL})"
+    )
+
+    o["media_frame_sample"] = f"""
+WITH m AS ({_MEDIA_SQL}),
+v AS (SELECT media_id, byte_len, n_frames,
+             greatest(byte_len // n_frames, 1) AS step
+      FROM m WHERE kind = 'video'),
+f AS (SELECT media_id, byte_len, step,
+             unnest(range(n_frames)) AS frame_idx
+      FROM v)
+SELECT media_id, CAST(frame_idx AS INT) AS frame_idx,
+       CAST(least(step, greatest(byte_len - frame_idx * step, 0)) AS BIGINT)
+         AS frame_len
+FROM f
 """
 
     o["frontier_politeness_schedule"] = f"""

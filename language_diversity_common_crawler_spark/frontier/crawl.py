@@ -48,12 +48,16 @@ DISCOVERY_MOD = 3  # child kept iff md5_60('disc:'+child) % 3 != 0
 # deterministic link discovery (pure function — mirrored in oracle.py)
 # ---------------------------------------------------------------------------
 
-def discover_children(scheduled: DataFrame, url_col: str = "url_canon") -> DataFrame:
+def discover_children(
+    scheduled: DataFrame, url_col: str = "url_canon", dedupe: bool = False
+) -> DataFrame:
     """Child URLs of fetched pages: ``<url-sans-query>/c<i>`` for i in
     1..FANOUT, kept iff a 60-bit hash of the child is nonzero mod
     DISCOVERY_MOD. Stand-in for real outlink extraction — deterministic so
     the sequential oracle reproduces it; swap with an href-extracting
-    pandas UDF on real pages."""
+    pandas UDF on real pages. Dedup is normally left to the seen-set
+    probe's cogroup shuffle (filter_unseen(dedupe=True)) — one exchange
+    instead of two."""
     base = F.regexp_replace(F.col(url_col), r"[?#].*$", "")
     children = F.array(
         *[F.concat(base, F.lit(f"/c{i}")) for i in range(1, DISCOVERY_FANOUT + 1)]
@@ -62,7 +66,8 @@ def discover_children(scheduled: DataFrame, url_col: str = "url_canon") -> DataF
         F.col("host"), F.explode(children).alias(url_col)
     )
     keep = md5_60(F.concat(F.lit("disc:"), F.col(url_col))) % DISCOVERY_MOD != 0
-    return out.filter(keep).dropDuplicates([url_col])
+    out = out.filter(keep)
+    return out.dropDuplicates([url_col]) if dedupe else out
 
 
 # ---------------------------------------------------------------------------
@@ -156,7 +161,7 @@ def run_round(
             if os.path.isdir(prev_bloom)
             else seen.build_bloom(seen.with_url_hashes(seen_urls, n_parts=N_PARTS))
         )
-    new = seen.filter_unseen(cand, seen_urls, bloom=bloom)
+    new = seen.filter_unseen(cand, seen_urls, bloom=bloom, dedupe=True)
 
     new.select("url_canon", "host", "part_id").write.mode("overwrite").parquet(
         _rdir(ckpt, k, "seen_delta")
@@ -226,23 +231,22 @@ def bench_round(spark: SparkSession, sf_dir: str, budget: int = 3) -> tuple[int,
     exact anti-join -> robots broadcast filter -> two-phase politeness
     schedule. Returns (n_seed_urls, n_scheduled)."""
     orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
-    seeds = (
+    # repartition before the regex-heavy canonicalize map: the orders file
+    # is a single small parquet split, which would otherwise serialize the
+    # whole map into one task
+    par = spark.sparkContext.defaultParallelism * 2
+    seeds = urlgen.with_canonical(
         orders.select(
             F.col("o_orderkey").alias("seed_id"),
             F.expr(urlgen.synthetic_url_expr("spark")).alias("url_raw"),
-        )
-        .withColumn("url_canon", F.expr(urlgen.canonicalize_expr("url_raw", "spark")))
-        .withColumn("host", F.expr(urlgen.host_expr("url_canon", "spark")))
-        .select("seed_id", "url_canon", "host")
-    )
+        ).repartition(par)
+    ).select("seed_id", "url_canon", "host")
     n_seeds = seeds.count()
 
     pre_seen = seeds.filter(F.col("seed_id") % 3 == 0).select("url_canon")
     bloom = seen.build_bloom(seen.with_url_hashes(pre_seen, n_parts=N_PARTS))
-    cand = seen.with_url_hashes(
-        seeds.dropDuplicates(["url_canon"]), n_parts=N_PARTS
-    )
-    fresh = seen.filter_unseen(cand, pre_seen, bloom=bloom)
+    cand = seen.with_url_hashes(seeds, n_parts=N_PARTS)
+    fresh = seen.filter_unseen(cand, pre_seen, bloom=bloom, dedupe=True)
 
     nation = spark.read.parquet(f"{sf_dir}/nation.parquet")
     robots_bodies = nation.select(

@@ -125,13 +125,23 @@ def merge_bloom(a: DataFrame, b: DataFrame) -> DataFrame:
     return a.unionByName(b).groupBy("part_id").applyInPandas(_merge, BLOOM_SCHEMA)
 
 
-def probe_bloom(candidates: DataFrame, bloom: DataFrame) -> DataFrame:
+def probe_bloom(
+    candidates: DataFrame,
+    bloom: DataFrame,
+    dedupe_on: str | None = None,
+) -> DataFrame:
     """Flag each candidate row ``maybe_seen`` by probing its partition's
     filter. Cogrouped on ``part_id`` so each task touches exactly one bitset
     slice — the pattern that scales to a partitioned 10^10-key set.
 
     ``candidates`` must carry (h1, h2, part_id) from :func:`with_url_hashes`.
     Output = candidate columns + ``maybe_seen`` boolean.
+
+    ``dedupe_on``: optionally drop duplicate candidates by this column
+    inside the cogroup (keeps the row with the smallest ``dedupe_on``-sorted
+    order — deterministic). A URL's partition is a function of the URL, so
+    per-partition dedup IS global dedup — and it rides the shuffle the
+    cogroup needs anyway, saving the separate dropDuplicates exchange.
     """
     out_schema = StructType(
         candidates.schema.fields + [StructField("maybe_seen", BooleanType(), False)]
@@ -141,6 +151,8 @@ def probe_bloom(candidates: DataFrame, bloom: DataFrame) -> DataFrame:
     def _probe(cand: pd.DataFrame, filt: pd.DataFrame) -> pd.DataFrame:
         if cand.empty:
             return pd.DataFrame(columns=cols + ["maybe_seen"])
+        if dedupe_on is not None:
+            cand = cand.sort_values(dedupe_on).drop_duplicates(dedupe_on)
         if filt.empty:
             out = cand.copy()
             out["maybe_seen"] = False
@@ -170,18 +182,25 @@ def filter_unseen(
     seen_urls: DataFrame,
     bloom: DataFrame | None = None,
     url_col: str = "url_canon",
+    dedupe: bool = False,
 ) -> DataFrame:
     """Exact unseen set: bloom pre-filter (if given) then precise anti-join.
 
     ``seen_urls`` is the exact table (one ``url_canon`` column at minimum).
     Definitely-new rows (bloom miss) bypass the anti-join shuffle; only the
     maybe-seen remainder is joined. Without a bloom, plain ``left_anti``.
+    ``dedupe=True`` also drops duplicate candidate URLs (inside the probe's
+    cogroup shuffle when a bloom is given — one less exchange).
     """
     if bloom is None:
+        if dedupe:
+            candidates = candidates.dropDuplicates([url_col])
         return candidates.join(
             seen_urls.select(url_col), on=url_col, how="left_anti"
         )
-    flagged = probe_bloom(candidates, bloom)
+    flagged = probe_bloom(
+        candidates, bloom, dedupe_on=url_col if dedupe else None
+    )
     definitely_new = flagged.filter(~F.col("maybe_seen")).drop("maybe_seen")
     maybe = flagged.filter(F.col("maybe_seen")).drop("maybe_seen")
     confirmed_new = maybe.join(seen_urls.select(url_col), on=url_col, how="left_anti")

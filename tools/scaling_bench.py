@@ -1,0 +1,295 @@
+#!/usr/bin/env python3
+"""Two-cluster-size scaling benchmark (north rule evidence).
+
+BASELINE.json requires throughput scaling efficiency >= 0.8 from N to 4N
+executors. No real cluster exists in this sandbox, so (per BASELINE.md §
+protocol) we run the IDENTICAL jobs at two local parallelism levels —
+default local[8] vs local[32] — on the same input and report throughput at
+both plus efficiency = (thr_4N / thr_N) / 4.
+
+Jobs measured (the two throughputs BASELINE.json's metric names):
+  - frontier: canonicalize + bloom-seen probe + exact anti-join + robots
+    broadcast filter + two-phase politeness schedule over orders-derived
+    seed URLs (replicated x MULT for enough work per core) →
+    frontier URLs scheduled+fetch-slots assigned / sec
+  - extract: decode → boilerplate → 3 lang-ID models over a pre-generated
+    synthetic pages parquet → extracted-text rows / sec
+
+Each child process warms the JVM/Arrow path first, then times the job; the
+parent compares the two levels and rewrites the "## Scaling" section of
+BASELINE.md.
+
+Usage:  python tools/scaling_bench.py            # parent: runs 8 and 32
+        python tools/scaling_bench.py --update-baseline
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import subprocess
+import sys
+import time
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+PAGES_PATH = "/tmp/scaling_pages_parquet"
+N_PAGES = 300000
+MULT = 20  # seed-URL replication factor (orders sf0.1 x20 = 3M URLs)
+BEST_OF = int(os.environ.get("SCALING_BEST_OF", "1"))  # iterations per child
+ROUNDS = 2  # parent alternates levels across rounds, takes per-level min
+
+
+def _gen_pages_once() -> None:
+    if os.path.isdir(PAGES_PATH):
+        return
+    from language_diversity_common_crawler_spark.session import get_spark
+    from language_diversity_common_crawler_spark.sources import pages
+
+    spark = get_spark("scaling-gen", cpus=8)
+    chunk = 50_000
+    for i, start in enumerate(range(0, N_PAGES, chunk)):
+        df = pages.pages_df(spark, min(chunk, N_PAGES - start), seed=7 + i,
+                            n_partitions=16)
+        df.write.mode("overwrite" if i == 0 else "append").parquet(PAGES_PATH)
+    spark.stop()
+
+
+STATE_DIR = "/tmp/scaling_state"
+
+
+def _raw_seeds(spark, mult: int):
+    """(seed_id, url_raw) replicated x mult, repartitioned so the
+    regex-heavy canonicalize map parallelizes (the orders file is a single
+    small split)."""
+    from pyspark.sql import functions as F
+
+    from language_diversity_common_crawler_spark.frontier import urlgen
+
+    orders = spark.read.parquet(f"{SF_DIR}/orders.parquet")
+    reps = spark.range(mult).select(F.col("id").alias("rep"))
+    par = spark.sparkContext.defaultParallelism * 2
+    # repartition the SMALL side first (150k rows — cheap single-task
+    # shuffle), then broadcast-crossJoin: the x mult expansion and the
+    # regex-heavy canonicalize both run with full parallelism. Repartition
+    # after the expansion would serialize generating all mult x rows into
+    # the one input split of the orders file.
+    return (
+        orders.select("o_orderkey", "o_custkey")
+        .repartition(par)
+        .crossJoin(F.broadcast(reps))
+        .select(
+            (F.col("o_orderkey") * mult + F.col("rep")).alias("o_orderkey"),
+            (F.col("o_custkey") + F.col("rep")).alias("o_custkey"),
+        )
+        .select(
+            F.col("o_orderkey").alias("seed_id"),
+            F.expr(urlgen.synthetic_url_expr("spark")).alias("url_raw"),
+        )
+    )
+
+
+def _prep_state_once(mult: int) -> None:
+    """Untimed: materialize the 'already-seen' state (exact set + bloom) a
+    real crawl reads from its snapshot tables — not part of the measured
+    round."""
+    if os.path.isdir(f"{STATE_DIR}/bloom"):
+        return
+    from pyspark.sql import functions as F
+
+    from language_diversity_common_crawler_spark.frontier import crawl, seen, urlgen
+    from language_diversity_common_crawler_spark.session import get_spark
+
+    spark = get_spark("scaling-prep", cpus=8)
+    seeds = urlgen.with_canonical(_raw_seeds(spark, mult))
+    pre = seeds.filter(F.col("seed_id") % 3 == 0).select("url_canon")
+    pre.write.mode("overwrite").parquet(f"{STATE_DIR}/pre_seen")
+    pre = spark.read.parquet(f"{STATE_DIR}/pre_seen")
+    seen.build_bloom(
+        seen.with_url_hashes(pre, n_parts=crawl.N_PARTS)
+    ).write.mode("overwrite").parquet(f"{STATE_DIR}/bloom")
+    spark.stop()
+
+
+def _frontier_job(spark, mult: int):
+    """One timed frontier round, single linear pass: canonicalize -> dedup
+    -> bloom probe -> exact anti-join -> robots broadcast -> politeness
+    schedule. Returns (n_urls, n_scheduled)."""
+    from pyspark.sql import functions as F
+
+    from language_diversity_common_crawler_spark.frontier import (
+        crawl,
+        robots as robots_mod,
+        scheduler,
+        seen,
+        urlgen,
+    )
+
+    seeds = urlgen.with_canonical(_raw_seeds(spark, mult)).select(
+        "seed_id", "url_canon", "host"
+    )
+    pre_seen = spark.read.parquet(f"{STATE_DIR}/pre_seen")
+    bloom = spark.read.parquet(f"{STATE_DIR}/bloom")
+    cand = seen.with_url_hashes(seeds, n_parts=crawl.N_PARTS)
+    fresh = seen.filter_unseen(cand, pre_seen, bloom=bloom, dedupe=True)
+
+    nation = spark.read.parquet(f"{SF_DIR}/nation.parquet")
+    bodies = nation.select(
+        F.concat(F.lit("host"), F.col("n_nationkey").cast("string"),
+                 F.lit(".example.com")).alias("host"),
+        F.lit("User-agent: *\nDisallow: /o/1\n").alias("robots_txt"),
+    )
+    allowed = robots_mod.filter_allowed(
+        fresh, robots_mod.rules_from_bodies(bodies)
+    )
+    sched = scheduler.politeness_schedule(allowed, budget=200)
+    n_sched = sched.count()
+    return 150_000 * mult, n_sched
+
+
+def _extract_job(spark):
+    """Full extract chain; agg references model outputs so nothing prunes."""
+    from pyspark.sql import functions as F
+
+    from language_diversity_common_crawler_spark.plans.pipeline import (
+        extract_pipeline,
+    )
+
+    df = spark.read.parquet(PAGES_PATH)
+    out = extract_pipeline(df)
+    row = out.agg(
+        F.count("df_lang").alias("n"),
+        F.sum(F.length("content")).alias("chars"),
+    ).collect()[0]
+    return int(row["n"])
+
+
+def child(cpus: int) -> None:
+    from language_diversity_common_crawler_spark.session import get_spark
+
+    spark = get_spark(f"scaling-{cpus}", cpus=cpus,
+                      shuffle_partitions=2 * cpus)
+
+    # warm-up: JIT, Arrow python workers, parquet footer caches
+    _frontier_job(spark, 1)
+    _extract_job(spark)
+
+    t_frontier = float("inf")
+    for _ in range(BEST_OF):
+        t0 = time.perf_counter()
+        n_urls, n_sched = _frontier_job(spark, MULT)
+        t_frontier = min(t_frontier, time.perf_counter() - t0)
+
+    t_extract = float("inf")
+    for _ in range(BEST_OF):
+        t0 = time.perf_counter()
+        n_rows = _extract_job(spark)
+        t_extract = min(t_extract, time.perf_counter() - t0)
+
+    print(json.dumps({
+        "cpus": cpus,
+        "frontier_urls": n_urls,
+        "frontier_scheduled": n_sched,
+        "frontier_sec": round(t_frontier, 3),
+        "frontier_urls_per_sec": round(n_urls / t_frontier, 1),
+        "extract_rows": n_rows,
+        "extract_sec": round(t_extract, 3),
+        "extract_rows_per_sec": round(n_rows / t_extract, 1),
+    }))
+    spark.stop()
+
+
+def parent(levels: list[int], update_baseline: bool) -> None:
+    _gen_pages_once()
+    _prep_state_once(MULT)
+    # Interleave levels across ROUNDS and keep the per-level minimum: the
+    # sandbox VM has noisy neighbors, and a slow phase hitting only one
+    # level's child would otherwise fake (or hide) a scaling effect.
+    results = {}
+    for _ in range(ROUNDS):
+        for cpus in levels:
+            proc = subprocess.run(
+                [sys.executable, os.path.abspath(__file__), "--child",
+                 "--cpus", str(cpus)],
+                capture_output=True, text=True, cwd=REPO, timeout=1800,
+            )
+            line = [ln for ln in proc.stdout.splitlines() if ln.startswith("{")]
+            if not line:
+                sys.stderr.write(proc.stdout + proc.stderr)
+                raise RuntimeError(f"child cpus={cpus} produced no JSON")
+            r = json.loads(line[-1])
+            prev = results.get(cpus)
+            if prev is None:
+                results[cpus] = r
+            else:
+                for job in ("frontier", "extract"):
+                    if r[f"{job}_sec"] < prev[f"{job}_sec"]:
+                        for key in (f"{job}_sec", f"{job}_urls_per_sec"
+                                    if job == "frontier" else
+                                    f"{job}_rows_per_sec"):
+                            prev[key] = r[key]
+
+    lo, hi = min(levels), max(levels)
+    ratio = hi / lo
+    eff = {
+        k: round(
+            (results[hi][f"{k}_urls_per_sec" if k == "frontier"
+                         else f"{k}_rows_per_sec"]
+             / results[lo][f"{k}_urls_per_sec" if k == "frontier"
+                           else f"{k}_rows_per_sec"]) / ratio, 3)
+        for k in ("frontier", "extract")
+    }
+    summary = {
+        "levels": results,
+        "scaling_efficiency": eff,
+        "protocol": f"local[{lo}] vs local[{hi}], same input, warm JVM",
+    }
+    print(json.dumps(summary))
+    if update_baseline:
+        _write_baseline_section(summary, lo, hi)
+
+
+def _write_baseline_section(summary: dict, lo: int, hi: int) -> None:
+    path = os.path.join(REPO, "BASELINE.md")
+    with open(path) as f:
+        content = f.read()
+    marker = "\n## Scaling (measured)\n"
+    if marker in content:
+        content = content[: content.index(marker)]
+    rl, rh = summary["levels"][lo], summary["levels"][hi]
+    eff = summary["scaling_efficiency"]
+    section = (
+        f"{marker}\n"
+        f"Protocol: identical jobs at `local[{lo}]` and `local[{hi}]` on the "
+        f"same input (sandbox stand-in for N vs 4N executors; "
+        f"BASELINE.json north rule). Warm JVM, timed job only.\n\n"
+        f"| job | local[{lo}] | local[{hi}] | efficiency (target ≥0.8) |\n"
+        f"|---|---|---|---|\n"
+        f"| frontier schedule ({rl['frontier_urls']:,} URLs) | "
+        f"{rl['frontier_urls_per_sec']:,.0f} urls/s | "
+        f"{rh['frontier_urls_per_sec']:,.0f} urls/s | "
+        f"{eff['frontier']} |\n"
+        f"| text extract ({rl['extract_rows']:,} rows) | "
+        f"{rl['extract_rows_per_sec']:,.0f} rows/s | "
+        f"{rh['extract_rows_per_sec']:,.0f} rows/s | "
+        f"{eff['extract']} |\n\n"
+        f"Raw: `{json.dumps(summary)}`\n"
+    )
+    with open(path, "w") as f:
+        f.write(content + section)
+
+
+if __name__ == "__main__":
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--child", action="store_true")
+    ap.add_argument("--cpus", type=int, default=0)
+    ap.add_argument("--levels", default="2,8")
+    ap.add_argument("--update-baseline", action="store_true")
+    args = ap.parse_args()
+    if args.child:
+        child(args.cpus)
+    else:
+        parent([int(x) for x in args.levels.split(",")], args.update_baseline)
