@@ -40,7 +40,7 @@ PAGES_PATH = "/tmp/scaling_pages_parquet"
 N_PAGES = 300000
 MULT = 20  # seed-URL replication factor (orders sf0.1 x20 = 3M URLs)
 BEST_OF = int(os.environ.get("SCALING_BEST_OF", "1"))  # iterations per child
-ROUNDS = 2  # parent alternates levels across rounds, takes per-level min
+ROUNDS = 3  # parent alternates levels across rounds, takes per-level min
 
 
 def _gen_pages_once() -> None:
@@ -128,13 +128,18 @@ def _frontier_job(spark, mult: int):
         urlgen,
     )
 
+    # shuffle-volume discipline: the timed chain moves millions of rows
+    # through ~6 exchanges — carry ONLY (url_canon, host) plus the hash
+    # columns the probe itself needs, and drop the hashes again right after
     seeds = urlgen.with_canonical(_raw_seeds(spark, mult)).select(
-        "seed_id", "url_canon", "host"
+        "url_canon", "host"
     )
     pre_seen = spark.read.parquet(f"{STATE_DIR}/pre_seen")
     bloom = spark.read.parquet(f"{STATE_DIR}/bloom")
     cand = seen.with_url_hashes(seeds, n_parts=crawl.N_PARTS)
-    fresh = seen.filter_unseen(cand, pre_seen, bloom=bloom, dedupe=True)
+    fresh = seen.filter_unseen(
+        cand, pre_seen, bloom=bloom, dedupe=True
+    ).select("url_canon", "host")
 
     nation = spark.read.parquet(f"{SF_DIR}/nation.parquet")
     bodies = nation.select(
