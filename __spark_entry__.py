@@ -222,6 +222,20 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["segment_union_counts"] = segment_union_counts
 
+    # F2 offset skip (cc_fastwarc.py:89-90 — the reference's buggy version
+    # never increments; we implement the intended semantics)
+    def offset_skip(spark, sf_dir):
+        tune_session(spark)
+        w = Window.orderBy("doc_id")
+        return (
+            _docs(spark, sf_dir)
+            .select("doc_id", "n_chars", F.row_number().over(w).alias("rn"))
+            .filter(F.col("rn") > 50)
+            .select("doc_id", "n_chars")
+        )
+
+    q["offset_skip"] = offset_skip
+
     def record_limit(spark, sf_dir):
         tune_session(spark)
         return (
@@ -287,6 +301,36 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return dedup.lsh_candidate_pairs(sigs)
 
     q["minhash_lsh_pairs"] = minhash_lsh_pairs
+
+    def minhash_jaccard_verified(spark, sf_dir):
+        tune_session(spark)
+        docs = _docs(spark, sf_dir)
+        pairs = dedup.lsh_candidate_pairs(dedup.minhash_signatures(docs))
+        return dedup.jaccard_verified_pairs(docs, pairs, min_jaccard_bp=2000)
+
+    q["minhash_jaccard_verified"] = minhash_jaccard_verified
+
+    def simhash_near_dup(spark, sf_dir):
+        tune_session(spark)
+        return dedup.simhash_near_dup_pairs(_docs(spark, sf_dir))
+
+    q["simhash_near_dup"] = simhash_near_dup
+
+    # W4 experiment dataset dump shape ({uri,id,lang,len} JSON rows,
+    # /root/reference/experiments/cc_fastwarc.py:125-129)
+    def experiment_dataset(spark, sf_dir):
+        tune_session(spark)
+        d = _docs_preds(spark, sf_dir)
+        return d.select(
+            F.concat(F.lit("https://example.org/doc/"),
+                     F.col("doc_id").cast("string")).alias("uri"),
+            F.concat(F.lit("<urn:uuid:"), F.md5(F.col("text")),
+                     F.lit(">")).alias("id"),
+            F.col("li_lang").alias("lang"),
+            F.length(F.encode(F.col("text"), "UTF-8")).cast("bigint").alias("len"),
+        )
+
+    q["experiment_dataset"] = experiment_dataset
 
     # ---- training-data ops: similarity search ----
     def embedding_topk(spark, sf_dir):
@@ -477,6 +521,12 @@ FROM d
         "SELECT doc_id, n_chars FROM documents ORDER BY doc_id LIMIT 100"
     )
 
+    o["offset_skip"] = (
+        "SELECT doc_id, n_chars FROM ("
+        "SELECT doc_id, n_chars, row_number() OVER (ORDER BY doc_id) AS rn "
+        "FROM documents) WHERE rn > 50"
+    )
+
     o["pricing_summary"] = relational.SQL_PRICING_SUMMARY
     o["top_customers"] = relational.SQL_TOP_CUSTOMERS
     o["nation_region_rollup"] = relational.SQL_NATION_REGION_ROLLUP
@@ -505,6 +555,22 @@ FROM d
     o["minhash_lsh_pairs"] = dedup.sql_lsh_candidate_pairs(
         dedup.sql_minhash_signatures("documents")
     )
+
+    o["minhash_jaccard_verified"] = dedup.sql_jaccard_verified_pairs(
+        dedup.sql_lsh_candidate_pairs(dedup.sql_minhash_signatures("documents")),
+        min_jaccard_bp=2000,
+    )
+    o["simhash_near_dup"] = dedup.sql_simhash_near_dup_pairs(
+        f"SELECT doc_id, {text_analysis.simhash16_exprs('text', 'duckdb')} "
+        f"AS simhash16 FROM documents"
+    )
+    o["experiment_dataset"] = f"""
+SELECT concat('https://example.org/doc/', CAST(d.doc_id AS VARCHAR)) AS uri,
+       concat('<urn:uuid:', md5(d.text), '>') AS id,
+       p.li_lang AS lang,
+       CAST(octet_length(encode(d.text)) AS BIGINT) AS len
+FROM documents d JOIN ({_PREDS_SQL}) p ON d.doc_id = p.doc_id
+"""
 
     o["embedding_topk"] = similarity.sql_brute_force_topk(
         "embeddings", [0, 1, 2, 3, 4], k=10

@@ -181,6 +181,138 @@ def lsh_candidate_pairs(sigs: DataFrame, id_col: str = "doc_id") -> DataFrame:
     )
 
 
+def jaccard_verified_pairs(
+    docs: DataFrame,
+    pairs: DataFrame,
+    min_jaccard_bp: int = 5000,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Exact shingle-set Jaccard over candidate pairs (the verification
+    stage after LSH). Jaccard is reported in basis points (bigint) so the
+    value-hash oracle comparison is exact.
+
+    Scale shape: ``pairs`` is tiny relative to ``docs`` (LSH already
+    pruned), so the two joins broadcast the pair list and the shingle
+    arrays are computed only for docs that appear in some pair."""
+    toks = docs.select(
+        F.col(id_col), F.expr(tokens_expr(text_col, "spark")).alias("__toks")
+    )
+    sh = toks.select(
+        id_col,
+        F.array_distinct(
+            F.expr(shingles_from_tokens("__toks", "spark"))
+        ).alias("__sh"),
+    )
+    need = pairs.select(F.col("a").alias(id_col)).union(
+        pairs.select(F.col("b").alias(id_col))
+    ).distinct()
+    sh = sh.join(F.broadcast(need), id_col)
+    a = sh.select(F.col(id_col).alias("a"), F.col("__sh").alias("__sha"))
+    b = sh.select(F.col(id_col).alias("b"), F.col("__sh").alias("__shb"))
+    joined = pairs.join(a, "a").join(b, "b")
+    inter = F.size(F.array_intersect("__sha", "__shb"))
+    uni = F.size(F.array_union("__sha", "__shb"))
+    jacc = F.when(uni == 0, F.lit(0)).otherwise(
+        F.floor(inter * 10000 / uni)
+    ).cast("bigint")
+    return (
+        joined.select("a", "b", jacc.alias("jaccard_bp"))
+        .filter(F.col("jaccard_bp") >= min_jaccard_bp)
+    )
+
+
+def sql_jaccard_verified_pairs(
+    pairs_select: str,
+    min_jaccard_bp: int = 5000,
+    table: str = "documents",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> str:
+    sh = (
+        f"SELECT {id_col}, list_distinct({shingles_expr(text_col, 'duckdb')})"
+        f" AS sh FROM {table}"
+    )
+    return f"""
+WITH pairs AS ({pairs_select}),
+sh AS ({sh}),
+j AS (
+  SELECT p.a, p.b,
+         len(list_filter(sa.sh, x -> list_contains(sb.sh, x))) AS inter,
+         len(list_distinct(list_concat(sa.sh, sb.sh))) AS uni
+  FROM pairs p
+  JOIN sh sa ON sa.{id_col} = p.a
+  JOIN sh sb ON sb.{id_col} = p.b)
+SELECT a, b,
+       CAST(CASE WHEN uni = 0 THEN 0
+            ELSE floor(inter * 10000 / uni) END AS BIGINT) AS jaccard_bp
+FROM j WHERE (CASE WHEN uni = 0 THEN 0
+              ELSE floor(inter * 10000 / uni) END) >= {min_jaccard_bp}
+"""
+
+
+def simhash_near_dup_pairs(
+    docs: DataFrame,
+    max_hamming: int = 3,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """SimHash near-dup: 16-bit fingerprints, banded into the high and low
+    bytes; candidate pairs share at least one band (pigeonhole: hamming <=
+    max_hamming over 2 bands guarantees one exact band for hamming <= 1 per
+    band region — with 16 bits/2 bands this recalls all pairs with all
+    diffs concentrated in one byte, the standard banding trade-off), then
+    the exact bit_count(xor) filter keeps hamming <= max_hamming."""
+    from .text_analysis import simhash16
+
+    sigs = simhash16(docs.select(id_col, text_col)).select(
+        id_col, "simhash16"
+    )
+    banded = sigs.select(
+        id_col,
+        "simhash16",
+        F.expr(
+            "stack(2, 0, CAST(simhash16 % 256 AS INT), "
+            "1, CAST(simhash16 DIV 256 AS INT)) AS (band, bk)"
+        ),
+    )
+    left = banded.select(
+        F.col(id_col).alias("a"), F.col("simhash16").alias("sa"), "band", "bk"
+    )
+    right = banded.select(
+        F.col(id_col).alias("b"), F.col("simhash16").alias("sb"), "band", "bk"
+    )
+    ham = F.bit_count(F.col("sa").bitwiseXOR(F.col("sb")))
+    return (
+        left.join(right, ["band", "bk"])
+        .filter(F.col("a") < F.col("b"))
+        .select("a", "b", ham.cast("bigint").alias("hamming"))
+        .filter(F.col("hamming") <= max_hamming)
+        .distinct()
+    )
+
+
+def sql_simhash_near_dup_pairs(
+    simhash_select: str, max_hamming: int = 3
+) -> str:
+    """``simhash_select`` must yield (doc_id, simhash16)."""
+    return f"""
+WITH sigs AS ({simhash_select}),
+banded AS (
+  SELECT doc_id, simhash16, band, bk FROM (
+    SELECT doc_id, simhash16,
+           unnest([0, 1]) AS band,
+           unnest([CAST(simhash16 % 256 AS INT),
+                   CAST(simhash16 // 256 AS INT)]) AS bk
+    FROM sigs))
+SELECT DISTINCT l.doc_id AS a, r.doc_id AS b,
+       CAST(bit_count(xor(l.simhash16, r.simhash16)) AS BIGINT) AS hamming
+FROM banded l JOIN banded r ON l.band = r.band AND l.bk = r.bk
+  AND l.doc_id < r.doc_id
+WHERE bit_count(xor(l.simhash16, r.simhash16)) <= {max_hamming}
+"""
+
+
 def sql_lsh_candidate_pairs(sigs_select: str) -> str:
     parts = []
     for b in range(N_BANDS):
