@@ -79,6 +79,33 @@ def sign_bucket_expr(arr: str, dialect: str, bits: int = 4) -> str:
     return "CAST(" + " + ".join(parts) + " AS BIGINT)"
 
 
+def quantized_with_norm(
+    emb: DataFrame, id_col: str, vec_col: str, prefix: str
+) -> DataFrame:
+    """(id, quantized vector, norm²) — computed ONCE per row. The pairwise
+    stages then do only the zip_with dot product: without this staging the
+    quantization (64 round/cast ops) and both norms re-run per PAIR, an
+    O(n·k·dim) → O((n+k)·dim) fix that matters enormously when one corpus
+    row is scored against many queries."""
+    qvec = F.expr(
+        f"transform({vec_col}, x -> round(CAST(x AS DOUBLE) * {QUANT}, 0))"
+    )
+    out = emb.select(
+        F.col(id_col).alias(f"{prefix}_id"), qvec.alias(f"{prefix}_q")
+    )
+    norm = F.expr(
+        f"aggregate({prefix}_q, CAST(0.0 AS DOUBLE), (acc, v) -> acc + v * v)"
+    )
+    return out.withColumn(f"{prefix}_norm", norm)
+
+
+def _dot(a: str, b: str) -> F.Column:
+    return F.expr(
+        f"aggregate(zip_with({a}, {b}, (x, y) -> x * y), "
+        f"CAST(0.0 AS DOUBLE), (acc, v) -> acc + v)"
+    )
+
+
 def brute_force_topk(
     emb: DataFrame,
     query_ids: list[int],
@@ -89,15 +116,20 @@ def brute_force_topk(
     """Top-k cosine neighbors for each query id (excluding self).
 
     The query side is a handful of rows → broadcast; the corpus side never
-    shuffles until the final (tiny) top-k rank."""
-    queries = emb.filter(F.col(id_col).isin(query_ids)).select(
-        F.col(id_col).alias("q_id"), F.col(vec_col).alias("q_vec")
+    shuffles until the final (tiny) top-k rank. Quantization and norms are
+    per-row columns (see quantized_with_norm); the per-pair work is one
+    zip_with dot product."""
+    queries = quantized_with_norm(
+        emb.filter(F.col(id_col).isin(query_ids)), id_col, vec_col, "q"
     )
-    corpus = emb.select(F.col(id_col).alias("n_id"), F.col(vec_col).alias("n_vec"))
+    corpus = quantized_with_norm(emb, id_col, vec_col, "n")
+    cosine = F.round(
+        _dot("q_q", "n_q") / F.sqrt(F.col("q_norm") * F.col("n_norm")), 6
+    )
     scored = (
         corpus.crossJoin(F.broadcast(queries))
         .filter(F.col("n_id") != F.col("q_id"))
-        .withColumn("cosine", F.expr(cosine_expr("q_vec", "n_vec", "spark")))
+        .withColumn("cosine", cosine)
     )
     w = Window.partitionBy("q_id").orderBy(F.desc("cosine"), F.asc("n_id"))
     return (
@@ -131,19 +163,27 @@ def lsh_bucketed_neighbors(
 ) -> DataFrame:
     """Candidate pairs within the same sign-bucket + their exact cosine.
     The self-join shuffles on the bucket key only."""
-    with_bucket = emb.select(
+    base = emb.select(
         F.col(id_col).alias("id"),
-        F.col(vec_col).alias("vec"),
+        F.expr(
+            f"transform({vec_col}, x -> round(CAST(x AS DOUBLE) * {QUANT}, 0))"
+        ).alias("qv"),
         F.expr(sign_bucket_expr(vec_col, "spark")).alias("bucket"),
+    ).withColumn(
+        "norm",
+        F.expr("aggregate(qv, CAST(0.0 AS DOUBLE), (acc, v) -> acc + v * v)"),
     )
-    left = with_bucket.select(F.col("id").alias("a"), F.col("vec").alias("va"),
-                              "bucket")
-    right = with_bucket.select(F.col("id").alias("b"), F.col("vec").alias("vb"),
-                               "bucket")
+    left = base.select(F.col("id").alias("a"), F.col("qv").alias("qa"),
+                       F.col("norm").alias("na"), "bucket")
+    right = base.select(F.col("id").alias("b"), F.col("qv").alias("qb"),
+                        F.col("norm").alias("nb"), "bucket")
+    cosine = F.round(
+        _dot("qa", "qb") / F.sqrt(F.col("na") * F.col("nb")), 6
+    )
     return (
         left.join(right, "bucket")
         .filter(F.col("a") < F.col("b"))
-        .withColumn("cosine", F.expr(cosine_expr("va", "vb", "spark")))
+        .withColumn("cosine", cosine)
         .filter(F.col("cosine") >= min_cosine)
         .select("bucket", "a", "b", "cosine")
     )
