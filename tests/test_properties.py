@@ -1,0 +1,114 @@
+"""Seeded property-based tests (hypothesis) over the PURE functions —
+cheap invariants SURVEY.md §5.3 calls for. No SparkSession needed: these
+exercise the exact same functions the UDFs and the sequential oracle run.
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from language_diversity_common_crawler_spark.frontier import oracle  # noqa: E402
+from language_diversity_common_crawler_spark.frontier.robots import (  # noqa: E402
+    parse_robots_txt,
+    py_allowed,
+)
+from language_diversity_common_crawler_spark.frontier.seen import (  # noqa: E402
+    CuckooFilter,
+)
+from language_diversity_common_crawler_spark.functions.decode import (  # noqa: E402
+    decode_bytes,
+)
+from language_diversity_common_crawler_spark.functions.langspec import (  # noqa: E402
+    MODELS,
+    predict_py,
+)
+
+CHARSETS = [None, "utf-8", "utf-7", "iso-8859-1", "gbk", "gb18030",
+            "shift_jis", "euc-jp", "windows-1251", "ascii", "bogus-charset"]
+
+
+@settings(max_examples=200, deadline=None)
+@given(st.binary(max_size=256), st.sampled_from(CHARSETS))
+def test_decode_never_raises(body, charset):
+    """The decode chain must be total: any bytes + any charset yields a
+    str or None, never an exception (one bad record must not kill a job)."""
+    out = decode_bytes(body, charset)
+    assert out is None or isinstance(out, str)
+
+
+@settings(max_examples=100, deadline=None)
+@given(st.binary(max_size=256))
+def test_decode_iso_8859_1_total(body):
+    """iso-8859-1 maps every byte — with that charset decode never fails."""
+    assert isinstance(decode_bytes(body, "iso-8859-1"), str)
+
+
+@settings(max_examples=150, deadline=None)
+@given(st.text(max_size=300), st.sampled_from(MODELS))
+def test_langid_models_total_and_deterministic(text, model):
+    """Every model yields (lang, precision) for any text, and is a pure
+    function (same input → same output — the byte-identity prerequisite)."""
+    a = predict_py(model, text)
+    b = predict_py(model, text)
+    assert a == b
+    assert isinstance(a[0], str) and len(a[0]) >= 2
+    assert isinstance(a[1], float)
+
+
+@settings(max_examples=100, deadline=None)
+@given(st.text(alphabet=st.characters(codec="utf-8"), max_size=120))
+def test_canonicalize_idempotent(path_bit):
+    """canonicalize(canonicalize(u)) == canonicalize(u) for well-formed
+    URLs — the frontier relies on canonical form being a fixed point so
+    the seen-set key is stable across rediscoveries."""
+    url = "HTTP://Example.COM:80/" + "".join(
+        c for c in path_bit if c.isalnum() or c in "/._-"
+    )
+    once = oracle.py_canonicalize(url)
+    assert oracle.py_canonicalize(once) == once
+
+
+@settings(max_examples=50, deadline=None)
+@given(st.lists(st.integers(min_value=1, max_value=2**62), min_size=1,
+                max_size=300, unique=True))
+def test_cuckoo_no_false_negatives(keys):
+    import numpy as np
+
+    cf = CuckooFilter(n_buckets=1 << 10)
+    arr = np.array(keys, dtype=np.uint64)
+    failed = cf.insert(arr)
+    assert failed == 0
+    assert cf.contains(arr).all()
+
+
+@settings(max_examples=60, deadline=None)
+@given(
+    st.lists(st.sampled_from(["/a", "/a/b", "/priv", "/x/y", "/"]),
+             max_size=4),
+    st.lists(st.sampled_from(["/a/b/ok", "/priv/pub"]), max_size=2),
+    st.sampled_from(["/a", "/a/b/c", "/priv/x", "/other", "/a/b/ok/z"]),
+)
+def test_robots_allow_overrides_disallow(disallow, allow, path):
+    """py_allowed semantics: blocked iff some disallow prefix matches AND
+    no allow prefix matches."""
+    url = "https://h.ex" + path
+    got = py_allowed(url, disallow, allow)
+    hit_dis = any(path.startswith(p) for p in disallow)
+    hit_alw = any(path.startswith(p) for p in allow)
+    assert got == ((not hit_dis) or hit_alw)
+
+
+def test_robots_parse_multi_group():
+    body = (
+        "User-agent: googlebot\nDisallow: /g/\n\n"
+        "User-agent: *\nDisallow: /all/\nAllow: /all/ok\n"
+    )
+    dis, alw = parse_robots_txt(body, user_agent="mybot")
+    assert "/all/" in dis and "/all/ok" in alw
+    assert "/g/" not in dis
