@@ -108,3 +108,41 @@ def test_windowed_counts_watermark(spark, pages_dir):
     }
     for r in got.collect():
         assert want[(r["window_start"], r["lang"])] == r["n_pages"]
+
+
+def test_stateful_streaming_seen_dedup(spark, tmp_path):
+    """applyInPandasWithState bloom dedup: first occurrence of each URL
+    across micro-batches, state carried between batches."""
+    from pyspark.sql.types import StringType, StructField, StructType
+
+    from language_diversity_common_crawler_spark.streaming import seen_state
+
+    d = str(tmp_path / "urls")
+    schema = StructType([StructField("url_canon", StringType(), False)])
+    # batch 1: urls 0..99; batch 2: 50..149 (50 dups); batch 3: all dups
+    batches = [range(0, 100), range(50, 150), range(0, 150)]
+    for i, rng in enumerate(batches):
+        spark.createDataFrame(
+            [(f"https://h{u % 7}.ex/p/{u}",) for u in rng], schema
+        ).coalesce(1).write.mode("append").parquet(d)
+
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(d)
+    )
+    out = seen_state.streaming_unseen_urls(stream, n_parts=4)
+    q = (
+        out.writeStream.outputMode("append")
+        .format("memory")
+        .queryName("unseen_t")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    got = [r["url_canon"] for r in spark.sql("SELECT * FROM unseen_t").collect()]
+    # each url exactly once (bloom has no false negatives; at 150 keys in
+    # 2^20 bits the false-positive probability is ~0)
+    assert len(got) == len(set(got))
+    assert set(got) == {f"https://h{u % 7}.ex/p/{u}" for u in range(150)}
