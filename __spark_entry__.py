@@ -424,6 +424,33 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["frontier_politeness_schedule"] = frontier_politeness_schedule
 
+    def frontier_link_extract(spark, sf_dir):
+        tune_session(spark)
+        from language_diversity_common_crawler_spark.frontier import links
+
+        d = _docs(spark, sf_dir)
+        html = F.concat(
+            F.lit('<html><body><a href="/o/'),
+            ((F.col("doc_id") * 7) % 1000).cast("string"),
+            F.lit('">x</a> <a href="HTTPS://Host'),
+            (F.col("doc_id") % 50).cast("string"),
+            F.lit('.Example.COM:443/x/../p/'),
+            F.col("doc_id").cast("string"),
+            F.lit('">y</a> <a href="mailto:a@b.c">m</a></body></html>'),
+        )
+        pages = d.select(
+            F.concat(
+                F.lit("https://site"),
+                (F.col("doc_id") % 20).cast("string"),
+                F.lit(".example.org/page/"),
+                F.col("doc_id").cast("string"),
+            ).alias("url"),
+            html.alias("html_text"),
+        )
+        return links.extract_links(pages)
+
+    q["frontier_link_extract"] = frontier_link_extract
+
     def frontier_robots_filter(spark, sf_dir):
         tune_session(spark)
         seeds = _seeds_df(spark, sf_dir)
@@ -635,6 +662,24 @@ SELECT host, url_canon, priority, slot FROM (
   FROM uniq
 ) WHERE slot <= 3
 """
+
+    from language_diversity_common_crawler_spark.frontier import links as _links
+
+    _PAGES_HTML_SQL = """
+SELECT concat('https://site', CAST(doc_id % 20 AS VARCHAR),
+              '.example.org/page/', CAST(doc_id AS VARCHAR)) AS url,
+       concat('<html><body><a href="/o/',
+              CAST((doc_id * 7) % 1000 AS VARCHAR),
+              '">x</a> <a href="HTTPS://Host',
+              CAST(doc_id % 50 AS VARCHAR), '.Example.COM:443/x/../p/',
+              CAST(doc_id AS VARCHAR),
+              '">y</a> <a href="mailto:a@b.c">m</a></body></html>')
+         AS html_text
+FROM documents
+"""
+    o["frontier_link_extract"] = _links.sql_extract_links(
+        f"({_PAGES_HTML_SQL}) AS pages_t"
+    )
 
     o["frontier_robots_filter"] = f"""
 WITH seeds AS ({_SEEDS_SQL}),

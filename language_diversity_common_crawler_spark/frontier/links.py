@@ -1,0 +1,110 @@
+"""Outlink extraction: href discovery from page HTML/text.
+
+The reference never follows links (it replays fixed Common Crawl segments,
+/root/reference/main.py:85-87); the frontier's crawl rounds use a
+deterministic synthetic discovery stand-in (crawl.discover_children). This
+module is the REAL discovery path for actual pages: pull ``href``
+attributes out of the markup, resolve them against the page URL, and
+canonicalize — all JVM-side (regexp_extract_all + explode + the staged
+canonicalizer), no Python in the loop.
+
+Scale shape: pure map + explode (no shuffle until the seen-set probe);
+output fan-out is bounded per page by ``max_links`` (slice) so one
+link-farm page cannot blow up a partition.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..functions.dialect import rx
+from . import urlgen
+
+_HREF = r'href="([^"#\s]+)"'
+
+
+def extract_links(
+    pages: DataFrame,
+    url_col: str = "url",
+    html_col: str = "html_text",
+    max_links: int = 64,
+) -> DataFrame:
+    """(page url, canonical outlink) pairs.
+
+    ``html_col`` must be a STRING column (decode binary html first — the
+    extract pipeline's ``content_decoded`` stage). Relative hrefs resolve
+    against the page's scheme://host; absolute http(s) hrefs pass through;
+    everything else (mailto:, javascript:, protocol-relative) is dropped.
+    """
+    hrefs = F.expr(
+        f"slice(regexp_extract_all({html_col}, {rx(_HREF, 'spark')}, 1), "
+        f"1, {max_links})"
+    )
+    base = F.regexp_extract(
+        F.col(url_col), "^([a-z][a-z0-9+.-]*://[^/?#]*)", 1
+    )
+    exploded = pages.select(
+        F.col(url_col).alias("src_url"),
+        base.alias("__base"),
+        F.explode(hrefs).alias("__href"),
+    )
+    is_abs = F.col("__href").rlike("^[A-Za-z][A-Za-z0-9+.-]*://")
+    is_scheme_noise = F.col("__href").rlike(
+        "^(mailto:|javascript:|data:|//)"
+    )
+    resolved = (
+        exploded.filter(~is_scheme_noise)
+        .withColumn(
+            "__raw",
+            F.when(is_abs, F.col("__href")).otherwise(
+                F.concat(
+                    F.col("__base"),
+                    F.when(
+                        F.col("__href").startswith("/"), F.col("__href")
+                    ).otherwise(F.concat(F.lit("/"), F.col("__href"))),
+                )
+            ),
+        )
+        .filter(F.col("__raw").rlike("^[Hh][Tt][Tt][Pp][Ss]?://"))
+    )
+    out = urlgen.with_canonical(resolved, raw_col="__raw")
+    return out.select(
+        "src_url", F.col("url_canon").alias("link_url"), "host"
+    ).dropDuplicates(["src_url", "link_url"])
+
+
+def sql_extract_links(
+    table: str,
+    url_col: str = "url",
+    html_col: str = "html_text",
+    max_links: int = 64,
+) -> str:
+    """DuckDB oracle: same semantics (regexp_extract_all + unnest +
+    inline canonicalize)."""
+    href_rx = rx(_HREF, "duckdb")
+    canon = urlgen.canonicalize_expr("__raw", "duckdb")
+    host = urlgen.host_expr("url_canon", "duckdb")
+    return f"""
+WITH ex AS (
+  SELECT {url_col} AS src_url,
+         regexp_extract({url_col}, '^([a-z][a-z0-9+.-]*://[^/?#]*)', 1) AS __base,
+         unnest(list_slice(regexp_extract_all({html_col}, {href_rx}, 1),
+                           1, {max_links})) AS __href
+  FROM {table}),
+res AS (
+  SELECT src_url,
+         CASE WHEN regexp_matches(__href, '^[A-Za-z][A-Za-z0-9+.-]*://')
+              THEN __href
+              ELSE __base || (CASE WHEN starts_with(__href, '/')
+                                   THEN __href ELSE '/' || __href END)
+         END AS __raw
+  FROM ex
+  WHERE NOT regexp_matches(__href, '^(mailto:|javascript:|data:|//)')),
+canon AS (
+  SELECT src_url, {canon} AS url_canon
+  FROM res
+  WHERE regexp_matches(__raw, '^[Hh][Tt][Tt][Pp][Ss]?://'))
+SELECT DISTINCT src_url, url_canon AS link_url, {host} AS host
+FROM canon
+"""
