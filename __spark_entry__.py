@@ -340,6 +340,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["embedding_topk"] = embedding_topk
 
+    def embedding_ivf_topk(spark, sf_dir):
+        tune_session(spark)
+        emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+        return similarity.ivf_topk(emb, [20, 21, 22, 23, 24], k=10)
+
+    q["embedding_ivf_topk"] = embedding_ivf_topk
+
     def embedding_lsh_neighbors(spark, sf_dir):
         tune_session(spark)
         emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
@@ -602,6 +609,10 @@ FROM documents d JOIN ({_PREDS_SQL}) p ON d.doc_id = p.doc_id
     o["embedding_topk"] = similarity.sql_brute_force_topk(
         "embeddings", [0, 1, 2, 3, 4], k=10
     )
+    o["embedding_ivf_topk"] = similarity.sql_ivf_topk(
+        "embeddings", [20, 21, 22, 23, 24], k=10
+    )
+
     o["embedding_lsh_neighbors"] = similarity.sql_lsh_bucketed_neighbors(
         "embeddings", min_cosine=0.2
     )

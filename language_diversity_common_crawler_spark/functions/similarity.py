@@ -189,6 +189,124 @@ def lsh_bucketed_neighbors(
     )
 
 
+N_IVF_CELLS = 8
+N_PROBE = 2
+
+
+def ivf_assign(
+    emb: DataFrame, id_col: str = "vec_id", vec_col: str = "embedding"
+) -> DataFrame:
+    """IVF cell assignment: nearest of N_IVF_CELLS centroids by cosine.
+
+    Centroids are DETERMINISTIC — the vectors with ids 0..N-1 (data-derived,
+    reproducible in the DuckDB oracle; a production build would k-means a
+    sample and broadcast the result — the plan shape is identical: tiny
+    broadcast cross join + per-row argmax, no shuffle of the corpus)."""
+    cents = quantized_with_norm(
+        emb.filter(F.col(id_col) < N_IVF_CELLS), id_col, vec_col, "c"
+    )
+    vecs = quantized_with_norm(emb, id_col, vec_col, "v")
+    cos = F.round(
+        _dot("v_q", "c_q") / F.sqrt(F.col("v_norm") * F.col("c_norm")), 6
+    )
+    scored = vecs.crossJoin(F.broadcast(cents)).withColumn("c_cos", cos)
+    w = Window.partitionBy("v_id").orderBy(F.desc("c_cos"), F.asc("c_id"))
+    return (
+        scored.withColumn("__rk", F.row_number().over(w))
+        .filter(F.col("__rk") <= 1)
+        .select(
+            F.col("v_id").alias(id_col),
+            F.col("c_id").alias("ivf_cell"),
+            "v_q",
+            "v_norm",
+        )
+    )
+
+
+def ivf_topk(
+    emb: DataFrame,
+    query_ids: list[int],
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF search: probe the N_PROBE nearest cells per query, brute-force
+    only within them. The corpus is scanned once for assignment; the
+    scored join touches ~N_PROBE/N_IVF_CELLS of the corpus per query —
+    the recall/throughput dial of a classic IVF index."""
+    assigned = ivf_assign(emb, id_col, vec_col)
+    cents = quantized_with_norm(
+        emb.filter(F.col(id_col) < N_IVF_CELLS), id_col, vec_col, "c"
+    )
+    queries = quantized_with_norm(
+        emb.filter(F.col(id_col).isin(query_ids)), id_col, vec_col, "q"
+    )
+    qcos = F.round(
+        _dot("q_q", "c_q") / F.sqrt(F.col("q_norm") * F.col("c_norm")), 6
+    )
+    wq = Window.partitionBy("q_id").orderBy(F.desc("__qc"), F.asc("c_id"))
+    probe = (
+        queries.crossJoin(F.broadcast(cents))
+        .withColumn("__qc", qcos)
+        .withColumn("__rk", F.row_number().over(wq))
+        .filter(F.col("__rk") <= N_PROBE)
+        .select("q_id", "q_q", "q_norm", F.col("c_id").alias("ivf_cell"))
+    )
+    cand = assigned.join(
+        F.broadcast(probe), "ivf_cell"
+    ).filter(F.col(id_col) != F.col("q_id"))
+    cos = F.round(
+        _dot("q_q", "v_q") / F.sqrt(F.col("q_norm") * F.col("v_norm")), 6
+    )
+    w = Window.partitionBy("q_id").orderBy(F.desc("cosine"), F.asc(id_col))
+    return (
+        cand.withColumn("cosine", cos)
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("q_id", F.col(id_col).alias("n_id"), "rank", "cosine")
+    )
+
+
+def _sql_cos(a: str, b: str) -> str:
+    return cosine_expr(a, b, "duckdb")
+
+
+def sql_ivf_topk(table: str, query_ids: list[int], k: int = 10) -> str:
+    ids = ", ".join(str(i) for i in query_ids)
+    assign_cos = _sql_cos("v.embedding", "c.embedding")
+    q_cos = _sql_cos("q.embedding", "c.embedding")
+    pair_cos = _sql_cos("q.embedding", "v.embedding")
+    return f"""
+WITH cents AS (SELECT vec_id AS c_id, embedding FROM {table}
+               WHERE vec_id < {N_IVF_CELLS}),
+assigned AS (
+  SELECT vec_id, c_id AS ivf_cell FROM (
+    SELECT v.vec_id, c.c_id, {assign_cos} AS cc,
+           row_number() OVER (PARTITION BY v.vec_id
+                              ORDER BY {assign_cos} DESC, c.c_id ASC) AS rk
+    FROM {table} v, cents c) WHERE rk <= 1),
+probe AS (
+  SELECT q_id, c_id AS ivf_cell FROM (
+    SELECT q.vec_id AS q_id, c.c_id,
+           row_number() OVER (PARTITION BY q.vec_id
+                              ORDER BY {q_cos} DESC, c.c_id ASC) AS rk
+    FROM {table} q, cents c WHERE q.vec_id IN ({ids}))
+  WHERE rk <= {N_PROBE}),
+cand AS (
+  SELECT p.q_id, a.vec_id AS n_id
+  FROM probe p JOIN assigned a ON a.ivf_cell = p.ivf_cell
+  WHERE a.vec_id <> p.q_id)
+SELECT q_id, n_id, rank, cosine FROM (
+  SELECT cand.q_id, cand.n_id, {pair_cos} AS cosine,
+         row_number() OVER (PARTITION BY cand.q_id
+                            ORDER BY {pair_cos} DESC, cand.n_id ASC) AS rank
+  FROM cand
+  JOIN {table} q ON q.vec_id = cand.q_id
+  JOIN {table} v ON v.vec_id = cand.n_id
+) WHERE rank <= {k}
+"""
+
+
 def sql_lsh_bucketed_neighbors(table: str, min_cosine: float = 0.0) -> str:
     bucket = sign_bucket_expr("embedding", "duckdb")
     cos = cosine_expr("l.embedding", "r.embedding", "duckdb")
