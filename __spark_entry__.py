@@ -431,6 +431,43 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["frontier_politeness_schedule"] = frontier_politeness_schedule
 
+    def frontier_budget_schedule(spark, sf_dir):
+        """Politeness with per-host budgets from robots Crawl-delay
+        (exercises the real parser + host_budgets + budget-aware ranking)."""
+        tune_session(spark)
+        from language_diversity_common_crawler_spark.frontier import (
+            robots as robots_mod,
+            scheduler,
+        )
+
+        seeds = _seeds_df(spark, sf_dir).dropDuplicates(["url_canon"]).select(
+            "url_canon", "host"
+        )
+        nation = spark.read.parquet(f"{sf_dir}/nation.parquet")
+        delay_line = (
+            F.when(F.col("n_nationkey") % 4 == 0, F.lit(""))
+            .when(F.col("n_nationkey") % 4 == 1, F.lit("\nCrawl-delay: 5"))
+            .when(F.col("n_nationkey") % 4 == 2, F.lit("\nCrawl-delay: 30"))
+            .otherwise(F.lit("\nCrawl-delay: 120"))
+        )
+        bodies = nation.select(
+            F.concat(
+                F.lit("host"), F.col("n_nationkey").cast("string"),
+                F.lit(".example.com"),
+            ).alias("host"),
+            F.concat(
+                F.lit("User-agent: *\nDisallow: /private/"), delay_line
+            ).alias("robots_txt"),
+        )
+        rules = robots_mod.rules_from_bodies(bodies)
+        budgets = robots_mod.host_budgets(rules, default_budget=3,
+                                          round_seconds=60)
+        return scheduler.politeness_schedule(
+            seeds, 3, budgets=budgets
+        ).select("host", "url_canon", "priority", "slot")
+
+    q["frontier_budget_schedule"] = frontier_budget_schedule
+
     def frontier_link_extract(spark, sf_dir):
         tune_session(spark)
         from language_diversity_common_crawler_spark.frontier import links
@@ -691,6 +728,30 @@ FROM documents
     o["frontier_link_extract"] = _links.sql_extract_links(
         f"({_PAGES_HTML_SQL}) AS pages_t"
     )
+
+    o["frontier_budget_schedule"] = f"""
+WITH seeds AS ({_SEEDS_SQL}),
+uniq AS (
+  SELECT url_canon, host,
+         {sql_md5_60_salted("url_canon", "prio")} % 1000000 AS priority
+  FROM (SELECT DISTINCT url_canon, host FROM seeds)),
+budgets AS (
+  SELECT concat('host', CAST(n_nationkey AS VARCHAR), '.example.com') AS b_host,
+         CASE WHEN n_nationkey % 4 = 0 THEN 3
+              ELSE least(3, greatest(1, CAST(floor(60.0 /
+                   (CASE WHEN n_nationkey % 4 = 1 THEN 5
+                         WHEN n_nationkey % 4 = 2 THEN 30
+                         ELSE 120 END)) AS INT)))
+         END AS budget
+  FROM nation)
+SELECT host, url_canon, priority, slot FROM (
+  SELECT u.host, u.url_canon, u.priority,
+         row_number() OVER (PARTITION BY u.host
+                            ORDER BY u.priority DESC, u.url_canon ASC) AS slot,
+         coalesce(b.budget, 3) AS budget
+  FROM uniq u LEFT JOIN budgets b ON u.host = b.b_host
+) WHERE slot <= budget
+"""
 
     o["frontier_robots_filter"] = f"""
 WITH seeds AS ({_SEEDS_SQL}),

@@ -22,11 +22,14 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.types import ArrayType, StringType, StructField, StructType
 
+from pyspark.sql.types import IntegerType  # noqa: E402
+
 RULES_SCHEMA = StructType(
     [
         StructField("host", StringType(), False),
         StructField("disallow", ArrayType(StringType(), False), False),
         StructField("allow", ArrayType(StringType(), False), False),
+        StructField("crawl_delay", IntegerType(), True),
     ]
 )
 
@@ -61,6 +64,34 @@ def parse_robots_txt(body: str, user_agent: str = "*") -> tuple[list[str], list[
     return disallow, allow
 
 
+def parse_crawl_delay(body: str, user_agent: str = "*") -> int | None:
+    """Crawl-delay (whole seconds) for ``user_agent``, or None. Same group
+    semantics as parse_robots_txt."""
+    delay: int | None = None
+    applies = False
+    saw_group = False
+    for raw in body.splitlines():
+        line = raw.split("#", 1)[0].strip()
+        if not line or ":" not in line:
+            continue
+        field, _, value = line.partition(":")
+        field = field.strip().lower()
+        value = value.strip()
+        if field == "user-agent":
+            if saw_group:
+                applies = False
+                saw_group = False
+            applies = applies or value == "*" or value.lower() == user_agent.lower()
+        elif field in ("disallow", "allow", "crawl-delay"):
+            saw_group = True
+            if field == "crawl-delay" and applies and value:
+                try:
+                    delay = max(int(float(value)), 0)
+                except ValueError:
+                    pass
+    return delay
+
+
 def rules_from_bodies(
     robots_df: DataFrame,
     host_col: str = "host",
@@ -72,15 +103,40 @@ def rules_from_bodies(
     def _parse(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             parsed = [parse_robots_txt(b or "", user_agent) for b in pdf[body_col]]
+            delays = [
+                parse_crawl_delay(b or "", user_agent) for b in pdf[body_col]
+            ]
             yield pd.DataFrame(
                 {
                     "host": pdf[host_col].values,
                     "disallow": [p[0] for p in parsed],
                     "allow": [p[1] for p in parsed],
+                    "crawl_delay": pd.array(delays, dtype="Int32"),
                 }
             )
 
     return robots_df.mapInPandas(_parse, RULES_SCHEMA)
+
+
+def host_budgets(
+    rules: DataFrame, default_budget: int, round_seconds: int = 60
+) -> DataFrame:
+    """(host, budget): fetch slots per round honoring Crawl-delay — a host
+    demanding d seconds between fetches gets at most round_seconds/d slots
+    per round (floor, min 1), capped by the default."""
+    b = F.when(
+        F.col("crawl_delay").isNull() | (F.col("crawl_delay") <= 0),
+        F.lit(default_budget),
+    ).otherwise(
+        F.greatest(
+            F.lit(1),
+            F.least(
+                F.lit(default_budget),
+                F.floor(F.lit(round_seconds) / F.col("crawl_delay")).cast("int"),
+            ),
+        )
+    )
+    return rules.select("host", b.cast("int").alias("budget"))
 
 
 def url_path(url_col: str = "url_canon") -> F.Column:

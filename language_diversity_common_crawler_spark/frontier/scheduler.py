@@ -62,16 +62,35 @@ def politeness_schedule(
     host_col: str = "host",
     n_salts: int = 16,
     priority: F.Column | None = None,
+    budgets: DataFrame | None = None,
 ) -> DataFrame:
     """Assign fetch slots: per host, top-``budget`` URLs by
     (priority DESC, url ASC), slot = rank. Two-phase top-k (see module doc).
 
+    ``budgets``: optional (host, budget) table — per-host slot limits (e.g.
+    derived from robots Crawl-delay via robots.host_budgets), broadcast-
+    joined; hosts absent from it get the scalar ``budget``, and the scalar
+    is the global ceiling either way.
+
     Output: frontier columns + ``priority`` + ``slot`` (1-based), filtered
-    to ``slot <= budget``.
+    to the applicable budget.
     """
     df = frontier.withColumn(
         "priority", priority if priority is not None else priority_col(url_col)
     )
+    if budgets is not None:
+        b = budgets.select(
+            F.col("host").alias("__b_host"), F.col("budget").alias("__budget")
+        )
+        df = df.join(
+            F.broadcast(b), df[host_col] == b["__b_host"], "left"
+        ).drop("__b_host")
+        df = df.withColumn(
+            "__budget",
+            F.least(F.coalesce(F.col("__budget"), F.lit(budget)), F.lit(budget)),
+        )
+    else:
+        df = df.withColumn("__budget", F.lit(budget))
     salt = F.pmod(F.xxhash64(F.col(url_col), F.lit(7)), F.lit(n_salts))
     w1 = Window.partitionBy(host_col, "salt").orderBy(
         F.desc("priority"), F.asc(url_col)
@@ -79,11 +98,12 @@ def politeness_schedule(
     survivors = (
         df.withColumn("salt", salt)
         .withColumn("rn", F.row_number().over(w1))
-        .filter(F.col("rn") <= budget)
+        .filter(F.col("rn") <= F.col("__budget"))
         .drop("rn", "salt")
     )
     w2 = Window.partitionBy(host_col).orderBy(F.desc("priority"), F.asc(url_col))
     return (
         survivors.withColumn("slot", F.row_number().over(w2))
-        .filter(F.col("slot") <= budget)
+        .filter(F.col("slot") <= F.col("__budget"))
+        .drop("__budget")
     )
