@@ -249,6 +249,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     # ---- relational headliners ----
     q["pricing_summary"] = lambda s, d: relational.pricing_summary(tune_session(s), d)
+    q["shipping_priority"] = lambda s, d: relational.shipping_priority(
+        tune_session(s), d
+    )
+    q["part_type_margin"] = lambda s, d: relational.part_type_margin(
+        tune_session(s), d
+    )
     q["top_customers"] = lambda s, d: relational.top_customers(tune_session(s), d)
     q["nation_region_rollup"] = lambda s, d: relational.nation_region_rollup(
         tune_session(s), d
@@ -266,6 +272,25 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
 
     q["token_quality_stats"] = token_quality_stats
+
+    # end-to-end training-set selection: quality gate -> exact dedup by
+    # fingerprint (keep lowest doc_id) -> per-language corpus stats
+    def training_set_selection(spark, sf_dir):
+        tune_session(spark)
+        d = text_analysis.with_text_stats(_docs(spark, sf_dir))
+        good = d.filter(
+            (F.col("quality_score") >= 100) & (F.col("n_tokens") >= 10)
+        )
+        w = Window.partitionBy("fingerprint").orderBy("doc_id")
+        uniq = good.withColumn("__rn", F.row_number().over(w)).filter(
+            F.col("__rn") == 1
+        )
+        return uniq.groupBy("lang").agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.sum("n_tokens").cast("bigint").alias("total_tokens"),
+        )
+
+    q["training_set_selection"] = training_set_selection
 
     def simhash_fingerprints(spark, sf_dir):
         tune_session(spark)
@@ -599,6 +624,28 @@ FROM d
     )
 
     o["pricing_summary"] = relational.SQL_PRICING_SUMMARY
+    o["shipping_priority"] = relational.SQL_SHIPPING_PRIORITY
+    o["part_type_margin"] = relational.SQL_PART_TYPE_MARGIN
+
+    _ts = text_analysis.token_stats_exprs("text", "duckdb")
+    _qs = text_analysis.quality_exprs("text", "duckdb")
+    o["training_set_selection"] = f"""
+WITH stats AS (
+  SELECT doc_id, lang,
+         {_ts['n_tokens']} AS n_tokens,
+         {_qs['quality_score']} AS quality_score,
+         {text_analysis.fingerprint_expr('text', 'duckdb')} AS fingerprint
+  FROM documents),
+good AS (SELECT * FROM stats WHERE quality_score >= 100 AND n_tokens >= 10),
+uniq AS (
+  SELECT * FROM (
+    SELECT *, row_number() OVER (PARTITION BY fingerprint
+                                 ORDER BY doc_id) AS rn
+    FROM good) WHERE rn = 1)
+SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(n_tokens) AS BIGINT) AS total_tokens
+FROM uniq GROUP BY lang
+"""
     o["top_customers"] = relational.SQL_TOP_CUSTOMERS
     o["nation_region_rollup"] = relational.SQL_NATION_REGION_ROLLUP
     o["window_events"] = relational.SQL_WINDOW_EVENTS

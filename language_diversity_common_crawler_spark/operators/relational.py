@@ -197,3 +197,80 @@ SELECT CAST(epoch(date_trunc('hour', ts)) AS BIGINT) AS hour_epoch,
 FROM events
 GROUP BY 1, 2
 """
+
+
+def shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q3 shape: customer⋈orders⋈lineitem, revenue per undelivered
+    order, top-10. Scale: customer filter broadcasts; orders⋈lineitem is
+    the one big shuffle (orderkey); the top-k is a tiny global sort after
+    map-side partial ordering (Catalyst TakeOrderedAndProject)."""
+    cust = spark.read.parquet(f"{sf_dir}/customer.parquet").filter(
+        F.col("c_mktsegment") == "BUILDING"
+    )
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet").filter(
+        F.col("o_orderdate") < F.lit("1995-03-15")
+    )
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet").filter(
+        F.col("l_shipdate") > F.lit("1995-03-15")
+    )
+    rev = _cents(F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount")))
+    out = (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
+        .agg((F.sum(rev) / F.lit(100.0)).alias("revenue"))
+        .orderBy(F.desc("revenue"), F.asc("l_orderkey"))
+        .limit(10)
+    )
+    return out
+
+
+SQL_SHIPPING_PRIORITY = """
+SELECT l_orderkey, o_orderdate, o_orderpriority,
+       sum(CAST(round(l_extendedprice * (1.0 - l_discount) * 100.0, 0) AS BIGINT)) / 100.0 AS revenue
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+WHERE c_mktsegment = 'BUILDING'
+  AND o_orderdate < TIMESTAMP '1995-03-15 00:00:00'
+  AND l_shipdate > TIMESTAMP '1995-03-15 00:00:00'
+GROUP BY l_orderkey, o_orderdate, o_orderpriority
+ORDER BY revenue DESC, l_orderkey ASC
+LIMIT 10
+"""
+
+
+def part_type_margin(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q9-ish: lineitem⋈part⋈supplier — revenue and volume per part
+    type per supplier nation. part/supplier broadcast (dimensions); one
+    fact shuffle for the final two-key aggregation."""
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    part = spark.read.parquet(f"{sf_dir}/part.parquet")
+    supp = spark.read.parquet(f"{sf_dir}/supplier.parquet")
+    nation = spark.read.parquet(f"{sf_dir}/nation.parquet")
+    rev = _cents(F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount")))
+    out = (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
+        .join(F.broadcast(nation), supp.s_nationkey == nation.n_nationkey)
+        .groupBy("n_name", "p_type")
+        .agg(
+            (F.sum(rev) / F.lit(100.0)).alias("revenue"),
+            F.sum(F.col("l_quantity").cast("bigint")).cast("bigint").alias("volume"),
+            F.count(F.lit(1)).cast("bigint").alias("n_lines"),
+        )
+    )
+    return out
+
+
+SQL_PART_TYPE_MARGIN = """
+SELECT n_name, p_type,
+       sum(CAST(round(l_extendedprice * (1.0 - l_discount) * 100.0, 0) AS BIGINT)) / 100.0 AS revenue,
+       CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS volume,
+       CAST(count(*) AS BIGINT) AS n_lines
+FROM lineitem
+JOIN part ON l_partkey = p_partkey
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN nation ON s_nationkey = n_nationkey
+GROUP BY n_name, p_type
+"""
