@@ -39,7 +39,7 @@ from ..functions.hashing import md5_60
 from . import robots as robots_mod
 from . import scheduler, seen, urlgen
 
-N_PARTS = 64  # hash-range partitions for the seen set / bloom filters
+N_PARTS = seen.N_PARTS  # canonical hash-range partition count (seen.py)
 DISCOVERY_FANOUT = 2
 DISCOVERY_MOD = 3  # child kept iff md5_60('disc:'+child) % 3 != 0
 

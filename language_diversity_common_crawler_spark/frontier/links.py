@@ -21,7 +21,10 @@ from pyspark.sql import functions as F
 from ..functions.dialect import rx
 from . import urlgen
 
-_HREF = r'href="([^"#\s]+)"'
+# '#' IS allowed inside the href — fragments are stripped by
+# canonicalization, not by refusing to match the link at all (a docs site
+# whose every outlink carries an anchor must still contribute outlinks)
+_HREF = r'href="([^"\s]+)"'
 
 
 def extract_links(

@@ -37,12 +37,28 @@ RULES_SCHEMA = StructType(
 def parse_robots_txt(body: str, user_agent: str = "*") -> tuple[list[str], list[str]]:
     """Disallow/Allow prefixes for ``user_agent`` from one robots.txt body.
 
-    Standard longest-match robots semantics are approximated by prefix
-    lists: a group applies if its User-agent line is ``*`` or equals ours.
-    Pure function — deterministic across oracle and executors.
+    Group semantics per REP: consecutive User-agent lines form a group
+    header; ANY other field line ends the header, so the next User-agent
+    line starts a NEW group (a bot-specific group's rules must never leak
+    into the wildcard group, and vice versa). Rule matching is longest-
+    match (see py_allowed). Pure function — deterministic across oracle
+    and executors.
     """
     disallow: list[str] = []
     allow: list[str] = []
+
+    def on_field(field: str, value: str, applies: bool) -> None:
+        if applies and field in ("disallow", "allow") and value:
+            (disallow if field == "disallow" else allow).append(value)
+
+    _walk_groups(body, user_agent, on_field)
+    return disallow, allow
+
+
+def _walk_groups(body: str, user_agent: str, on_field) -> None:
+    """Shared group-boundary walk: calls on_field(field, value, applies)
+    for every non-user-agent field line. ONE group-boundary rule for every
+    parser in this module — any non-UA field closes the UA header."""
     applies = False
     saw_group = False
     for raw in body.splitlines():
@@ -57,39 +73,25 @@ def parse_robots_txt(body: str, user_agent: str = "*") -> tuple[list[str], list[
                 applies = False
                 saw_group = False
             applies = applies or value == "*" or value.lower() == user_agent.lower()
-        elif field in ("disallow", "allow"):
+        else:
             saw_group = True
-            if applies and value:
-                (disallow if field == "disallow" else allow).append(value)
-    return disallow, allow
+            on_field(field, value, applies)
 
 
 def parse_crawl_delay(body: str, user_agent: str = "*") -> int | None:
     """Crawl-delay (whole seconds) for ``user_agent``, or None. Same group
-    semantics as parse_robots_txt."""
-    delay: int | None = None
-    applies = False
-    saw_group = False
-    for raw in body.splitlines():
-        line = raw.split("#", 1)[0].strip()
-        if not line or ":" not in line:
-            continue
-        field, _, value = line.partition(":")
-        field = field.strip().lower()
-        value = value.strip()
-        if field == "user-agent":
-            if saw_group:
-                applies = False
-                saw_group = False
-            applies = applies or value == "*" or value.lower() == user_agent.lower()
-        elif field in ("disallow", "allow", "crawl-delay"):
-            saw_group = True
-            if field == "crawl-delay" and applies and value:
-                try:
-                    delay = max(int(float(value)), 0)
-                except ValueError:
-                    pass
-    return delay
+    semantics as parse_robots_txt (shared _walk_groups)."""
+    found: list[int] = []
+
+    def on_field(field: str, value: str, applies: bool) -> None:
+        if applies and field == "crawl-delay" and value:
+            try:
+                found.append(max(int(float(value)), 0))
+            except ValueError:
+                pass
+
+    _walk_groups(body, user_agent, on_field)
+    return found[-1] if found else None
 
 
 def rules_from_bodies(
@@ -143,15 +145,24 @@ def url_path(url_col: str = "url_canon") -> F.Column:
     return F.regexp_extract(F.col(url_col), "^[a-z][a-z0-9+.-]*://[^/]*(/.*)$", 1)
 
 
+def _longest_match_len(arr_col: str) -> F.Column:
+    """Length of the longest prefix in ``arr_col`` matching the
+    ``__path_tmp`` column (0 when none match) — JVM-side array aggregate."""
+    return F.expr(
+        f"aggregate(filter({arr_col}, p -> startswith(__path_tmp, p)), "
+        f"0, (acc, p) -> greatest(acc, length(p)))"
+    )
+
+
 def filter_allowed(
     candidates: DataFrame,
     rules: DataFrame,
     url_col: str = "url_canon",
     host_col: str = "host",
 ) -> DataFrame:
-    """Drop candidates whose path hits a disallow prefix (unless a longer
-    allow prefix also matches). Broadcast join on host; array prefix test
-    runs in codegen via ``F.exists``."""
+    """REP longest-match: the most specific matching rule wins; Allow wins
+    ties; no matching Disallow means allowed. Broadcast join on host; the
+    longest-match lengths are JVM-side array aggregates."""
     r = rules.select(
         F.col("host").alias("__r_host"),
         F.col("disallow").alias("__r_disallow"),
@@ -159,20 +170,25 @@ def filter_allowed(
     )
     joined = candidates.join(
         F.broadcast(r), candidates[host_col] == r["__r_host"], "left"
+    ).withColumn("__path_tmp", url_path(url_col))
+    max_dis = _longest_match_len("__r_disallow")
+    max_alw = _longest_match_len("__r_allow")
+    allowed = (
+        F.col("__r_host").isNull() | (max_dis == 0) | (max_alw >= max_dis)
     )
-    path = url_path(url_col)
-    hit_dis = F.exists("__r_disallow", lambda p: path.startswith(p))
-    hit_allow = F.exists("__r_allow", lambda p: path.startswith(p))
-    allowed = F.col("__r_host").isNull() | ~hit_dis | hit_allow
-    return joined.filter(allowed).drop("__r_host", "__r_disallow", "__r_allow")
+    return joined.filter(allowed).drop(
+        "__r_host", "__r_disallow", "__r_allow", "__path_tmp"
+    )
 
 
 def py_allowed(url: str, disallow: list[str], allow: list[str]) -> bool:
-    """Python equivalent of :func:`filter_allowed`'s predicate (oracle)."""
+    """Python equivalent of :func:`filter_allowed`'s predicate (oracle):
+    longest matching rule wins, Allow wins ties, no Disallow match =
+    allowed."""
     import re
 
     m = re.match(r"^[a-z][a-z0-9+.-]*://[^/]*(/.*)$", url)
     path = m.group(1) if m else ""
-    hit_dis = any(path.startswith(p) for p in disallow)
-    hit_allow = any(path.startswith(p) for p in allow)
-    return (not hit_dis) or hit_allow
+    max_dis = max((len(p) for p in disallow if path.startswith(p)), default=0)
+    max_alw = max((len(p) for p in allow if path.startswith(p)), default=0)
+    return max_dis == 0 or max_alw >= max_dis

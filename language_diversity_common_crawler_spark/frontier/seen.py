@@ -32,6 +32,7 @@ from __future__ import annotations
 
 import numpy as np
 import pandas as pd
+from pyspark import StorageLevel
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.types import (
@@ -42,6 +43,11 @@ from pyspark.sql.types import (
     StructField,
     StructType,
 )
+
+# canonical hash-range partition count for the URL-seen set — every state
+# producer/consumer (batch crawl rounds, streaming dedup state, bench jobs)
+# must agree on this or probe against the wrong bitset slice
+N_PARTS = 64
 
 BLOOM_SCHEMA = StructType(
     [
@@ -108,6 +114,13 @@ def merge_bloom(a: DataFrame, b: DataFrame) -> DataFrame:
     Bloom filters of identical geometry merge by bitwise OR."""
 
     def _merge(pdf: pd.DataFrame) -> pd.DataFrame:
+        if pdf["n_bits"].nunique() > 1 or pdf["n_hashes"].nunique() > 1:
+            raise ValueError(
+                "merge_bloom: incompatible filter geometries in part "
+                f"{int(pdf['part_id'].iloc[0])}: n_bits={set(pdf['n_bits'])} "
+                f"n_hashes={set(pdf['n_hashes'])} — merging filters with "
+                "different geometry would create false negatives"
+            )
         arrs = [np.frombuffer(x, dtype=np.uint8) for x in pdf["bits"]]
         merged = arrs[0].copy()
         for x in arrs[1:]:
@@ -157,6 +170,13 @@ def probe_bloom(
             out = cand.copy()
             out["maybe_seen"] = False
             return out
+        if len(filt) > 1:
+            raise ValueError(
+                f"probe_bloom: {len(filt)} filter rows for part_id "
+                f"{int(filt['part_id'].iloc[0])} — merge_bloom snapshot and "
+                "delta first (probing one row would silently lose the "
+                "other rows' keys)"
+            )
         bits = np.frombuffer(filt["bits"].iloc[0], dtype=np.uint8)
         n_bits = int(filt["n_bits"].iloc[0])
         n_hashes = int(filt["n_hashes"].iloc[0])
@@ -201,6 +221,10 @@ def filter_unseen(
     flagged = probe_bloom(
         candidates, bloom, dedupe_on=url_col if dedupe else None
     )
+    # the two branches below would otherwise re-execute the cogrouped
+    # Python probe (and everything upstream) once each — persist the probe
+    # output; the ContextCleaner unpersists it when the DataFrame is GC'd
+    flagged = flagged.persist(StorageLevel.MEMORY_AND_DISK)
     definitely_new = flagged.filter(~F.col("maybe_seen")).drop("maybe_seen")
     maybe = flagged.filter(F.col("maybe_seen")).drop("maybe_seen")
     confirmed_new = maybe.join(seen_urls.select(url_col), on=url_col, how="left_anti")
@@ -338,14 +362,22 @@ def build_cuckoo(hashed: DataFrame, n_buckets: int = 1 << 14) -> DataFrame:
 
     def _build(pdf: pd.DataFrame) -> pd.DataFrame:
         cf = CuckooFilter(n_buckets)
-        h = pdf["h1"].to_numpy(dtype=np.int64).view(np.uint64)
-        cf.insert(np.unique(h))
+        h = np.unique(pdf["h1"].to_numpy(dtype=np.int64).view(np.uint64))
+        failed = cf.insert(h)
+        if failed:
+            raise ValueError(
+                f"build_cuckoo: partition {int(pdf['part_id'].iloc[0])} "
+                f"overflowed — {failed}/{len(h)} keys failed to insert at "
+                f"n_buckets={n_buckets} ({n_buckets * CuckooFilter.SLOTS} "
+                "slots). A lossy cuckoo filter has false negatives, which "
+                "the seen-set must never have; size n_buckets to ~keys/3"
+            )
         return pd.DataFrame(
             {
                 "part_id": [int(pdf["part_id"].iloc[0])],
                 "table": [cf.to_bytes()],
                 "n_buckets": [n_buckets],
-                "n_keys": [len(pdf)],
+                "n_keys": [len(h)],
             }
         )
 
@@ -367,6 +399,11 @@ def probe_cuckoo(candidates: DataFrame, cuckoo: DataFrame) -> DataFrame:
             out = cand.copy()
             out["maybe_seen"] = False
             return out
+        if len(filt) > 1:
+            raise ValueError(
+                f"probe_cuckoo: {len(filt)} filter rows for part_id "
+                f"{int(filt['part_id'].iloc[0])} — combine filters first"
+            )
         cf = CuckooFilter.from_bytes(
             filt["table"].iloc[0], int(filt["n_buckets"].iloc[0])
         )

@@ -47,6 +47,23 @@ def synthetic_url_expr(dialect: str) -> str:
     )
 
 
+def _strip_tracking(expr: str, dialect: str) -> str:
+    """Remove utm_*/ref params ANYWHERE in the query string. RE2 (DuckDB)
+    has no lookbehind, so the mid-string pattern captures the preceding
+    separator and re-emits it; one pass cannot remove two consecutive
+    tracked params (the separator between them is consumed), so the
+    mid+trailing pair applies a FIXED 3 times — handles runs of up to ~4
+    consecutive tracked params, identically in Spark / DuckDB / the Python
+    oracle (which iterates exactly 3 times too)."""
+    g = g_flag(dialect)
+    br = "'$1'" if dialect == "spark" else "'\\1'"
+    e = expr
+    for _ in range(3):
+        e = f"regexp_replace({e}, '([?&])(utm_[a-z]+|ref)=[^&#]*&', {br}{g})"
+        e = f"regexp_replace({e}, '[?&](utm_[a-z]+|ref)=[^&#]*$', ''{g})"
+    return e
+
+
 def canonicalize_expr(url: str, dialect: str) -> str:
     """Canonical URL from a raw URL expression. Identical regexes in Java
     (Spark) and RE2 (DuckDB); every multi-occurrence replace passes 'g' in
@@ -63,8 +80,8 @@ def canonicalize_expr(url: str, dialect: str) -> str:
     # 4. resolve single-level dot segments
     dotseg = rx(_DOTSEG, dialect)
     p1 = f"regexp_replace({pathq}, {dotseg}, '/'{g})"
-    # 5. strip tracking params (always trailing in well-formed canon input)
-    p2 = f"regexp_replace({p1}, '[?&](utm_[a-z]+|ref)=[^&#]*', ''{g})"
+    # 5. strip tracking params (anywhere in the query)
+    p2 = _strip_tracking(p1, dialect)
     # dangling '?'/'&' cleanup, empty path → '/'
     p3 = f"regexp_replace({p2}, '[?&]$', ''{g})"
     path = f"CASE WHEN {p3} = '' THEN '/' ELSE {p3} END"
@@ -90,14 +107,15 @@ def with_canonical(df: DataFrame, raw_col: str = "url_raw") -> DataFrame:
         F.expr("lower(regexp_extract(__e, '^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]*)', 1))"),
     )
     dotseg = rx(_DOTSEG, "spark")
+    p1 = (
+        "regexp_replace("
+        "regexp_extract(__e, '^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*(.*)$', 1), "
+        f"{dotseg}, '/')"
+    )
     out = out.withColumn(
         "__path",
         F.expr(
-            "regexp_replace(regexp_replace(regexp_replace("
-            "regexp_extract(__e, '^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*(.*)$', 1), "
-            f"{dotseg}, '/'), "
-            "'[?&](utm_[a-z]+|ref)=[^&#]*', ''), "
-            "'[?&]$', '')"
+            f"regexp_replace({_strip_tracking(p1, 'spark')}, '[?&]$', '')"
         ),
     )
     out = out.withColumn(

@@ -33,7 +33,7 @@ from pyspark.sql.types import (
     StructType,
 )
 
-from ..frontier.seen import _bit_indices, with_url_hashes
+from ..frontier.seen import N_PARTS, _bit_indices, with_url_hashes
 
 OUT_SCHEMA = StructType(
     [
@@ -46,6 +46,8 @@ STATE_SCHEMA = StructType(
     [
         StructField("bits", BinaryType(), True),
         StructField("n_keys", LongType(), True),
+        StructField("n_bits", LongType(), True),
+        StructField("n_hashes", IntegerType(), True),
     ]
 )
 
@@ -53,7 +55,7 @@ STATE_SCHEMA = StructType(
 def streaming_unseen_urls(
     url_stream: DataFrame,
     url_col: str = "url_canon",
-    n_parts: int = 16,
+    n_parts: int = N_PARTS,
     n_bits_per_part: int = 1 << 20,
     n_hashes: int = 7,
 ) -> DataFrame:
@@ -69,7 +71,15 @@ def streaming_unseen_urls(
         key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
     ) -> Iterator[pd.DataFrame]:
         if state.exists:
-            (bits_b, n_keys) = state.get
+            (bits_b, n_keys, st_bits, st_hashes) = state.get
+            if st_bits != n_bits_per_part or st_hashes != n_hashes:
+                raise ValueError(
+                    "streaming_unseen_urls: checkpointed state was built "
+                    f"with n_bits={st_bits}, n_hashes={st_hashes} but the "
+                    f"query was restarted with n_bits={n_bits_per_part}, "
+                    f"n_hashes={n_hashes} — geometry must not change "
+                    "across restarts (membership would silently corrupt)"
+                )
             bits = np.frombuffer(bits_b, dtype=np.uint8).copy()
         else:
             bits = np.zeros(n_bytes, dtype=np.uint8)
@@ -97,7 +107,7 @@ def streaming_unseen_urls(
                 yield pd.DataFrame(
                     {"part_id": part_id, "url_canon": out[url_col].values}
                 )
-        state.update((bits.tobytes(), n_keys))
+        state.update((bits.tobytes(), n_keys, n_bits_per_part, n_hashes))
 
     return hashed.groupBy("part_id").applyInPandasWithState(
         _dedup,

@@ -302,3 +302,71 @@ def test_crawl_metrics_lineage(spark, tmp_path):
     with open(os.path.join(ckpt, "MANIFEST-0001.json")) as f:
         man = json.load(f)
     assert sum(r["n_new"] for r in rows) == man["n_new"]
+
+
+def test_robots_group_boundaries_and_longest_match(spark):
+    # a bot-specific group after a non-UA field must NOT leak into '*'
+    body = "User-agent: *\nCrawl-delay: 10\nUser-agent: badbot\nDisallow: /\n"
+    dis, alw = robots.parse_robots_txt(body)
+    assert dis == [] and alw == []
+    assert robots.parse_crawl_delay(body) == 10
+
+    # longest-match: short Allow must not override a longer Disallow
+    assert not robots.py_allowed("https://a.ex/private/x", ["/private/"], ["/p"])
+    # equal/longer Allow wins
+    assert robots.py_allowed(
+        "https://a.ex/private/ok/y", ["/private/"], ["/private/ok"]
+    )
+    # Spark predicate agrees
+    cand = spark.createDataFrame(
+        [("https://a.ex/private/x", "a.ex"), ("https://a.ex/private/ok/y", "a.ex")],
+        ["url_canon", "host"],
+    )
+    rules = robots.rules_from_bodies(
+        spark.createDataFrame(
+            [("a.ex", "User-agent: *\nDisallow: /private/\nAllow: /p\n"
+              "Allow: /private/ok\n")],
+            ["host", "robots_txt"],
+        )
+    )
+    kept = {r["url_canon"] for r in robots.filter_allowed(cand, rules).collect()}
+    assert kept == {"https://a.ex/private/ok/y"}
+
+
+def test_canonicalize_mid_url_tracking_params():
+    assert (
+        oracle.py_canonicalize("https://h.ex/p?utm_source=x&id=5")
+        == "https://h.ex/p?id=5"
+    )
+    assert (
+        oracle.py_canonicalize("https://h.ex/p?id=1&utm_a=2&utm_b=3&ref=4")
+        == "https://h.ex/p?id=1"
+    )
+    assert oracle.py_canonicalize("https://h.ex/p?utm_a=1") == "https://h.ex/p"
+
+
+def test_canonicalize_mid_params_spark_parity(spark):
+    raws = [
+        "https://H.EX/p?utm_source=x&id=5",
+        "https://h.ex/p?id=1&utm_a=2&utm_b=3&ref=4",
+        "HTTPS://h.ex:443/a/../b?ref=x&keep=1#frag",
+    ]
+    df = spark.createDataFrame([(r,) for r in raws], ["url_raw"])
+    got = {
+        r["url_raw"]: r["url_canon"]
+        for r in urlgen.with_canonical(df).collect()
+    }
+    for r in raws:
+        assert got[r] == oracle.py_canonicalize(r)
+
+
+def test_extract_links_keeps_fragment_hrefs(spark):
+    pages = spark.createDataFrame(
+        [("https://h.ex/page", '<a href="https://h.ex/doc#sec">d</a>'
+          '<a href="/rel#x">r</a>')],
+        ["url", "html_text"],
+    )
+    from language_diversity_common_crawler_spark.frontier import links
+
+    got = {r["link_url"] for r in links.extract_links(pages).collect()}
+    assert got == {"https://h.ex/doc", "https://h.ex/rel"}

@@ -94,14 +94,14 @@ def test_cuckoo_no_false_negatives(keys):
     st.lists(st.sampled_from(["/a/b/ok", "/priv/pub"]), max_size=2),
     st.sampled_from(["/a", "/a/b/c", "/priv/x", "/other", "/a/b/ok/z"]),
 )
-def test_robots_allow_overrides_disallow(disallow, allow, path):
-    """py_allowed semantics: blocked iff some disallow prefix matches AND
-    no allow prefix matches."""
+def test_robots_longest_match(disallow, allow, path):
+    """py_allowed semantics (REP longest-match): the most specific matching
+    rule wins; Allow wins ties; no matching Disallow means allowed."""
     url = "https://h.ex" + path
     got = py_allowed(url, disallow, allow)
-    hit_dis = any(path.startswith(p) for p in disallow)
-    hit_alw = any(path.startswith(p) for p in allow)
-    assert got == ((not hit_dis) or hit_alw)
+    max_dis = max((len(p) for p in disallow if path.startswith(p)), default=0)
+    max_alw = max((len(p) for p in allow if path.startswith(p)), default=0)
+    assert got == (max_dis == 0 or max_alw >= max_dis)
 
 
 def test_robots_parse_multi_group():
