@@ -17,7 +17,7 @@ oracle validates values exactly. Shingle hashes are 60-bit md5 (hashing.py).
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from .dialect import g_flag, rx
@@ -257,24 +257,29 @@ def simhash_near_dup_pairs(
     id_col: str = "doc_id",
     text_col: str = "text",
 ) -> DataFrame:
-    """SimHash near-dup: 16-bit fingerprints, banded into the high and low
-    bytes; candidate pairs share at least one band (pigeonhole: hamming <=
-    max_hamming over 2 bands guarantees one exact band for hamming <= 1 per
-    band region — with 16 bits/2 bands this recalls all pairs with all
-    diffs concentrated in one byte, the standard banding trade-off), then
-    the exact bit_count(xor) filter keeps hamming <= max_hamming."""
+    """SimHash near-dup: 16-bit fingerprints banded into FOUR 4-bit bands.
+    Pigeonhole: a pair with hamming <= 3 differs in at most 3 bands, so at
+    least one band matches exactly — full recall for the promised
+    ``max_hamming`` (up to 3); the exact bit_count(xor) filter then drops
+    anything above it. 2 bands would only guarantee recall to hamming 1."""
     from .text_analysis import simhash16
 
+    if max_hamming > 3:
+        raise ValueError(
+            "4-band/16-bit SimHash banding only guarantees recall for "
+            f"max_hamming <= 3, got {max_hamming}"
+        )
     sigs = simhash16(docs.select(id_col, text_col)).select(
         id_col, "simhash16"
+    )
+    bands = ", ".join(
+        f"{b}, CAST((simhash16 DIV {1 << (4 * b)}) % 16 AS INT)"
+        for b in range(4)
     )
     banded = sigs.select(
         id_col,
         "simhash16",
-        F.expr(
-            "stack(2, 0, CAST(simhash16 % 256 AS INT), "
-            "1, CAST(simhash16 DIV 256 AS INT)) AS (band, bk)"
-        ),
+        F.expr(f"stack(4, {bands}) AS (band, bk)"),
     )
     left = banded.select(
         F.col(id_col).alias("a"), F.col("simhash16").alias("sa"), "band", "bk"
@@ -296,14 +301,17 @@ def sql_simhash_near_dup_pairs(
     simhash_select: str, max_hamming: int = 3
 ) -> str:
     """``simhash_select`` must yield (doc_id, simhash16)."""
+    band_ids = ", ".join(str(b) for b in range(4))
+    band_keys = ", ".join(
+        f"CAST((simhash16 // {1 << (4 * b)}) % 16 AS INT)" for b in range(4)
+    )
     return f"""
 WITH sigs AS ({simhash_select}),
 banded AS (
   SELECT doc_id, simhash16, band, bk FROM (
     SELECT doc_id, simhash16,
-           unnest([0, 1]) AS band,
-           unnest([CAST(simhash16 % 256 AS INT),
-                   CAST(simhash16 // 256 AS INT)]) AS bk
+           unnest([{band_ids}]) AS band,
+           unnest([{band_keys}]) AS bk
     FROM sigs))
 SELECT DISTINCT l.doc_id AS a, r.doc_id AS b,
        CAST(bit_count(xor(l.simhash16, r.simhash16)) AS BIGINT) AS hamming

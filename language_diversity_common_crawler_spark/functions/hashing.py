@@ -36,8 +36,10 @@ def md5_60_salted(col: Column | str, salt: str) -> Column:
 
 
 def sql_md5_60(expr: str) -> str:
-    """DuckDB SQL expression equivalent to :func:`md5_60`."""
-    return f"CAST(concat('0x', substring(md5({expr}), 1, 15)) AS BIGINT)"
+    """DuckDB SQL expression equivalent to :func:`md5_60`. Uses || (which
+    propagates NULL) rather than concat (which treats NULL as '') so a NULL
+    input hashes to NULL instead of crashing the cast with '0x'."""
+    return f"CAST(('0x' || substring(md5({expr}), 1, 15)) AS BIGINT)"
 
 
 def sql_md5_60_salted(expr: str, salt: str) -> str:

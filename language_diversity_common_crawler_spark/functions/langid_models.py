@@ -44,14 +44,13 @@ def _make_udf(model: str):
 def _predict_real(model: str, text: pd.Series) -> pd.DataFrame:  # pragma: no cover
     """Delegate to the reference's actual libraries, reproducing
     language_identification_handler.py:37 normalization per element."""
-    import math
-
     langs, precs = [], []
     if model == "detect_fast":
         from resiliparse.parse.lang import detect_fast as d
 
         for t in text.fillna(""):
-            lang, score = d(t)[0], float(d(t)[1])
+            res = d(t)
+            lang, score = res[0], float(res[1])
             if lang == "unknown":
                 lang, score = "un", 0.0
             langs.append(lang)
@@ -76,7 +75,6 @@ def _predict_real(model: str, text: pd.Series) -> pd.DataFrame:  # pragma: no co
             except Exception:
                 langs.append("un")
                 precs.append(0.0)
-    del math
     return pd.DataFrame({"lang": langs, "precision": precs})
 
 

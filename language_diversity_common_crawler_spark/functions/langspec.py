@@ -223,7 +223,7 @@ def sql_prediction_select(
         )
     elif model == "langid":
         lang_expr = f"CASE WHEN best = 0 THEN 'en' {branches} END"
-        prec_expr = f"CAST(best - length({text_col}) AS DOUBLE)"
+        prec_expr = f"CAST(best - coalesce(length({text_col}), 0) AS DOUBLE)"
     else:  # cld2
         lang_expr = f"CASE WHEN total = 0 THEN 'un' {branches} END"
         prec_expr = (
@@ -286,7 +286,7 @@ def sql_all_models_select(
             )
         elif model == "langid":
             lang_expr = f"CASE WHEN {p}_best = 0 THEN 'en' {branches} END"
-            prec_expr = f"CAST({p}_best - length({text_col}) AS DOUBLE)"
+            prec_expr = f"CAST({p}_best - coalesce(length({text_col}), 0) AS DOUBLE)"
         else:
             lang_expr = f"CASE WHEN {p}_total = 0 THEN 'un' {branches} END"
             prec_expr = (

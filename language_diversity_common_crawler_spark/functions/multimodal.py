@@ -19,8 +19,9 @@ Scale notes:
 - ``spark.sql.execution.arrow.maxRecordsPerBatch`` bounds batch memory
   (session.py sets 10k; at ~1 MB media that conf should drop to ~64 —
   exposed as ``repartition_for_media``'s advice);
-- frame sampling explodes rows; it repartitions by media id first so one
-  hot video cannot skew a partition.
+- frame sampling explodes rows; pass ``n_partitions`` to shuffle the
+  exploded frames when a hot video would skew downstream work (and use
+  repartition_for_media on the input when payload sizes are heavy-tailed).
 """
 
 from __future__ import annotations
@@ -69,7 +70,10 @@ def media_from_documents(docs: DataFrame) -> DataFrame:
         .when(F.col("doc_id") % 3 == 1, F.lit("audio/wav"))
         .otherwise(F.lit("video/mp4"))
     )
-    payload = F.encode(F.col("text"), "UTF-8")
+    # coalesce: a NULL text row must still yield a (zero-byte) payload —
+    # MEDIA_SCHEMA declares payload/width/height non-nullable and the codec
+    # stubs call bytes(payload)
+    payload = F.encode(F.coalesce(F.col("text"), F.lit("")), "UTF-8")
     blen = F.length(payload)
     return docs.select(
         F.col("doc_id").alias("media_id"),
@@ -221,9 +225,8 @@ def audio_features(media: DataFrame, require_codecs: bool = False) -> DataFrame:
             for mid, payload in zip(pdf["media_id"], pdf["payload"]):
                 sig = _decode_audio_stub(bytes(payload), require_codecs)
                 zc = int(np.sum(np.signbit(sig[:-1]) != np.signbit(sig[1:])))
-                rows.append(
-                    (int(mid), len(sig), float(np.sqrt(np.mean(sig**2))), zc)
-                )
+                rms = float(np.sqrt(np.mean(sig**2))) if len(sig) else 0.0
+                rows.append((int(mid), len(sig), rms, zc))
             yield pd.DataFrame(
                 rows, columns=[f.name for f in AUDIO_FEATURES_SCHEMA.fields]
             )
@@ -241,11 +244,14 @@ FRAME_SCHEMA = StructType(
 
 
 def sample_frames(media: DataFrame, every_n: int = 1,
-                  require_codecs: bool = False) -> DataFrame:
+                  require_codecs: bool = False,
+                  n_partitions: int | None = None) -> DataFrame:
     """Frame sampling: one output row per kept frame (row explosion inside
     mapInPandas — output batch is larger than input batch, which is why
-    this is mapInPandas and not a scalar UDF). Repartitioned by media_id so
-    a hot video's frames spread across tasks downstream."""
+    this is mapInPandas and not a scalar UDF). Frames stay in their source
+    row's partition by default; pass ``n_partitions`` to shuffle the
+    exploded frames by (media_id, frame_idx) when a hot video would skew
+    downstream work."""
     src = media.filter(F.col("kind") == "video").select(
         "media_id", "n_frames", "payload"
     )
@@ -264,7 +270,10 @@ def sample_frames(media: DataFrame, every_n: int = 1,
                 rows, columns=[f.name for f in FRAME_SCHEMA.fields]
             )
 
-    return src.mapInPandas(_gen, FRAME_SCHEMA)
+    out = src.mapInPandas(_gen, FRAME_SCHEMA)
+    if n_partitions:
+        out = out.repartition(n_partitions, "media_id", "frame_idx")
+    return out
 
 
 def media_decode_stats(media: DataFrame) -> DataFrame:

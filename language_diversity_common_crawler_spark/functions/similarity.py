@@ -146,7 +146,7 @@ def sql_brute_force_topk(table: str, query_ids: list[int], k: int = 10) -> str:
 WITH q AS (SELECT vec_id AS q_id, embedding FROM {table} WHERE vec_id IN ({ids})),
      n AS (SELECT vec_id AS n_id, embedding FROM {table}),
 scored AS (
-  SELECT q.q_id, n.n_id, {cos.replace('q.embedding', 'q.embedding').replace('n.embedding', 'n.embedding')} AS cosine
+  SELECT q.q_id, n.n_id, {cos} AS cosine
   FROM q, n WHERE n.n_id <> q.q_id
 )
 SELECT q_id, n_id, rank, cosine FROM (
