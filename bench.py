@@ -113,7 +113,8 @@ def main() -> None:
     # frontier URLs scheduled per second.
     from language_diversity_common_crawler_spark.frontier import crawl
 
-    crawl.bench_round(spark, SF_DIR.replace("0.1", "0.001"))  # warm
+    crawl.bench_round(spark, SF_DIR)  # warm (codegen compile of the
+    # regex-heavy canonicalize + robots plans dwarfs the steady-state run)
     t0 = time.perf_counter()
     n_seeds, n_scheduled = crawl.bench_round(spark, SF_DIR)
     dt = time.perf_counter() - t0
