@@ -294,8 +294,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     def simhash_fingerprints(spark, sf_dir):
         tune_session(spark)
-        return text_analysis.simhash16(_docs(spark, sf_dir)).select(
-            "doc_id", "simhash16"
+        return text_analysis.simhash60(_docs(spark, sf_dir)).select(
+            "doc_id", "simhash60"
         )
 
     q["simhash_fingerprints"] = simhash_fingerprints
@@ -334,6 +334,19 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return dedup.jaccard_verified_pairs(docs, pairs, min_jaccard_bp=2000)
 
     q["minhash_jaccard_verified"] = minhash_jaccard_verified
+
+    def minhash_lsh_pairs_16x8(spark, sf_dir):
+        """Production LSH preset (16 hashes / 8 bands): steeper S-curve,
+        candidate threshold ~0.35 Jaccard. Same plan shape as the 8/4
+        default — banded self-join, never all-pairs."""
+        tune_session(spark)
+        nh, nb = dedup.PRESET_PRODUCTION
+        sigs = dedup.minhash_signatures(
+            _docs(spark, sf_dir), n_hashes=nh, n_bands=nb
+        )
+        return dedup.lsh_candidate_pairs(sigs, n_bands=nb)
+
+    q["minhash_lsh_pairs_16x8"] = minhash_lsh_pairs_16x8
 
     def simhash_near_dup(spark, sf_dir):
         tune_session(spark)
@@ -660,8 +673,8 @@ FROM uniq GROUP BY lang
     o["token_quality_stats"] = f"SELECT doc_id,\n       {cols}\nFROM documents"
 
     o["simhash_fingerprints"] = (
-        f"SELECT doc_id, {text_analysis.simhash16_exprs('text', 'duckdb')} "
-        f"AS simhash16 FROM documents"
+        f"SELECT doc_id, {text_analysis.simhash60_exprs('text', 'duckdb')} "
+        f"AS simhash60 FROM documents"
     )
 
     o["dedup_exact"] = (
@@ -674,13 +687,19 @@ FROM uniq GROUP BY lang
         dedup.sql_minhash_signatures("documents")
     )
 
+    _nh, _nb = dedup.PRESET_PRODUCTION
+    o["minhash_lsh_pairs_16x8"] = dedup.sql_lsh_candidate_pairs(
+        dedup.sql_minhash_signatures("documents", n_hashes=_nh, n_bands=_nb),
+        n_bands=_nb,
+    )
+
     o["minhash_jaccard_verified"] = dedup.sql_jaccard_verified_pairs(
         dedup.sql_lsh_candidate_pairs(dedup.sql_minhash_signatures("documents")),
         min_jaccard_bp=2000,
     )
     o["simhash_near_dup"] = dedup.sql_simhash_near_dup_pairs(
-        f"SELECT doc_id, {text_analysis.simhash16_exprs('text', 'duckdb')} "
-        f"AS simhash16 FROM documents"
+        f"SELECT doc_id, {text_analysis.simhash60_exprs('text', 'duckdb')} "
+        f"AS simhash60 FROM documents"
     )
     o["experiment_dataset"] = f"""
 SELECT concat('https://example.org/doc/', CAST(d.doc_id AS VARCHAR)) AS uri,

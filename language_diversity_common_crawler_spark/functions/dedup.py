@@ -7,7 +7,7 @@
   near-dup candidates come from a self-join on (band, bucket) — the join key
   is the bucket hash, so only genuinely-colliding docs meet. This is the
   scale path: no pairwise O(n²) anywhere.
-- SimHash: see functions.text_analysis.simhash16_exprs.
+- SimHash: see functions.text_analysis.simhash60_exprs.
 - n-gram Jaccard: exact verification on LSH candidates (or, at small scale,
   on all shingle-sharing pairs) via unnest + join + group.
 
@@ -25,6 +25,10 @@ from .hashing import sql_md5_60
 
 N_MINHASH = 8
 N_BANDS = 4  # 2 rows per band
+# production preset (16 hashes / 8 bands, 2 rows per band): steeper LSH
+# S-curve — candidate threshold ~ (1/8)^(1/2) ≈ 0.35 Jaccard with better
+# variance than the 8/4 default; pass to the n_hashes/n_bands parameters
+PRESET_PRODUCTION = (16, 8)
 
 
 _WS = r"\s+"
@@ -74,8 +78,11 @@ def shingles_expr(text: str, dialect: str, k: int = 3) -> str:
 
 MH_P = 2147483647  # 2^31 - 1; a_j * (h % p) + b_j stays inside int64
 _MH_A = [2971215073, 1640531527, 2654435761, 2246822519,
-         3266489917, 668265263, 374761393, 3144134277]
-_MH_B = [97, 193, 389, 769, 1543, 3079, 6151, 12289]
+         3266489917, 668265263, 374761393, 3144134277,
+         2166136261, 16777619, 40503, 2047483691,
+         1099511627, 387420489, 2654435769, 1327217884]
+_MH_B = [97, 193, 389, 769, 1543, 3079, 6151, 12289,
+         24593, 49157, 98317, 196613, 393241, 786433, 1572869, 3145739]
 
 
 def shingle_hash_expr(shingles: str, dialect: str) -> str:
@@ -89,25 +96,32 @@ def shingle_hash_expr(shingles: str, dialect: str) -> str:
     return f"{fn}({shingles}, s -> {h} % {MH_P})"
 
 
-def minhash_exprs(hashed: str, dialect: str) -> dict[str, str]:
+def minhash_exprs(hashed: str, dialect: str,
+                  n_hashes: int = N_MINHASH) -> dict[str, str]:
     """k min-hashes over a shingle-hash-array expression (affine maps mod p,
     pure int64 arithmetic — identical in Spark and DuckDB).
     Empty shingle set → NULL (doc too short to near-dup)."""
+    if n_hashes > len(_MH_A):
+        raise ValueError(f"n_hashes <= {len(_MH_A)} (got {n_hashes})")
     out = {}
     amin = "list_min" if dialect == "duckdb" else "array_min"
     fn = "list_transform" if dialect == "duckdb" else "transform"
-    for j in range(N_MINHASH):
+    for j in range(n_hashes):
         a, b = _MH_A[j], _MH_B[j]
         out[f"mh{j}"] = f"{amin}({fn}({hashed}, h -> ({a} * h + {b}) % {MH_P}))"
     return out
 
 
-def band_exprs(dialect: str) -> dict[str, str]:
-    """Band bucket keys: hash of the concatenated row hashes (2 per band)."""
-    rows_per_band = N_MINHASH // N_BANDS
+def band_exprs(dialect: str, n_hashes: int = N_MINHASH,
+               n_bands: int = N_BANDS) -> dict[str, str]:
+    """Band bucket keys: hash of the concatenated row hashes."""
+    if n_hashes % n_bands:
+        raise ValueError(f"n_hashes ({n_hashes}) not divisible by n_bands "
+                         f"({n_bands})")
+    rows_per_band = n_hashes // n_bands
     out = {}
     cast_t = "VARCHAR" if dialect == "duckdb" else "STRING"
-    for b in range(N_BANDS):
+    for b in range(n_bands):
         parts = [f"CAST(mh{b * rows_per_band + r} AS {cast_t})"
                  for r in range(rows_per_band)]
         joined = "concat(" + ", ':', ".join(parts) + ")"
@@ -126,7 +140,9 @@ def band_exprs(dialect: str) -> dict[str, str]:
 
 
 def minhash_signatures(df: DataFrame, id_col: str = "doc_id",
-                       text_col: str = "text") -> DataFrame:
+                       text_col: str = "text",
+                       n_hashes: int = N_MINHASH,
+                       n_bands: int = N_BANDS) -> DataFrame:
     """Spark: id + mh0..mh{k-1} + band0..band{b-1} (all JVM-side exprs).
     The shingle-hash array is materialized as one intermediate column so the
     md5 pass over shingles runs once, not once per minhash."""
@@ -140,36 +156,48 @@ def minhash_signatures(df: DataFrame, id_col: str = "doc_id",
     hashed = shingled.select(
         id_col, F.expr(shingle_hash_expr("__shg", "spark")).alias("__sh")
     )
-    out = hashed.select(id_col, *[F.expr(e).alias(n)
-                                  for n, e in minhash_exprs("__sh", "spark").items()])
-    for n, e in band_exprs("spark").items():
+    out = hashed.select(
+        id_col,
+        *[F.expr(e).alias(n)
+          for n, e in minhash_exprs("__sh", "spark", n_hashes).items()],
+    )
+    for n, e in band_exprs("spark", n_hashes, n_bands).items():
         out = out.withColumn(n, F.expr(e))
     return out
 
 
 def sql_minhash_signatures(table: str, id_col: str = "doc_id",
-                           text_col: str = "text") -> str:
+                           text_col: str = "text",
+                           n_hashes: int = N_MINHASH,
+                           n_bands: int = N_BANDS) -> str:
     sh = shingles_expr(text_col, "duckdb")
     hashed = shingle_hash_expr(sh, "duckdb")
-    mh = ",\n       ".join(f"{e} AS {n}"
-                           for n, e in minhash_exprs("__sh", "duckdb").items())
-    bands = ",\n       ".join(f"{e} AS {n}" for n, e in band_exprs("duckdb").items())
+    mh = ",\n       ".join(
+        f"{e} AS {n}"
+        for n, e in minhash_exprs("__sh", "duckdb", n_hashes).items()
+    )
+    mh_cols = ", ".join(f"mh{j}" for j in range(n_hashes))
+    bands = ",\n       ".join(
+        f"{e} AS {n}"
+        for n, e in band_exprs("duckdb", n_hashes, n_bands).items()
+    )
     return (
-        f"SELECT {id_col}, mh0, mh1, mh2, mh3, mh4, mh5, mh6, mh7,\n"
+        f"SELECT {id_col}, {mh_cols},\n"
         f"       {bands}\n"
         f"FROM (SELECT {id_col}, {mh} FROM "
         f"(SELECT {id_col}, {hashed} AS __sh FROM {table}))"
     )
 
 
-def lsh_candidate_pairs(sigs: DataFrame, id_col: str = "doc_id") -> DataFrame:
+def lsh_candidate_pairs(sigs: DataFrame, id_col: str = "doc_id",
+                        n_bands: int = N_BANDS) -> DataFrame:
     """Self-join per band on the bucket key → distinct candidate pairs a<b.
     Shuffles on the band hash (uniform by construction; no skew salting
     needed unless many identical docs — AQE skew-join covers that)."""
-    stack_args = ", ".join(f"{b}, band{b}" for b in range(N_BANDS))
+    stack_args = ", ".join(f"{b}, band{b}" for b in range(n_bands))
     stacked = sigs.select(
         F.col(id_col),
-        F.expr(f"stack({N_BANDS}, {stack_args}) AS (bi, bk)"),
+        F.expr(f"stack({n_bands}, {stack_args}) AS (bi, bk)"),
     ).filter(F.col("bk").isNotNull())
     left = stacked.select(F.col(id_col).alias("a"), "bi", "bk")
     right = stacked.select(F.col(id_col).alias("b"), "bi", "bk")
@@ -251,41 +279,58 @@ FROM j WHERE (CASE WHEN uni = 0 THEN 0
 """
 
 
+def _simhash_band_keys() -> list[str]:
+    """Band bucket keys over a ``simhash60`` column: 8 contiguous bit
+    slices (4x8-bit + 4x7-bit). ``>>`` and ``&`` behave identically on
+    BIGINT in Spark SQL and DuckDB (arithmetic shift + mask; the
+    fingerprint is always non-negative so no sign edge exists)."""
+    from .text_analysis import SIMHASH_BAND_OFFSETS, SIMHASH_BAND_WIDTHS
+
+    return [
+        f"CAST((simhash60 >> {off}) & {(1 << w) - 1} AS INT)"
+        for off, w in zip(SIMHASH_BAND_OFFSETS, SIMHASH_BAND_WIDTHS)
+    ]
+
+
 def simhash_near_dup_pairs(
     docs: DataFrame,
     max_hamming: int = 3,
     id_col: str = "doc_id",
     text_col: str = "text",
 ) -> DataFrame:
-    """SimHash near-dup: 16-bit fingerprints banded into FOUR 4-bit bands.
-    Pigeonhole: a pair with hamming <= 3 differs in at most 3 bands, so at
-    least one band matches exactly — full recall for the promised
-    ``max_hamming`` (up to 3); the exact bit_count(xor) filter then drops
-    anything above it. 2 bands would only guarantee recall to hamming 1."""
-    from .text_analysis import simhash16
+    """SimHash near-dup: 60-bit fingerprints banded into EIGHT bands
+    (4x8-bit + 4x7-bit). Pigeonhole: a pair with hamming <= 7 differs in at
+    most 7 bands, so at least one band matches exactly — full recall for
+    ``max_hamming`` up to 7; the exact bit_count(xor) filter then drops
+    anything above it.
 
-    if max_hamming > 3:
+    Scale shape: the self-join key is (band, band-bits), so bucket count per
+    band is 2^7..2^8 *per distinct fingerprint prefix* — with 60-bit
+    fingerprints, unrelated documents collide in a band with probability
+    ~2^-7, so candidate volume stays ~linear in corpus size instead of the
+    O(n²/16) the old 16-bit geometry degenerated to."""
+    from .text_analysis import simhash60
+
+    if max_hamming > 7:
         raise ValueError(
-            "4-band/16-bit SimHash banding only guarantees recall for "
-            f"max_hamming <= 3, got {max_hamming}"
+            "8-band/60-bit SimHash banding only guarantees recall for "
+            f"max_hamming <= 7, got {max_hamming}"
         )
-    sigs = simhash16(docs.select(id_col, text_col)).select(
-        id_col, "simhash16"
+    sigs = simhash60(docs.select(id_col, text_col)).select(
+        id_col, "simhash60"
     )
-    bands = ", ".join(
-        f"{b}, CAST((simhash16 DIV {1 << (4 * b)}) % 16 AS INT)"
-        for b in range(4)
-    )
+    keys = _simhash_band_keys()
+    bands = ", ".join(f"{b}, {k}" for b, k in enumerate(keys))
     banded = sigs.select(
         id_col,
-        "simhash16",
-        F.expr(f"stack(4, {bands}) AS (band, bk)"),
+        "simhash60",
+        F.expr(f"stack({len(keys)}, {bands}) AS (band, bk)"),
     )
     left = banded.select(
-        F.col(id_col).alias("a"), F.col("simhash16").alias("sa"), "band", "bk"
+        F.col(id_col).alias("a"), F.col("simhash60").alias("sa"), "band", "bk"
     )
     right = banded.select(
-        F.col(id_col).alias("b"), F.col("simhash16").alias("sb"), "band", "bk"
+        F.col(id_col).alias("b"), F.col("simhash60").alias("sb"), "band", "bk"
     )
     ham = F.bit_count(F.col("sa").bitwiseXOR(F.col("sb")))
     return (
@@ -300,30 +345,29 @@ def simhash_near_dup_pairs(
 def sql_simhash_near_dup_pairs(
     simhash_select: str, max_hamming: int = 3
 ) -> str:
-    """``simhash_select`` must yield (doc_id, simhash16)."""
-    band_ids = ", ".join(str(b) for b in range(4))
-    band_keys = ", ".join(
-        f"CAST((simhash16 // {1 << (4 * b)}) % 16 AS INT)" for b in range(4)
-    )
+    """``simhash_select`` must yield (doc_id, simhash60)."""
+    keys = _simhash_band_keys()
+    band_ids = ", ".join(str(b) for b in range(len(keys)))
+    band_keys = ", ".join(keys)
     return f"""
 WITH sigs AS ({simhash_select}),
 banded AS (
-  SELECT doc_id, simhash16, band, bk FROM (
-    SELECT doc_id, simhash16,
+  SELECT doc_id, simhash60, band, bk FROM (
+    SELECT doc_id, simhash60,
            unnest([{band_ids}]) AS band,
            unnest([{band_keys}]) AS bk
     FROM sigs))
 SELECT DISTINCT l.doc_id AS a, r.doc_id AS b,
-       CAST(bit_count(xor(l.simhash16, r.simhash16)) AS BIGINT) AS hamming
+       CAST(bit_count(xor(l.simhash60, r.simhash60)) AS BIGINT) AS hamming
 FROM banded l JOIN banded r ON l.band = r.band AND l.bk = r.bk
   AND l.doc_id < r.doc_id
-WHERE bit_count(xor(l.simhash16, r.simhash16)) <= {max_hamming}
+WHERE bit_count(xor(l.simhash60, r.simhash60)) <= {max_hamming}
 """
 
 
-def sql_lsh_candidate_pairs(sigs_select: str) -> str:
+def sql_lsh_candidate_pairs(sigs_select: str, n_bands: int = N_BANDS) -> str:
     parts = []
-    for b in range(N_BANDS):
+    for b in range(n_bands):
         parts.append(
             f"SELECT l.doc_id AS a, r.doc_id AS b FROM sigs l "
             f"JOIN sigs r ON l.band{b} = r.band{b} AND l.doc_id < r.doc_id"

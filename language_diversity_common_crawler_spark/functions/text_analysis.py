@@ -125,40 +125,63 @@ def token_hash_expr(toks: str, dialect: str) -> str:
     return f"transform({toks}, t -> {h})"
 
 
-def simhash16_from_hashes(th: str, dialect: str) -> str:
-    """16-bit SimHash from a token-hash-array column (cheap bit math)."""
-    bits = []
-    for b in range(16):
-        if dialect == "duckdb":
+SIMHASH_BITS = 60  # md5-60 native width; fits a signed BIGINT in both engines
+# 8 bands (4x8-bit + 4x7-bit) — pigeonhole: a pair with hamming <= 7 differs
+# in at most 7 bands, so at least one of the 8 matches exactly.
+SIMHASH_BAND_OFFSETS = [0, 8, 16, 24, 32, 39, 46, 53]
+SIMHASH_BAND_WIDTHS = [8, 8, 8, 8, 7, 7, 7, 7]
+
+
+def simhash60_from_hashes(th: str, dialect: str) -> str:
+    """60-bit SimHash from a token-hash-array column.
+
+    Spark path: ONE traversal of the token-hash array builds the 60
+    per-bit counts (aggregate with an array accumulator + zip_with), then
+    one cheap pass turns counts into the fingerprint — O(tokens * 60) work
+    with a single array iteration, no per-bit re-traversal. DuckDB (oracle,
+    sf0.01 only) uses the simple per-bit list_sum formula; values are
+    identical (+1/-1 vote per bit, fingerprint bit set iff sum > 0).
+    """
+    n = SIMHASH_BITS
+    if dialect == "duckdb":
+        bits = []
+        for b in range(n):
             bits.append(
                 f"(CASE WHEN list_sum(list_transform({th}, "
                 f"h -> CASE WHEN (h >> {b}) % 2 = 1 THEN 1 ELSE -1 END)) > 0 "
-                f"THEN {1 << b} ELSE 0 END)"
+                f"THEN (1::BIGINT << {b}) ELSE 0 END)"
             )
-        else:
-            bits.append(
-                f"(CASE WHEN aggregate(transform({th}, "
-                f"h -> CASE WHEN (h >> {b}) % 2 = 1 THEN 1 ELSE -1 END), "
-                f"0, (acc, x) -> acc + x) > 0 THEN {1 << b} ELSE 0 END)"
-            )
-    return "CAST(" + " + ".join(bits) + " AS BIGINT)"
+        return "CAST(" + " + ".join(bits) + " AS BIGINT)"
+    counts = (
+        f"aggregate({th}, transform(sequence(0, {n - 1}), "
+        f"b -> CAST(0 AS BIGINT)), "
+        f"(acc, h) -> zip_with(acc, sequence(0, {n - 1}), "
+        f"(c, b) -> c + (CASE WHEN (h >> b) % 2 = 1 THEN 1 ELSE -1 END)))"
+    )
+    return (
+        f"aggregate(zip_with({counts}, sequence(0, {n - 1}), "
+        f"(c, b) -> CASE WHEN c > 0 THEN shiftleft(CAST(1 AS BIGINT), "
+        f"CAST(b AS INT)) ELSE CAST(0 AS BIGINT) END), "
+        f"CAST(0 AS BIGINT), (acc, x) -> acc + x)"
+    )
 
 
-def simhash16(df: DataFrame, text_col: str = "text",
-              out_col: str = "simhash16") -> DataFrame:
+def simhash60(df: DataFrame, text_col: str = "text",
+              out_col: str = "simhash60") -> DataFrame:
     """Spark: staged simhash — norm, token array, token-hash array each
-    materialized once (Spark lambdas get no CSE), then 16 bit aggregates."""
+    materialized once (Spark lambdas get no CSE), then the single-pass
+    count/fingerprint aggregate."""
     norm = _sql_norm(text_col, "spark")
     out = (
         df.withColumn("__toks", F.expr(f"split({norm}, ' ')"))
         .withColumn("__th", F.expr(token_hash_expr("__toks", "spark")))
-        .withColumn(out_col, F.expr(simhash16_from_hashes("__th", "spark")))
+        .withColumn(out_col, F.expr(simhash60_from_hashes("__th", "spark")))
     )
     return out.drop("__toks", "__th")
 
 
-def simhash16_exprs(text: str, dialect: str) -> str:
-    """16-bit SimHash over tokens, identical in Spark SQL and DuckDB.
+def simhash60_exprs(text: str, dialect: str) -> str:
+    """60-bit SimHash over tokens, identical in Spark SQL and DuckDB.
 
     Token hash = md5-60; bit b contributes +1 if set else -1; simhash bit b
     is 1 iff the sum is > 0. Unnest-free: computed with higher-order array
@@ -168,22 +191,9 @@ def simhash16_exprs(text: str, dialect: str) -> str:
     if dialect == "duckdb":
         toks = f"string_split({norm}, ' ')"
         h = sql_md5_60("t")
-        bits = []
-        for b in range(16):
-            bits.append(
-                f"(CASE WHEN list_sum(list_transform({toks}, "
-                f"t -> CASE WHEN ({h} >> {b}) % 2 = 1 THEN 1 ELSE -1 END)) > 0 "
-                f"THEN {1 << b} ELSE 0 END)"
-            )
-        return "CAST(" + " + ".join(bits) + " AS BIGINT)"
+        th = f"list_transform({toks}, t -> {h})"
     else:
         toks = f"split({norm}, ' ')"
         h = "CAST(conv(substring(md5(t), 1, 15), 16, 10) AS BIGINT)"
-        bits = []
-        for b in range(16):
-            bits.append(
-                f"(CASE WHEN aggregate(transform({toks}, "
-                f"t -> CASE WHEN ({h} >> {b}) % 2 = 1 THEN 1 ELSE -1 END), "
-                f"0, (acc, x) -> acc + x) > 0 THEN {1 << b} ELSE 0 END)"
-            )
-        return "CAST(" + " + ".join(bits) + " AS BIGINT)"
+        th = f"transform({toks}, t -> {h})"
+    return simhash60_from_hashes(th, dialect)
