@@ -703,7 +703,7 @@ FROM uniq GROUP BY lang
     )
     o["experiment_dataset"] = f"""
 SELECT concat('https://example.org/doc/', CAST(d.doc_id AS VARCHAR)) AS uri,
-       concat('<urn:uuid:', md5(d.text), '>') AS id,
+       ('<urn:uuid:' || md5(d.text) || '>') AS id,
        p.li_lang AS lang,
        CAST(octet_length(encode(d.text)) AS BIGINT) AS len
 FROM documents d JOIN ({_PREDS_SQL}) p ON d.doc_id = p.doc_id
@@ -737,10 +737,10 @@ SELECT doc_id AS media_id,
             WHEN doc_id % 3 = 1 THEN 'audio' ELSE 'video' END AS kind,
        CASE WHEN doc_id % 3 = 0 THEN 'image/jpeg'
             WHEN doc_id % 3 = 1 THEN 'audio/wav' ELSE 'video/mp4' END AS mime,
-       CAST(octet_length(encode(text)) AS BIGINT) AS byte_len,
-       CAST(octet_length(encode(text)) % 640 + 16 AS INT) AS width,
-       CAST(octet_length(encode(text)) % 480 + 16 AS INT) AS height,
-       CAST(octet_length(encode(text)) % 24 + 1 AS INT) AS n_frames
+       CAST(octet_length(encode(coalesce(text, ''))) AS BIGINT) AS byte_len,
+       CAST(octet_length(encode(coalesce(text, ''))) % 640 + 16 AS INT) AS width,
+       CAST(octet_length(encode(coalesce(text, ''))) % 480 + 16 AS INT) AS height,
+       CAST(octet_length(encode(coalesce(text, ''))) % 24 + 1 AS INT) AS n_frames
 FROM documents
 """
 

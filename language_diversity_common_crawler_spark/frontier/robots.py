@@ -56,11 +56,20 @@ def parse_robots_txt(body: str, user_agent: str = "*") -> tuple[list[str], list[
 
 
 def _walk_groups(body: str, user_agent: str, on_field) -> None:
-    """Shared group-boundary walk: calls on_field(field, value, applies)
-    for every non-user-agent field line. ONE group-boundary rule for every
-    parser in this module — any non-UA field closes the UA header."""
-    applies = False
-    saw_group = False
+    """Shared group walk: calls on_field(field, value, applies) for every
+    non-user-agent field line, in body order.
+
+    Group boundaries: consecutive User-agent lines form one group header;
+    any other field line closes the header, so the next User-agent line
+    starts a NEW group. Group selection per RFC 9309 §2.2.1: if any group
+    names ``user_agent`` (exact, case-insensitive), ONLY those groups
+    apply; otherwise the ``*`` groups apply — a crawler obeys the most
+    specific matching group, never a merge of wildcard + specific rules.
+    Field lines before any User-agent line belong to no group
+    (applies=False)."""
+    groups: list[tuple[set[str], list[tuple[str, str]]]] = []
+    pre: list[tuple[str, str]] = []
+    in_header = False
     for raw in body.splitlines():
         line = raw.split("#", 1)[0].strip()
         if not line or ":" not in line:
@@ -69,12 +78,24 @@ def _walk_groups(body: str, user_agent: str, on_field) -> None:
         field = field.strip().lower()
         value = value.strip()
         if field == "user-agent":
-            if saw_group:
-                applies = False
-                saw_group = False
-            applies = applies or value == "*" or value.lower() == user_agent.lower()
+            if not in_header:
+                groups.append(({value.lower()}, []))
+                in_header = True
+            else:
+                groups[-1][0].add(value.lower())
         else:
-            saw_group = True
+            in_header = False
+            if groups:
+                groups[-1][1].append((field, value))
+            else:
+                pre.append((field, value))
+    ua = user_agent.lower()
+    has_specific = any(ua in uas for uas in (g[0] for g in groups)) and ua != "*"
+    for field, value in pre:
+        on_field(field, value, False)
+    for uas, fields in groups:
+        applies = (ua in uas) if has_specific else ("*" in uas or ua in uas)
+        for field, value in fields:
             on_field(field, value, applies)
 
 

@@ -85,7 +85,12 @@ def canonicalize_expr(url: str, dialect: str) -> str:
     # dangling '?'/'&' cleanup, empty path → '/'
     p3 = f"regexp_replace({p2}, '[?&]$', ''{g})"
     path = f"CASE WHEN {p3} = '' THEN '/' ELSE {p3} END"
-    return f"concat({scheme}, '://', {host}, {path})"
+    # scheme-less/malformed input degrades to the fragment-stripped string
+    # (mirrors oracle.py_canonicalize's `if not m: return e` fallback)
+    return (
+        f"CASE WHEN {scheme} <> '' "
+        f"THEN concat({scheme}, '://', {host}, {path}) ELSE {e} END"
+    )
 
 
 def host_expr(canon_url: str, dialect: str) -> str:
@@ -120,12 +125,15 @@ def with_canonical(df: DataFrame, raw_col: str = "url_raw") -> DataFrame:
     )
     out = out.withColumn(
         "url_canon",
+        # scheme-less/malformed input falls back to the fragment-stripped
+        # string, matching canonicalize_expr / oracle.py_canonicalize
         F.expr(
-            "concat("
+            "CASE WHEN __e RLIKE '^[A-Za-z][A-Za-z0-9+.-]*://' THEN concat("
             "lower(regexp_extract(__e, '^([A-Za-z][A-Za-z0-9+.-]*)://', 1)), "
             "'://', "
             "regexp_replace(__hostport, ':(443|80)$', ''), "
-            "CASE WHEN __path = '' THEN '/' ELSE __path END)"
+            "CASE WHEN __path = '' THEN '/' ELSE __path END) "
+            "ELSE __e END"
         ),
     ).withColumn(
         "host", F.expr("regexp_replace(__hostport, ':[0-9]+$', '')")

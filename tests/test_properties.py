@@ -157,3 +157,36 @@ def test_robots_parse_multi_group():
     dis, alw = parse_robots_txt(body, user_agent="mybot")
     assert "/all/" in dis and "/all/ok" in alw
     assert "/g/" not in dis
+
+
+def test_robots_specific_group_overrides_wildcard():
+    """RFC 9309 §2.2.1: when a group names the crawler, ONLY that group
+    applies — wildcard rules must not merge in."""
+    body = (
+        "User-agent: *\nDisallow: /all/\n\n"
+        "User-agent: mybot\nDisallow: /mine/\nCrawl-delay: 7\n"
+    )
+    dis, alw = parse_robots_txt(body, user_agent="mybot")
+    assert dis == ["/mine/"] and alw == []
+    from language_diversity_common_crawler_spark.frontier.robots import (
+        parse_crawl_delay,
+    )
+
+    assert parse_crawl_delay(body, user_agent="mybot") == 7
+    # a crawler not named anywhere falls back to the wildcard group
+    dis2, _ = parse_robots_txt(body, user_agent="otherbot")
+    assert dis2 == ["/all/"]
+
+
+def test_robots_multi_ua_header_and_preamble():
+    """Consecutive UA lines share one group; fields before any UA line
+    belong to no group; specific-group selection unions all groups that
+    name the UA."""
+    body = (
+        "Sitemap: https://h.ex/s.xml\n"
+        "User-agent: a\nUser-agent: mybot\nDisallow: /one/\n\n"
+        "User-agent: mybot\nDisallow: /two/\n\n"
+        "User-agent: *\nDisallow: /wild/\n"
+    )
+    dis, _ = parse_robots_txt(body, user_agent="mybot")
+    assert dis == ["/one/", "/two/"]
