@@ -411,6 +411,26 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["pages_extract_pipeline"] = pages_extract_pipeline
 
+    # ---- S1/S2 real WARC ingest: binaryFile -> record-splitting
+    # mapInPandas -> pages schema (sources/warc.py). The fixture .warc.gz
+    # files are a pure function of the documents table, so the DuckDB
+    # oracle recomputes the expected parse output with plain SQL.
+    def warc_ingest(spark, sf_dir):
+        tune_session(spark)
+        from language_diversity_common_crawler_spark.sources import warc
+
+        fx = f"/tmp/ldcc_warc_{os.path.basename(sf_dir.rstrip('/'))}"
+        warc.write_fixture_from_documents(sf_dir, fx)
+        pages = warc.warc_pages(spark, f"{fx}/*.warc.gz")
+        return pages.select(
+            "url", "warc_ts", "warc_record_id", "http_charset",
+            "accept_language",
+            F.length("html").cast("bigint").alias("payload_len"),
+            "segment",
+        )
+
+    q["warc_ingest"] = warc_ingest
+
     # ---- training-data ops: multimodal (binary payload plumbing) ----
     def media_decode_stats(spark, sf_dir):
         tune_session(spark)
@@ -719,6 +739,10 @@ FROM documents d JOIN ({_PREDS_SQL}) p ON d.doc_id = p.doc_id
     o["embedding_lsh_neighbors"] = similarity.sql_lsh_bucketed_neighbors(
         "embeddings", min_cosine=0.2
     )
+
+    from language_diversity_common_crawler_spark.sources import warc as _warc
+
+    o["warc_ingest"] = _warc.sql_warc_roundtrip_oracle()
 
     o["frontier_canonicalize"] = _SEEDS_SQL
 

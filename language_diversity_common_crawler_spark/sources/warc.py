@@ -1,0 +1,352 @@
+"""Real WARC ingest (S1/S2): ``.warc.gz`` files → the pages schema.
+
+The reference's actual input is a gzipped WARC stream iterated record-at-a-
+time (/root/reference/src/main.py:63-65,97:
+``ArchiveIterator(GZipStream(BytesIO(bytes)))``; same pattern in
+experiments/cc_fastwarc.py:83-88). This module is the Spark-native path in:
+
+    spark.read.format("binaryFile").load("…/​*.warc.gz")
+        → mapInPandas(record-splitting parser)  → pages rows
+
+Parallelism is one file per task (Common Crawl ships ~1 GB segment files,
+tens of thousands per crawl — file-level parallelism is the natural unit;
+binaryFile never splits a file, so a task's memory is bounded by one
+segment). The parser is pure Python over in-memory bytes — one Python
+invocation per Arrow batch of files, not per record. When ``fastwarc`` is
+installed the parse delegates to it (the reference's exact library,
+my_dependencies.yml:10); the bundled fallback implements the same record
+walk for this sandbox.
+
+Header extraction parity (warc_extraction.py:17,30,43,57-59;
+decoding.py:14-17):
+  url              ← WARC-Target-URI
+  warc_record_id   ← WARC-Record-ID
+  content_length   ← WARC Content-Length header, kept a STRING
+  accept_language  ← HTTP Accept-Language (raw; '-' defaulting happens in
+                     the extract pipeline, same as the handler chain)
+  http_charset     ← charset token of the HTTP Content-Type, lowercased
+                     (fastwarc's ``record.http_charset`` semantics); None
+                     when absent — decode falls back to utf-8
+  warc_ts          ← WARC-Date
+  html             ← HTTP payload bytes (the record body after the HTTP
+                     header block), exactly what ``record.reader.read()``
+                     yields at decoding.py:33
+  segment          ← 5-digit segment number from the CC filename template
+                     (main.py:85: ``…-{segment}.warc.gz``)
+
+The writer half builds deterministic fixture ``.warc.gz`` files (one gzip
+member per record — the Common Crawl layout) so tests can round-trip:
+generate_pages → write_warc_gz → warc_pages → byte-identical html.
+"""
+
+from __future__ import annotations
+
+import gzip
+import hashlib
+import io
+import os
+import re
+from datetime import datetime, timedelta, timezone
+
+import pandas as pd
+
+WARC_PAGES_SCHEMA = (
+    "url string, warc_ts timestamp, html binary, http_charset string, "
+    "accept_language string, warc_record_id string, content_length string, "
+    "segment string"
+)
+
+_SEG_RE = re.compile(r"-(\d{5})\.warc(\.gz)?$")
+
+
+# ---------------------------------------------------------------------------
+# writer (fixture builder)
+# ---------------------------------------------------------------------------
+
+def build_record_bytes(
+    url: str,
+    body: bytes,
+    warc_date: str,
+    record_id: str,
+    http_charset: str | None = "utf-8",
+    accept_language: str | None = None,
+    status: str = "200 OK",
+) -> bytes:
+    """One uncompressed WARC/1.0 response record (HTTP payload layout)."""
+    ctype = "text/html"
+    if http_charset:
+        ctype += f"; charset={http_charset}"
+    http_lines = [f"HTTP/1.1 {status}", f"Content-Type: {ctype}"]
+    if accept_language is not None:
+        http_lines.append(f"Accept-Language: {accept_language}")
+    http_lines.append(f"Content-Length: {len(body)}")
+    http_block = ("\r\n".join(http_lines) + "\r\n\r\n").encode("ascii") + body
+    warc_headers = [
+        "WARC/1.0",
+        "WARC-Type: response",
+        f"WARC-Target-URI: {url}",
+        f"WARC-Date: {warc_date}",
+        f"WARC-Record-ID: {record_id}",
+        "Content-Type: application/http; msgtype=response",
+        f"Content-Length: {len(http_block)}",
+    ]
+    return (
+        ("\r\n".join(warc_headers) + "\r\n\r\n").encode("ascii")
+        + http_block
+        + b"\r\n\r\n"
+    )
+
+
+def write_warc_gz(path: str, records: list[dict]) -> None:
+    """Write records (dicts with build_record_bytes kwargs) as a
+    ``.warc.gz`` with ONE GZIP MEMBER PER RECORD — the Common Crawl layout
+    (lets record-level readers resynchronize mid-file)."""
+    os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
+    with open(path, "wb") as f:
+        for r in records:
+            f.write(gzip.compress(build_record_bytes(**r), mtime=0))
+
+
+# ---------------------------------------------------------------------------
+# parser
+# ---------------------------------------------------------------------------
+
+def _parse_headers(block: bytes) -> dict[str, str]:
+    """Case-insensitive header map from a CRLF header block (first line —
+    WARC/1.0 or the HTTP status line — skipped)."""
+    out: dict[str, str] = {}
+    for line in block.split(b"\r\n")[1:]:
+        if b":" in line:
+            k, _, v = line.partition(b":")
+            out[k.strip().lower().decode("latin-1")] = v.strip().decode(
+                "latin-1", "replace"
+            )
+    return out
+
+
+def _charset_of(content_type: str | None) -> str | None:
+    if not content_type:
+        return None
+    m = re.search(r"charset\s*=\s*\"?([^\s;\"]+)", content_type, re.I)
+    return m.group(1).lower() if m else None
+
+
+def iter_warc_records(data: bytes):
+    """Yield record dicts from (possibly multi-member) gzipped or plain
+    WARC bytes. Record framing per the WARC spec: header block to the first
+    CRLFCRLF, then exactly Content-Length payload bytes, then CRLFCRLF.
+
+    Matches the reference's iteration semantics (main.py:97): every record
+    in file order, no type filter — callers filter on ``warc_type`` if they
+    want responses only.
+    """
+    if data[:2] == b"\x1f\x8b":
+        data = gzip.GzipFile(fileobj=io.BytesIO(data)).read()
+    pos, n = 0, len(data)
+    while pos < n:
+        # resynchronize on the version line (tolerates stray separators)
+        start = data.find(b"WARC/", pos)
+        if start < 0:
+            return
+        hdr_end = data.find(b"\r\n\r\n", start)
+        if hdr_end < 0:
+            return
+        headers = _parse_headers(data[start:hdr_end])
+        try:
+            clen = int(headers.get("content-length", "0"))
+        except ValueError:
+            clen = 0
+        block = data[hdr_end + 4 : hdr_end + 4 + clen]
+        pos = hdr_end + 4 + clen
+
+        http_headers: dict[str, str] = {}
+        body = block
+        if "application/http" in headers.get("content-type", ""):
+            split = block.find(b"\r\n\r\n")
+            if split >= 0:
+                http_headers = _parse_headers(block[:split])
+                body = block[split + 4 :]
+        yield {
+            "warc_type": headers.get("warc-type"),
+            "url": headers.get("warc-target-uri"),
+            "warc_record_id": headers.get("warc-record-id"),
+            "warc_date": headers.get("warc-date"),
+            "content_length": headers.get("content-length"),
+            "http_charset": _charset_of(http_headers.get("content-type")),
+            "accept_language": http_headers.get("accept-language"),
+            "html": body,
+        }
+
+
+def _iter_with_fastwarc(data: bytes):  # pragma: no cover - lib absent here
+    """Delegate to the reference's exact WARC library when installed."""
+    from fastwarc.stream_io import GZipStream
+    from fastwarc.warc import ArchiveIterator
+
+    stream = (
+        GZipStream(io.BytesIO(data)) if data[:2] == b"\x1f\x8b"
+        else io.BytesIO(data)
+    )
+    for record in ArchiveIterator(stream):
+        hh = record.http_headers
+        yield {
+            "warc_type": str(record.record_type),
+            "url": record.headers.get("WARC-Target-URI"),
+            "warc_record_id": record.headers.get("WARC-Record-ID"),
+            "warc_date": record.headers.get("WARC-Date"),
+            "content_length": record.headers.get("Content-Length"),
+            "http_charset": record.http_charset,
+            "accept_language": hh.get("Accept-Language") if hh else None,
+            "html": record.reader.read(),
+        }
+
+
+def _have_fastwarc() -> bool:
+    try:  # pragma: no cover - lib absent in this sandbox
+        import fastwarc  # noqa: F401
+
+        return True
+    except ImportError:
+        return False
+
+
+def _parse_warc_date(s: str | None):
+    if not s:
+        return None
+    try:
+        dt = datetime.fromisoformat(s.replace("Z", "+00:00"))
+        return dt.astimezone(timezone.utc).replace(tzinfo=None)
+    except ValueError:
+        return None
+
+
+def segment_of(path: str) -> str:
+    """5-digit segment from the CC filename template (main.py:85), else the
+    basename without extensions."""
+    m = _SEG_RE.search(path)
+    if m:
+        return m.group(1)
+    base = os.path.basename(path)
+    return re.sub(r"\.warc(\.gz)?$", "", base)
+
+
+def warc_pages(spark, path, record_types: tuple[str, ...] = ("response",)):
+    """``.warc.gz`` files → pages DataFrame.
+
+    ``spark.read.format("binaryFile")`` gives (path, content) one row per
+    file; the record-splitting parse runs in ``mapInPandas`` — one Python
+    call per Arrow batch of files, vectorized output columns. Pass
+    ``record_types=None`` for the reference's unfiltered iteration.
+    """
+    raw = spark.read.format("binaryFile").load(path).select("path", "content")
+    use_fastwarc = _have_fastwarc()
+
+    def _parse(batches):
+        it = _iter_with_fastwarc if use_fastwarc else iter_warc_records
+        for pdf in batches:
+            rows = []
+            for fpath, content in zip(pdf["path"], pdf["content"]):
+                seg = segment_of(fpath)
+                for rec in it(bytes(content)):
+                    if record_types and rec["warc_type"] not in record_types:
+                        continue
+                    rows.append(
+                        (
+                            rec["url"],
+                            _parse_warc_date(rec["warc_date"]),
+                            rec["html"],
+                            rec["http_charset"],
+                            rec["accept_language"],
+                            rec["warc_record_id"],
+                            rec["content_length"],
+                            seg,
+                        )
+                    )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "url", "warc_ts", "html", "http_charset",
+                    "accept_language", "warc_record_id", "content_length",
+                    "segment",
+                ],
+            )
+
+    return raw.mapInPandas(_parse, WARC_PAGES_SCHEMA)
+
+
+# ---------------------------------------------------------------------------
+# deterministic fixture derived from the driver's documents table (lets the
+# DuckDB oracle recompute the expected parse output with plain SQL)
+# ---------------------------------------------------------------------------
+
+def write_fixture_from_documents(
+    sf_dir: str, out_dir: str, n_files: int = 8
+) -> str:
+    """Build ``{out_dir}/CC-MAIN-…-{i:05d}.warc.gz`` files from
+    ``{sf_dir}/documents.parquet`` (driver-side pyarrow read — no Spark).
+
+    Derivation is a pure function of (doc_id, text, lang) mirrored by
+    sql_warc_roundtrip_oracle; rows are sharded round-robin by doc_id so
+    every file is non-empty and the parse fans out over ``n_files`` tasks.
+    Idempotent per (sf_dir, n_files): re-written only if missing.
+    """
+    import pyarrow.parquet as pq
+
+    done = os.path.join(out_dir, "_DONE")
+    if os.path.exists(done):
+        return out_dir
+    t = pq.read_table(
+        os.path.join(sf_dir, "documents.parquet"),
+        columns=["doc_id", "text", "lang"],
+    ).to_pydict()
+    base = datetime(2023, 9, 21, 7, 37, 11, tzinfo=timezone.utc)
+    shards: list[list[dict]] = [[] for _ in range(n_files)]
+    for doc_id, text, lang in zip(t["doc_id"], t["text"], t["lang"]):
+        body = (text or "").encode("utf-8")
+        wd = (base + timedelta(seconds=int(doc_id))).strftime(
+            "%Y-%m-%dT%H:%M:%SZ"
+        )
+        rec = {
+            "url": f"https://w.example/doc/{doc_id}",
+            "body": body,
+            "warc_date": wd,
+            "record_id": "<urn:uuid:"
+            + hashlib.md5(f"warc:{doc_id}".encode()).hexdigest()
+            + ">",
+            "http_charset": "utf-8",
+            "accept_language": (
+                None if doc_id % 7 == 0 else f"{lang}-XX,{lang};q=0.9"
+            ),
+        }
+        shards[int(doc_id) % n_files].append(rec)
+    for i, recs in enumerate(shards):
+        write_warc_gz(
+            os.path.join(
+                out_dir,
+                f"CC-MAIN-20230921073711-20230921103711-{i:05d}.warc.gz",
+            ),
+            recs,
+        )
+    with open(done, "w") as f:
+        f.write("ok")
+    return out_dir
+
+
+def sql_warc_roundtrip_oracle(n_files: int = 8) -> str:
+    """DuckDB recomputation of warc_pages over the documents-derived
+    fixture: every field is the same pure function of (doc_id, text, lang)
+    the writer used. payload_len = HTTP body byte length (what
+    record.reader.read() returns, decoding.py:33)."""
+    return f"""
+SELECT concat('https://w.example/doc/', CAST(doc_id AS VARCHAR)) AS url,
+       TIMESTAMP '2023-09-21 07:37:11' + to_seconds(doc_id) AS warc_ts,
+       ('<urn:uuid:' || md5('warc:' || CAST(doc_id AS VARCHAR)) || '>')
+         AS warc_record_id,
+       'utf-8' AS http_charset,
+       CASE WHEN doc_id % 7 = 0 THEN NULL
+            ELSE concat(lang, '-XX,', lang, ';q=0.9') END AS accept_language,
+       CAST(octet_length(encode(coalesce(text, ''))) AS BIGINT)
+         AS payload_len,
+       lpad(CAST(doc_id % {n_files} AS VARCHAR), 5, '0') AS segment
+FROM documents
+"""
