@@ -393,9 +393,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["embedding_lsh_neighbors"] = embedding_lsh_neighbors
 
     # ---- reference end-to-end pipeline on synthetic pages (P1+P2+F1+L1-L5)
-    # No oracle: the decode/boilerplate UDF chain is not SQL-expressible;
-    # correctness is covered by tests/test_pipeline_parity.py against the
-    # sequential oracle (byte-identity + log-line parity).
+    # Oracle: the UDF chain is not SQL-expressible, so the oracle replays
+    # the same pure functions driver-side once into a golden parquet
+    # (sources/pages.py:write_golden_extract_parquet) that the DuckDB side
+    # reads — full rows+schema+value-hash comparison. Byte-identity is
+    # additionally covered by tests/test_pipeline_parity.py.
     def pages_extract_pipeline(spark, sf_dir):
         tune_session(spark)
         from language_diversity_common_crawler_spark.plans.pipeline import (
@@ -743,6 +745,19 @@ FROM documents d JOIN ({_PREDS_SQL}) p ON d.doc_id = p.doc_id
     from language_diversity_common_crawler_spark.sources import warc as _warc
 
     o["warc_ingest"] = _warc.sql_warc_roundtrip_oracle()
+
+    # pages_extract_pipeline: golden replay (driver runs correctness at
+    # sf0.01 → the query builds pages with n=500, seed=42; the golden
+    # parquet is the same deterministic generation + pure-python extract)
+    from language_diversity_common_crawler_spark.sources import pages as _pg
+
+    _golden = _pg.write_golden_extract_parquet(
+        "/tmp/ldcc_golden_extract_500_42.parquet", n=500, seed=42
+    )
+    o["pages_extract_pipeline"] = (
+        "SELECT url, segment, content, df_lang, li_lang, cld_lang "
+        f"FROM read_parquet('{_golden}')"
+    )
 
     o["frontier_canonicalize"] = _SEEDS_SQL
 

@@ -22,6 +22,7 @@ Charset matrix exercises every branch of the fallback chain
 
 from __future__ import annotations
 
+import os
 import random
 from datetime import datetime, timedelta, timezone
 
@@ -167,6 +168,48 @@ def pages_df(spark, n: int, seed: int = 42, n_partitions: int | None = None):
     if n_partitions:
         df = df.repartition(n_partitions)
     return df
+
+
+def write_golden_extract_parquet(path: str, n: int, seed: int = 42) -> str:
+    """Expected extract-pipeline output as a parquet file (driver-side
+    pyarrow — no Spark): for every page whose decode succeeds, the golden
+    ``content`` (the generator's byte-identity text) and the three
+    L4-normalized model predictions computed by the same pure functions the
+    UDFs run (langspec.predict_py; normalization per
+    language_identification_handler.py:37). This is the DuckDB oracle for
+    the ``pages_extract_pipeline`` driver query — the UDF chain itself is
+    not SQL-expressible, so the oracle replays it in Python once and the
+    comparison is against the materialized table. Idempotent per path."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from ..functions.langspec import MODELS, predict_py
+
+    if os.path.exists(path):
+        return path
+    cols: dict[str, list] = {
+        "url": [], "segment": [], "content": [],
+        "df_lang": [], "li_lang": [], "cld_lang": [],
+    }
+    for row in generate_pages(n, seed):
+        if row["text"] is None:  # F1 decode-drop
+            continue
+        langs = []
+        for m in MODELS:
+            lang, prec = predict_py(m, row["text"])
+            if lang == "unknown" or (lang == "un" and prec == 0.0):
+                lang = "un"
+            langs.append(lang)
+        cols["url"].append(row["url"])
+        cols["segment"].append(row["segment"])
+        cols["content"].append(row["text"])
+        cols["df_lang"].append(langs[0])
+        cols["li_lang"].append(langs[1])
+        cols["cld_lang"].append(langs[2])
+    tmp = path + ".tmp"
+    pq.write_table(pa.table(cols), tmp)
+    os.replace(tmp, path)
+    return path
 
 
 def write_pages(spark, path: str, n: int, seed: int = 42,
