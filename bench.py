@@ -110,13 +110,18 @@ def main() -> None:
 
     # Frontier crawl round: canonicalize + bloom-seen probe + robots +
     # politeness schedule over the orders-derived seed list; throughput in
-    # frontier URLs scheduled per second.
+    # frontier URLs scheduled per second. The seed list is replicated to
+    # ~40k URLs per core so the timing measures data throughput, not
+    # fixed stage overhead on near-empty partitions.
     from language_diversity_common_crawler_spark.frontier import crawl
 
-    crawl.bench_round(spark, SF_DIR)  # warm (codegen compile of the
-    # regex-heavy canonicalize + robots plans dwarfs the steady-state run)
+    n_orders = 150_000 if "0.1" in SF_DIR else 15_000
+    mult = max(1, -(-CPUS * 40_000 // n_orders))
+    # warm at mult=1 (codegen compile of the regex-heavy canonicalize +
+    # robots plans dwarfs a steady-state run)
+    crawl.bench_round(spark, SF_DIR)
     t0 = time.perf_counter()
-    n_seeds, n_scheduled = crawl.bench_round(spark, SF_DIR)
+    n_seeds, n_scheduled = crawl.bench_round(spark, SF_DIR, mult=mult)
     dt = time.perf_counter() - t0
     timings["frontier_crawl_round"] = round(dt, 4)
     frontier_urls_per_sec = round(n_seeds / dt, 1)

@@ -138,6 +138,38 @@ def merge_bloom(a: DataFrame, b: DataFrame) -> DataFrame:
     return a.unionByName(b).groupBy("part_id").applyInPandas(_merge, BLOOM_SCHEMA)
 
 
+def bloom_stats(bloom: DataFrame) -> DataFrame:
+    """Per-partition filter health: (part_id, n_keys, fill_ratio, est_fpp).
+
+    ``est_fpp = fill_ratio ** n_hashes`` (probability all k probed bits are
+    set). Surfaced into each round's metrics snapshot so operators see the
+    seen-set saturating BEFORE false positives start silently dropping
+    genuinely-new URLs — the signal to re-shard with more/bigger
+    partitions."""
+
+    def _stats(batches):
+        for pdf in batches:
+            rows = []
+            for part_id, bits, n_bits, n_hashes, n_keys in zip(
+                pdf["part_id"], pdf["bits"], pdf["n_bits"],
+                pdf["n_hashes"], pdf["n_keys"],
+            ):
+                arr = np.frombuffer(bits, dtype=np.uint8)
+                fill = float(np.unpackbits(arr).sum()) / float(n_bits)
+                rows.append(
+                    (int(part_id), int(n_keys), fill, fill ** int(n_hashes))
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=["part_id", "n_keys", "fill_ratio", "est_fpp"],
+            )
+
+    return bloom.mapInPandas(
+        _stats,
+        "part_id int, n_keys long, fill_ratio double, est_fpp double",
+    )
+
+
 def probe_bloom(
     candidates: DataFrame,
     bloom: DataFrame,

@@ -17,6 +17,7 @@ oracle validates values exactly. Shingle hashes are 60-bit md5 (hashing.py).
 
 from __future__ import annotations
 
+from pyspark import StorageLevel
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
@@ -195,10 +196,14 @@ def lsh_candidate_pairs(sigs: DataFrame, id_col: str = "doc_id",
     Shuffles on the band hash (uniform by construction; no skew salting
     needed unless many identical docs — AQE skew-join covers that)."""
     stack_args = ", ".join(f"{b}, band{b}" for b in range(n_bands))
+    # persist the (tiny: id + band keys) stacked relation: the self-join's
+    # two sides would otherwise EACH recompute the full signature lineage
+    # (shingle md5 pass included) — Spark does not reuse the exchange when
+    # the sides' output names differ. ContextCleaner unpersists on GC.
     stacked = sigs.select(
         F.col(id_col),
         F.expr(f"stack({n_bands}, {stack_args}) AS (bi, bk)"),
-    ).filter(F.col("bk").isNotNull())
+    ).filter(F.col("bk").isNotNull()).persist(StorageLevel.MEMORY_AND_DISK)
     left = stacked.select(F.col(id_col).alias("a"), "bi", "bk")
     right = stacked.select(F.col(id_col).alias("b"), "bi", "bk")
     return (
@@ -223,6 +228,9 @@ def jaccard_verified_pairs(
     Scale shape: ``pairs`` is tiny relative to ``docs`` (LSH already
     pruned), so the two joins broadcast the pair list and the shingle
     arrays are computed only for docs that appear in some pair."""
+    # pairs is referenced three times below (need-a, need-b, final join)
+    # and is itself the whole LSH pipeline — persist it once
+    pairs = pairs.persist(StorageLevel.MEMORY_AND_DISK)
     toks = docs.select(
         F.col(id_col), F.expr(tokens_expr(text_col, "spark")).alias("__toks")
     )
@@ -235,7 +243,9 @@ def jaccard_verified_pairs(
     need = pairs.select(F.col("a").alias(id_col)).union(
         pairs.select(F.col("b").alias(id_col))
     ).distinct()
-    sh = sh.join(F.broadcast(need), id_col)
+    # the pruned shingle arrays feed both the a-side and b-side joins —
+    # persist so the shingle computation runs once
+    sh = sh.join(F.broadcast(need), id_col).persist(StorageLevel.MEMORY_AND_DISK)
     a = sh.select(F.col(id_col).alias("a"), F.col("__sh").alias("__sha"))
     b = sh.select(F.col(id_col).alias("b"), F.col("__sh").alias("__shb"))
     joined = pairs.join(a, "a").join(b, "b")
@@ -316,9 +326,11 @@ def simhash_near_dup_pairs(
             "8-band/60-bit SimHash banding only guarantees recall for "
             f"max_hamming <= 7, got {max_hamming}"
         )
+    # persist the (id, fingerprint) relation: both join sides read it, and
+    # without the cache each would rerun the per-token md5 + bit votes
     sigs = simhash60(docs.select(id_col, text_col)).select(
         id_col, "simhash60"
-    )
+    ).persist(StorageLevel.MEMORY_AND_DISK)
     keys = _simhash_band_keys()
     bands = ", ".join(f"{b}, {k}" for b, k in enumerate(keys))
     banded = sigs.select(

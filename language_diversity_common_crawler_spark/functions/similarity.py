@@ -19,9 +19,12 @@ Scale path:
 
 from __future__ import annotations
 
+from pyspark import StorageLevel
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
+
+from .hashing import md5_60
 
 DIM = 64
 QUANT = 1000000.0
@@ -69,14 +72,65 @@ def cosine_expr(a: str, b: str, dialect: str) -> str:
     return f"round(({dot}) / sqrt(({na}) * ({nb})), 6)"
 
 
-def sign_bucket_expr(arr: str, dialect: str, bits: int = 4) -> str:
-    """LSH bucket: sign bits of the first `bits` components."""
-    parts = []
-    for i in range(1, bits + 1):
-        comp = (f"{arr}[{i}]" if dialect == "duckdb"
-                else f"element_at({arr}, {i})")
-        parts.append(f"(CASE WHEN {comp} > 0 THEN {1 << (i - 1)} ELSE 0 END)")
-    return "CAST(" + " + ".join(parts) + " AS BIGINT)"
+# --- random-hyperplane LSH geometry -----------------------------------------
+# Signed random projections (Charikar '02): bit_j = sign(<v, h_j>), banded
+# OR-construction over N_LSH_BANDS bands of LSH_BITS_PER_BAND bits. At
+# corpus scale the bucket count per band must grow with n — raise
+# LSH_BITS_PER_BAND (16-24 for 10^9 vectors); 8 bits/band keeps the
+# sandbox's sf0.01 buckets non-degenerate. Hyperplane components are ±1
+# from a fixed LCG, embedded as SQL literals so Spark and the DuckDB
+# oracle compute bit-identical buckets (dot products are exact-integer
+# after the shared 1e6 quantization).
+N_LSH_BANDS = 4
+LSH_BITS_PER_BAND = 8
+
+
+def _hyperplanes(n: int, dim: int = DIM, seed: int = 0x5EED) -> list[list[int]]:
+    """n deterministic ±1 hyperplanes (LCG-derived, no numpy global
+    state)."""
+    state = seed & 0x7FFFFFFF
+    out = []
+    for _ in range(n):
+        row = []
+        for _ in range(dim):
+            state = (1103515245 * state + 12345) & 0x7FFFFFFF
+            row.append(1 if (state >> 16) & 1 else -1)
+        out.append(row)
+    return out
+
+
+def _dot_literal(qv: str, plane: list[int], dialect: str) -> str:
+    """<quantized-vector, ±1 literal hyperplane> — exact integer sum held
+    in doubles, identical in both engines."""
+    lits = ", ".join(str(x) for x in plane)
+    if dialect == "duckdb":
+        return (
+            f"list_sum(list_transform(generate_series(1, {len(plane)}), "
+            f"i -> ({qv})[i] * ([{lits}])[i]))"
+        )
+    return (
+        f"aggregate(zip_with({qv}, array({lits}), (x, y) -> x * y), "
+        f"CAST(0.0 AS DOUBLE), (acc, v) -> acc + v)"
+    )
+
+
+def rh_band_key_exprs(
+    qv: str,
+    dialect: str,
+    n_bands: int = N_LSH_BANDS,
+    bits_per_band: int = LSH_BITS_PER_BAND,
+) -> list[str]:
+    """One bucket-key expression per band over a QUANTIZED vector column:
+    key = Σ_j (dot(qv, h_j) > 0) << j within the band's hyperplane group."""
+    planes = _hyperplanes(n_bands * bits_per_band)
+    out = []
+    for b in range(n_bands):
+        bits = []
+        for j in range(bits_per_band):
+            d = _dot_literal(qv, planes[b * bits_per_band + j], dialect)
+            bits.append(f"(CASE WHEN ({d}) > 0 THEN {1 << j} ELSE 0 END)")
+        out.append("CAST(" + " + ".join(bits) + " AS BIGINT)")
+    return out
 
 
 def quantized_with_norm(
@@ -160,50 +214,87 @@ SELECT q_id, n_id, rank, cosine FROM (
 def lsh_bucketed_neighbors(
     emb: DataFrame, id_col: str = "vec_id", vec_col: str = "embedding",
     min_cosine: float = 0.0,
+    n_bands: int = N_LSH_BANDS,
+    bits_per_band: int = LSH_BITS_PER_BAND,
 ) -> DataFrame:
-    """Candidate pairs within the same sign-bucket + their exact cosine.
-    The self-join shuffles on the bucket key only."""
+    """Near-neighbor candidate pairs from banded random-hyperplane LSH +
+    their exact cosine (distinct pairs — a pair colliding in several bands
+    is emitted once).
+
+    Plan shape: quantize + hash once per row (map), stack band keys, self-
+    join per (band, key) — the shuffle key is the band bucket, never the
+    vector; per-band collision probability for angle θ is (1 - θ/π)^bits,
+    so candidate volume is dialed by bits_per_band independent of corpus
+    size (raise it as n grows)."""
+    keys = rh_band_key_exprs("qv", "spark", n_bands, bits_per_band)
     base = emb.select(
         F.col(id_col).alias("id"),
         F.expr(
             f"transform({vec_col}, x -> round(CAST(x AS DOUBLE) * {QUANT}, 0))"
         ).alias("qv"),
-        F.expr(sign_bucket_expr(vec_col, "spark")).alias("bucket"),
     ).withColumn(
         "norm",
         F.expr("aggregate(qv, CAST(0.0 AS DOUBLE), (acc, v) -> acc + v * v)"),
     )
-    left = base.select(F.col("id").alias("a"), F.col("qv").alias("qa"),
-                       F.col("norm").alias("na"), "bucket")
-    right = base.select(F.col("id").alias("b"), F.col("qv").alias("qb"),
-                        F.col("norm").alias("nb"), "bucket")
+    stack_args = ", ".join(f"{b}, {k}" for b, k in enumerate(keys))
+    # persist: both self-join sides read the hashed relation; without the
+    # cache each side reruns the 32 hyperplane dot products per row
+    banded = base.select(
+        "id", "qv", "norm",
+        F.expr(f"stack({n_bands}, {stack_args}) AS (band, bk)"),
+    ).persist(StorageLevel.MEMORY_AND_DISK)
+    left = banded.select(F.col("id").alias("a"), F.col("qv").alias("qa"),
+                         F.col("norm").alias("na"), "band", "bk")
+    right = banded.select(F.col("id").alias("b"), F.col("qv").alias("qb"),
+                          F.col("norm").alias("nb"), "band", "bk")
     cosine = F.round(
         _dot("qa", "qb") / F.sqrt(F.col("na") * F.col("nb")), 6
     )
     return (
-        left.join(right, "bucket")
+        left.join(right, ["band", "bk"])
         .filter(F.col("a") < F.col("b"))
         .withColumn("cosine", cosine)
         .filter(F.col("cosine") >= min_cosine)
-        .select("bucket", "a", "b", "cosine")
+        .select("a", "b", "cosine")
+        .distinct()
     )
 
 
-N_IVF_CELLS = 8
-N_PROBE = 2
+N_IVF_CELLS = 16
+N_PROBE = 4
+
+
+def ivf_centroids(
+    emb: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_cells: int = N_IVF_CELLS,
+) -> DataFrame:
+    """Deterministic hash-sampled centroids: the ``n_cells`` vectors with
+    the smallest md5-60 of 'ivf:<id>' — an unbiased uniform sample that the
+    DuckDB oracle reproduces exactly (ORDER BY hash LIMIT n). This is the
+    standard sample-initialization of IVF without the k-means refinement
+    (centroid *quality* is orthogonal to the distributed plan: either way
+    the centroid table is tiny, broadcast, and the corpus is assigned in
+    one map pass; swap in k-means|| output for production recall)."""
+    h = md5_60(F.concat(F.lit("ivf:"), F.col(id_col).cast("string")))
+    return (
+        emb.select(id_col, vec_col)
+        .withColumn("__h", h)
+        .orderBy("__h", id_col)
+        .limit(n_cells)
+        .drop("__h")
+    )
 
 
 def ivf_assign(
-    emb: DataFrame, id_col: str = "vec_id", vec_col: str = "embedding"
+    emb: DataFrame, id_col: str = "vec_id", vec_col: str = "embedding",
+    n_cells: int = N_IVF_CELLS,
 ) -> DataFrame:
-    """IVF cell assignment: nearest of N_IVF_CELLS centroids by cosine.
-
-    Centroids are DETERMINISTIC — the vectors with ids 0..N-1 (data-derived,
-    reproducible in the DuckDB oracle; a production build would k-means a
-    sample and broadcast the result — the plan shape is identical: tiny
-    broadcast cross join + per-row argmax, no shuffle of the corpus)."""
+    """IVF cell assignment: nearest of ``n_cells`` centroids by cosine —
+    tiny broadcast cross join + per-row argmax, no shuffle of the corpus."""
     cents = quantized_with_norm(
-        emb.filter(F.col(id_col) < N_IVF_CELLS), id_col, vec_col, "c"
+        ivf_centroids(emb, id_col, vec_col, n_cells), id_col, vec_col, "c"
     )
     vecs = quantized_with_norm(emb, id_col, vec_col, "v")
     cos = F.round(
@@ -229,14 +320,18 @@ def ivf_topk(
     k: int = 10,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    n_cells: int = N_IVF_CELLS,
+    n_probe: int = N_PROBE,
 ) -> DataFrame:
-    """IVF search: probe the N_PROBE nearest cells per query, brute-force
-    only within them. The corpus is scanned once for assignment; the
-    scored join touches ~N_PROBE/N_IVF_CELLS of the corpus per query —
-    the recall/throughput dial of a classic IVF index."""
-    assigned = ivf_assign(emb, id_col, vec_col)
+    """IVF search: probe the ``n_probe`` nearest cells per query, brute-
+    force only within them. The corpus is scanned once for assignment; the
+    scored join touches ~n_probe/n_cells of the corpus per query — the
+    recall/throughput dial of a classic IVF index (size n_cells ~ sqrt(n)
+    at scale; tests/test_similarity.py pins recall >= 0.9 vs brute force
+    at this default dial)."""
+    assigned = ivf_assign(emb, id_col, vec_col, n_cells)
     cents = quantized_with_norm(
-        emb.filter(F.col(id_col) < N_IVF_CELLS), id_col, vec_col, "c"
+        ivf_centroids(emb, id_col, vec_col, n_cells), id_col, vec_col, "c"
     )
     queries = quantized_with_norm(
         emb.filter(F.col(id_col).isin(query_ids)), id_col, vec_col, "q"
@@ -249,7 +344,7 @@ def ivf_topk(
         queries.crossJoin(F.broadcast(cents))
         .withColumn("__qc", qcos)
         .withColumn("__rk", F.row_number().over(wq))
-        .filter(F.col("__rk") <= N_PROBE)
+        .filter(F.col("__rk") <= n_probe)
         .select("q_id", "q_q", "q_norm", F.col("c_id").alias("ivf_cell"))
     )
     cand = assigned.join(
@@ -271,14 +366,23 @@ def _sql_cos(a: str, b: str) -> str:
     return cosine_expr(a, b, "duckdb")
 
 
-def sql_ivf_topk(table: str, query_ids: list[int], k: int = 10) -> str:
+def sql_ivf_topk(
+    table: str,
+    query_ids: list[int],
+    k: int = 10,
+    n_cells: int = N_IVF_CELLS,
+    n_probe: int = N_PROBE,
+) -> str:
+    from .hashing import sql_md5_60
+
     ids = ", ".join(str(i) for i in query_ids)
     assign_cos = _sql_cos("v.embedding", "c.embedding")
     q_cos = _sql_cos("q.embedding", "c.embedding")
     pair_cos = _sql_cos("q.embedding", "v.embedding")
+    cent_hash = sql_md5_60("concat('ivf:', CAST(vec_id AS VARCHAR))")
     return f"""
 WITH cents AS (SELECT vec_id AS c_id, embedding FROM {table}
-               WHERE vec_id < {N_IVF_CELLS}),
+               ORDER BY {cent_hash}, vec_id LIMIT {n_cells}),
 assigned AS (
   SELECT vec_id, c_id AS ivf_cell FROM (
     SELECT v.vec_id, c.c_id, {assign_cos} AS cc,
@@ -291,7 +395,7 @@ probe AS (
            row_number() OVER (PARTITION BY q.vec_id
                               ORDER BY {q_cos} DESC, c.c_id ASC) AS rk
     FROM {table} q, cents c WHERE q.vec_id IN ({ids}))
-  WHERE rk <= {N_PROBE}),
+  WHERE rk <= {n_probe}),
 cand AS (
   SELECT p.q_id, a.vec_id AS n_id
   FROM probe p JOIN assigned a ON a.ivf_cell = p.ivf_cell
@@ -307,12 +411,30 @@ SELECT q_id, n_id, rank, cosine FROM (
 """
 
 
-def sql_lsh_bucketed_neighbors(table: str, min_cosine: float = 0.0) -> str:
-    bucket = sign_bucket_expr("embedding", "duckdb")
+def sql_lsh_bucketed_neighbors(
+    table: str,
+    min_cosine: float = 0.0,
+    n_bands: int = N_LSH_BANDS,
+    bits_per_band: int = LSH_BITS_PER_BAND,
+) -> str:
+    keys = rh_band_key_exprs("qv", "duckdb", n_bands, bits_per_band)
+    band_ids = ", ".join(str(b) for b in range(n_bands))
+    band_keys = ", ".join(keys)
     cos = cosine_expr("l.embedding", "r.embedding", "duckdb")
     return f"""
-WITH wb AS (SELECT vec_id, embedding, {bucket} AS bucket FROM {table})
-SELECT l.bucket AS bucket, l.vec_id AS a, r.vec_id AS b, {cos} AS cosine
-FROM wb l JOIN wb r ON l.bucket = r.bucket AND l.vec_id < r.vec_id
+WITH q AS (
+  SELECT vec_id, embedding,
+         list_transform(embedding,
+                        x -> round(CAST(x AS DOUBLE) * {QUANT}, 0)) AS qv
+  FROM {table}),
+banded AS (
+  SELECT vec_id, embedding, band, bk FROM (
+    SELECT vec_id, embedding,
+           unnest([{band_ids}]) AS band,
+           unnest([{band_keys}]) AS bk
+    FROM q))
+SELECT DISTINCT l.vec_id AS a, r.vec_id AS b, {cos} AS cosine
+FROM banded l JOIN banded r ON l.band = r.band AND l.bk = r.bk
+  AND l.vec_id < r.vec_id
 WHERE {cos} >= {min_cosine}
 """

@@ -36,6 +36,16 @@ def get_spark(
         # 2x cores is a good local default; AQE coalesces down afterwards.
         shuffle_partitions = max(2 * cpus, 8)
 
+    # Shuffle/spill scratch on tmpfs when available: each executor on a
+    # real cluster has its own local SSD; in this single-box sandbox all
+    # "executors" would otherwise contend on one system disk, which
+    # understates shuffle-stage scaling. RAM-disk scratch is the faithful
+    # per-executor-local-disk stand-in (126 GiB /dev/shm >> shuffle sizes
+    # here). Override with $SPARK_GRAFT_LOCAL_DIR.
+    local_dir = os.environ.get("SPARK_GRAFT_LOCAL_DIR")
+    if local_dir is None and os.path.isdir("/dev/shm"):
+        local_dir = "/dev/shm/ldcc-spark-local"
+
     builder = (
         SparkSession.builder.master(f"local[{cpus}]")
         .appName(app_name)
@@ -51,6 +61,8 @@ def get_spark(
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
         .config("spark.ui.enabled", "false")
     )
+    if local_dir:
+        builder = builder.config("spark.local.dir", local_dir)
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)
     return builder.getOrCreate()

@@ -262,7 +262,7 @@ def test_crawl_matches_sequential_oracle(spark, tmp_path):
 
     got_seen = {
         r["url_canon"]
-        for r in crawl.read_seen(spark, ckpt, crawl.latest_round(ckpt)).collect()
+        for r in crawl.read_seen(spark, ckpt, crawl.latest_round(spark, ckpt)).collect()
     }
     assert got_seen == oc.seen
 
@@ -273,7 +273,7 @@ def test_resume_mid_crawl(spark, tmp_path):
 
     # simulate a crash mid-round-3: partial output, no manifest
     os.makedirs(os.path.join(ckpt, "rounds", "r=0003", "scheduled"), exist_ok=True)
-    assert crawl.latest_round(ckpt) == 2
+    assert crawl.latest_round(spark, ckpt) == 2
 
     # resume: rounds 3..4 from the committed snapshot
     _spark_run(spark, ckpt, 2, start=False)
@@ -302,6 +302,10 @@ def test_crawl_metrics_lineage(spark, tmp_path):
     with open(os.path.join(ckpt, "MANIFEST-0001.json")) as f:
         man = json.load(f)
     assert sum(r["n_new"] for r in rows) == man["n_new"]
+    # bloom health surfaced per partition: sane fill ratio and fpp estimate
+    assert all(0.0 < r["fill_ratio"] < 1.0 for r in rows)
+    assert all(0.0 <= r["est_fpp"] < 0.5 for r in rows)
+    assert all(r["bloom_keys"] > 0 for r in rows)
 
 
 def test_robots_group_boundaries_and_longest_match(spark):

@@ -111,6 +111,30 @@ def test_parity_log_file(tmp_path, preds, oracle):
     assert lines[1:] == oracle.log_lines
 
 
+def test_dat_writer_matches_awk_equivalent(tmp_path, preds, oracle):
+    """W5: the .dat artifact equals the awk transliteration applied to the
+    ACTUAL parity log text, and chunk files replicate the header per 10
+    data rows (fasrawc_generetate_graph_comparaison.sh:14-21)."""
+    from language_diversity_common_crawler_spark.operators import histogram
+    from language_diversity_common_crawler_spark.sinks import dat
+
+    hist = histogram.language_histogram(preds)
+    got = dat.histogram_dat_lines(hist)
+    want = dat.awk_equivalent_dat_lines(oracle.log_lines)
+    assert got == want
+
+    paths = dat.write_dat(hist, str(tmp_path), "seg", chunk_size=3)
+    full = open(paths[0], encoding="utf-8").read().splitlines()
+    assert full == got
+    reassembled = [got[0]]
+    for p in paths[1:]:
+        lines = open(p, encoding="utf-8").read().splitlines()
+        assert lines[0] == dat.DAT_HEADER
+        assert 1 <= len(lines) <= 4
+        reassembled.extend(lines[1:])
+    assert reassembled == got
+
+
 def test_segment_filter_prunes(spark):
     df = pages.pages_df(spark, N, seed=42)
     seg_preds = extract_pipeline(df, segment="00001")

@@ -84,11 +84,11 @@ def main() -> None:
     if args.robots:
         rules = robots_mod.rules_from_bodies(spark.read.parquet(args.robots))
 
-    if crawl.latest_round(args.ckpt) is None:
+    if crawl.latest_round(spark, args.ckpt) is None:
         crawl.init_crawl(spark, seeds, args.ckpt)
         print(f"initialized frontier at {args.ckpt}")
     else:
-        print(f"resuming from round {crawl.latest_round(args.ckpt)}")
+        print(f"resuming from round {crawl.latest_round(spark, args.ckpt)}")
 
     for _ in range(args.rounds):
         m = crawl.run_round(spark, args.ckpt, budget=args.budget, rules=rules)
