@@ -223,7 +223,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["segment_union_counts"] = segment_union_counts
 
     # F2 offset skip (cc_fastwarc.py:89-90 — the reference's buggy version
-    # never increments; we implement the intended semantics)
+    # never increments; we implement the intended semantics). Scale note:
+    # total-order pagination is inherently a single-point operation — the
+    # unpartitioned window is the honest plan for the small result sets F2
+    # is used on (SURVEY §2.4: not needed at scale; partition pruning or a
+    # pre-computed ordering column + range filter replaces it there).
     def offset_skip(spark, sf_dir):
         tune_session(spark)
         w = Window.orderBy("doc_id")

@@ -59,6 +59,7 @@ HEADLINE = [
     "frontier_politeness_schedule",
     "frontier_robots_filter",
     "media_decode_stats",
+    "warc_ingest",
 ]
 
 
@@ -101,6 +102,14 @@ def main() -> None:
     # Warm the JVM + Arrow path once so per-query numbers measure the
     # queries, not session startup.
     qs["lang_predictions"](spark, SF_DIR.replace("0.1", "0.001")).count()
+
+    # Pre-build the warc_ingest fixture files so the timed run measures the
+    # binaryFile + record-splitting parse, not the one-time fixture write.
+    from language_diversity_common_crawler_spark.sources import warc as _warc
+
+    _warc.write_fixture_from_documents(
+        SF_DIR, f"/tmp/ldcc_warc_{os.path.basename(SF_DIR.rstrip('/'))}"
+    )
 
     for name in HEADLINE:
         fn = qs[name]
