@@ -47,12 +47,10 @@ def py_canonicalize(url: str) -> str:
     host = re.sub(r":(443|80)$", "", m.group(2).lower())
     pathq = m.group(3)
     p = _DOTSEG.sub("/", pathq)
-    # tracking-param strip: EXACTLY 3 iterations of the mid+trailing pair,
-    # mirroring urlgen._strip_tracking (fixed iteration count is part of
-    # the cross-engine contract)
-    for _ in range(3):
-        p = re.sub(r"([?&])(utm_[a-z]+|ref)=[^&#]*&", r"\1", p)
-        p = re.sub(r"[?&](utm_[a-z]+|ref)=[^&#]*$", "", p)
+    # tracking-param strip: run-collapsing mid pass + single trailing pass,
+    # mirroring urlgen._TRACK_MID/_TRACK_TAIL (the cross-engine contract)
+    p = re.sub(r"([?&])((?:utm_[a-z]+|ref)=[^&#]*&)+", r"\1", p)
+    p = re.sub(r"[?&](utm_[a-z]+|ref)=[^&#]*$", "", p)
     p = re.sub(r"[?&]$", "", p)
     return f"{scheme}://{host}{p if p else '/'}"
 

@@ -47,21 +47,27 @@ def synthetic_url_expr(dialect: str) -> str:
     )
 
 
+# Tracking-param strip in TWO passes (cross-engine contract — mirrored in
+# oracle.py_canonicalize):
+#   pass 1 collapses any RUN of tracked params that is followed by a kept
+#          param: '([?&])((?:utm_x=..&)+' -> separator — RE2 has no
+#          lookbehind, so the separator is captured and re-emitted;
+#   pass 2 drops the (now necessarily single) trailing tracked param.
+# Run-collapsing makes one application complete for arbitrarily long runs
+# (the old fixed-3-iteration pair cost 6 regex passes per URL — at 10^10
+# URLs the canonicalize map is memory-bandwidth-bound, so passes are the
+# unit of cost).
+_TRACK_MID = r"([?&])((?:utm_[a-z]+|ref)=[^&#]*&)+"
+_TRACK_TAIL = r"[?&](utm_[a-z]+|ref)=[^&#]*$"
+
+
 def _strip_tracking(expr: str, dialect: str) -> str:
-    """Remove utm_*/ref params ANYWHERE in the query string. RE2 (DuckDB)
-    has no lookbehind, so the mid-string pattern captures the preceding
-    separator and re-emits it; one pass cannot remove two consecutive
-    tracked params (the separator between them is consumed), so the
-    mid+trailing pair applies a FIXED 3 times — handles runs of up to ~4
-    consecutive tracked params, identically in Spark / DuckDB / the Python
-    oracle (which iterates exactly 3 times too)."""
+    """Remove utm_*/ref params ANYWHERE in the query string — identical in
+    Spark / DuckDB / the Python oracle."""
     g = g_flag(dialect)
     br = "'$1'" if dialect == "spark" else "'\\1'"
-    e = expr
-    for _ in range(3):
-        e = f"regexp_replace({e}, '([?&])(utm_[a-z]+|ref)=[^&#]*&', {br}{g})"
-        e = f"regexp_replace({e}, '[?&](utm_[a-z]+|ref)=[^&#]*$', ''{g})"
-    return e
+    e = f"regexp_replace({expr}, '{_TRACK_MID}', {br}{g})"
+    return f"regexp_replace({e}, '{_TRACK_TAIL}', ''{g})"
 
 
 def canonicalize_expr(url: str, dialect: str) -> str:

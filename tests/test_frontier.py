@@ -386,6 +386,14 @@ def test_canonicalize_mid_url_tracking_params():
         oracle.py_canonicalize("https://h.ex/p?utm_source=x&id=5")
         == "https://h.ex/p?id=5"
     )
+    # arbitrarily long runs of consecutive tracked params collapse in one
+    # pass (the run-collapsing _TRACK_MID contract)
+    run = "&".join(f"utm_p{chr(97 + i)}=v" for i in range(6))
+    assert (
+        oracle.py_canonicalize(f"https://h.ex/p?{run}&id=5&ref=z")
+        == "https://h.ex/p?id=5"
+    )
+    assert oracle.py_canonicalize(f"https://h.ex/p?{run}") == "https://h.ex/p"
     assert (
         oracle.py_canonicalize("https://h.ex/p?id=1&utm_a=2&utm_b=3&ref=4")
         == "https://h.ex/p?id=1"
