@@ -409,8 +409,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
         from language_diversity_common_crawler_spark.sources import pages as pg
 
-        n = 2000 if "0.1" in sf_dir else 500
-        df = pg.pages_df(spark, n, seed=42, n_partitions=16)
+        # fixed n=500/seed=42 at every sf: the oracle is the matching
+        # golden replay parquet (extract THROUGHPUT at scale is measured
+        # separately by bench.py's _extract_over_parquet, not here)
+        df = pg.pages_df(spark, 500, seed=42, n_partitions=16)
         return extract_pipeline(df).select(
             "url", "segment", "content", "df_lang", "li_lang", "cld_lang"
         )

@@ -126,9 +126,10 @@ def main() -> None:
 
     n_orders = 150_000 if "0.1" in SF_DIR else 15_000
     mult = max(1, -(-CPUS * 40_000 // n_orders))
-    # warm at mult=1 (codegen compile of the regex-heavy canonicalize +
-    # robots plans dwarfs a steady-state run)
-    crawl.bench_round(spark, SF_DIR)
+    # warm at the SAME mult (same plan shape): the crossJoin-expanded plan
+    # codegen-compiles differently from mult=1, and the regex-heavy
+    # canonicalize compile dwarfs a steady-state run
+    crawl.bench_round(spark, SF_DIR, mult=mult)
     t0 = time.perf_counter()
     n_seeds, n_scheduled = crawl.bench_round(spark, SF_DIR, mult=mult)
     dt = time.perf_counter() - t0

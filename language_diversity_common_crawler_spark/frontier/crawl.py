@@ -262,6 +262,14 @@ def run_round(
         lineage = lineage.join(bstats, "part_id", "full_outer").withColumn(
             "n_new", F.coalesce(F.col("n_new"), F.lit(0))
         )
+    else:
+        # keep the metrics schema stable across use_bloom settings (the
+        # Iceberg backend writes into a fixed-schema table)
+        lineage = (
+            lineage.withColumn("bloom_keys", F.lit(None).cast("bigint"))
+            .withColumn("fill_ratio", F.lit(None).cast("double"))
+            .withColumn("est_fpp", F.lit(None).cast("double"))
+        )
     st.write(lineage.withColumn("round", F.lit(k)), k, "metrics")
 
     next_frontier = frontier.join(

@@ -60,4 +60,6 @@ def write_text(spark: SparkSession, path: str, text: str) -> None:
         stream.close()
     if fs.exists(p):
         fs.delete(p, False)
-    fs.rename(tmp, p)
+    # Hadoop rename reports most failures by returning false, not raising
+    if not fs.rename(tmp, p):
+        raise IOError(f"rename {tmp} -> {p} failed; commit marker not written")

@@ -157,6 +157,12 @@ class IcebergStateBackend:
         return None if row["r"] is None else int(row["r"])
 
     def write_manifest(self, k: int, manifest: dict) -> None:
+        # replace-not-append: a re-run of an already-committed round (e.g.
+        # init_crawl retried after a crash that followed the append) must
+        # not leave duplicate manifest rows for the round
+        self.spark.sql(
+            f"DELETE FROM {self.db}.manifest WHERE round = {int(k)}"
+        )
         self.spark.createDataFrame(
             [(
                 int(manifest["round"]),

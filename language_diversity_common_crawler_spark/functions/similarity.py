@@ -290,10 +290,13 @@ def ivf_centroids(
 def ivf_assign(
     emb: DataFrame, id_col: str = "vec_id", vec_col: str = "embedding",
     n_cells: int = N_IVF_CELLS,
+    cents_q: DataFrame | None = None,
 ) -> DataFrame:
     """IVF cell assignment: nearest of ``n_cells`` centroids by cosine —
-    tiny broadcast cross join + per-row argmax, no shuffle of the corpus."""
-    cents = quantized_with_norm(
+    tiny broadcast cross join + per-row argmax, no shuffle of the corpus.
+    ``cents_q``: pre-quantized centroids (prefix 'c') to reuse across
+    stages; computed here when absent."""
+    cents = cents_q if cents_q is not None else quantized_with_norm(
         ivf_centroids(emb, id_col, vec_col, n_cells), id_col, vec_col, "c"
     )
     vecs = quantized_with_norm(emb, id_col, vec_col, "v")
@@ -329,10 +332,12 @@ def ivf_topk(
     recall/throughput dial of a classic IVF index (size n_cells ~ sqrt(n)
     at scale; tests/test_similarity.py pins recall >= 0.9 vs brute force
     at this default dial)."""
-    assigned = ivf_assign(emb, id_col, vec_col, n_cells)
+    # centroid selection is a full-corpus hash + top-N — compute/persist it
+    # ONCE and feed both the assignment and the query-probe stages
     cents = quantized_with_norm(
         ivf_centroids(emb, id_col, vec_col, n_cells), id_col, vec_col, "c"
-    )
+    ).persist(StorageLevel.MEMORY_AND_DISK)
+    assigned = ivf_assign(emb, id_col, vec_col, n_cells, cents_q=cents)
     queries = quantized_with_norm(
         emb.filter(F.col(id_col).isin(query_ids)), id_col, vec_col, "q"
     )

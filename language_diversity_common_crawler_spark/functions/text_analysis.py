@@ -158,11 +158,14 @@ def simhash60_from_hashes(th: str, dialect: str) -> str:
         f"(acc, h) -> zip_with(acc, sequence(0, {n - 1}), "
         f"(c, b) -> c + (CASE WHEN (h >> b) % 2 = 1 THEN 1 ELSE -1 END)))"
     )
+    # coalesce: NULL text propagates a NULL array through the aggregates,
+    # but the DuckDB per-bit formula sums 60 CASE..ELSE 0 branches to 0 —
+    # pin the Spark value to the same 0 fingerprint
     return (
-        f"aggregate(zip_with({counts}, sequence(0, {n - 1}), "
+        f"coalesce(aggregate(zip_with({counts}, sequence(0, {n - 1}), "
         f"(c, b) -> CASE WHEN c > 0 THEN shiftleft(CAST(1 AS BIGINT), "
         f"CAST(b AS INT)) ELSE CAST(0 AS BIGINT) END), "
-        f"CAST(0 AS BIGINT), (acc, x) -> acc + x)"
+        f"CAST(0 AS BIGINT), (acc, x) -> acc + x), CAST(0 AS BIGINT))"
     )
 
 

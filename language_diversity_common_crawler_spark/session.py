@@ -44,7 +44,15 @@ def get_spark(
     # here). Override with $SPARK_GRAFT_LOCAL_DIR.
     local_dir = os.environ.get("SPARK_GRAFT_LOCAL_DIR")
     if local_dir is None and os.path.isdir("/dev/shm"):
-        local_dir = "/dev/shm/ldcc-spark-local"
+        try:
+            st = os.statvfs("/dev/shm")
+            # only when the tmpfs is actually big (default Docker /dev/shm
+            # is 64 MB — spilling there would fail shuffles that plain
+            # disk scratch would absorb)
+            if st.f_bavail * st.f_frsize >= 32 << 30:
+                local_dir = "/dev/shm/ldcc-spark-local"
+        except OSError:
+            pass
 
     builder = (
         SparkSession.builder.master(f"local[{cpus}]")

@@ -194,12 +194,9 @@ def write_golden_extract_parquet(path: str, n: int, seed: int = 42) -> str:
     for row in generate_pages(n, seed):
         if row["text"] is None:  # F1 decode-drop
             continue
-        langs = []
-        for m in MODELS:
-            lang, prec = predict_py(m, row["text"])
-            if lang == "unknown" or (lang == "un" and prec == 0.0):
-                lang = "un"
-            langs.append(lang)
+        # predict_py output is already L4-normalized (langspec returns
+        # 'un' for the unknown/sentinel cases)
+        langs = [predict_py(m, row["text"])[0] for m in MODELS]
         cols["url"].append(row["url"])
         cols["segment"].append(row["segment"])
         cols["content"].append(row["text"])

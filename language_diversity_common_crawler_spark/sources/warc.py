@@ -189,8 +189,14 @@ def _iter_with_fastwarc(data: bytes):  # pragma: no cover - lib absent here
     )
     for record in ArchiveIterator(stream):
         hh = record.http_headers
+        # WarcRecordType is a flag enum: str() yields
+        # 'WarcRecordType.response' / an int form, never the bare token the
+        # record_types filter compares against — use .name
+        rtype = getattr(record.record_type, "name", None) or str(
+            record.record_type
+        ).rsplit(".", 1)[-1]
         yield {
-            "warc_type": str(record.record_type),
+            "warc_type": rtype,
             "url": record.headers.get("WARC-Target-URI"),
             "warc_record_id": record.headers.get("WARC-Record-ID"),
             "warc_date": record.headers.get("WARC-Date"),

@@ -150,6 +150,55 @@ def test_resiliparse_strategy_delegates_main_content(fake_libs):
     )
 
 
+def test_fastwarc_delegation_record_walk(monkeypatch):
+    """The fastwarc branch of the WARC reader: record_type normalization
+    (flag enum -> bare 'response' token so the default filter keeps
+    responses), header map access, and reader.read() payload contract."""
+    import enum
+    import io as _io
+
+    class WarcRecordType(enum.Flag):
+        response = 2
+        request = 4
+
+    class _Rec:
+        def __init__(self, rtype, headers, http, body):
+            self.record_type = rtype
+            self.headers = headers
+            self.http_headers = http
+            self.http_charset = "utf-8" if http else None
+            self.reader = _io.BytesIO(body)
+
+    recs = [
+        _Rec(WarcRecordType.response,
+             {"WARC-Target-URI": "https://x/1", "WARC-Record-ID": "<id1>",
+              "WARC-Date": "2023-09-21T07:37:11Z", "Content-Length": "5"},
+             {"Accept-Language": "fr"}, b"hello"),
+        _Rec(WarcRecordType.request, {"WARC-Target-URI": "https://x/1"},
+             None, b""),
+    ]
+
+    fastwarc = types.ModuleType("fastwarc")
+    warc_mod = types.ModuleType("fastwarc.warc")
+    sio_mod = types.ModuleType("fastwarc.stream_io")
+    warc_mod.ArchiveIterator = lambda stream: iter(recs)
+    sio_mod.GZipStream = lambda b: b
+    for name, mod in [("fastwarc", fastwarc), ("fastwarc.warc", warc_mod),
+                      ("fastwarc.stream_io", sio_mod)]:
+        monkeypatch.setitem(sys.modules, name, mod)
+
+    from language_diversity_common_crawler_spark.sources import warc as w
+
+    out = list(w._iter_with_fastwarc(b"not-gzip"))
+    assert [r["warc_type"] for r in out] == ["response", "request"]
+    assert out[0]["url"] == "https://x/1"
+    assert out[0]["html"] == b"hello"
+    assert out[0]["accept_language"] == "fr"
+    # the default record_types filter would keep exactly the response
+    kept = [r for r in out if r["warc_type"] in ("response",)]
+    assert len(kept) == 1
+
+
 # ---------------------------------------------------------------------------
 # golden fixture replay: when the REAL libraries are installed (deploy box),
 # assert recorded (html -> text/lang) triples byte-for-byte. The fixture
