@@ -236,16 +236,9 @@ def segment_of(path: str) -> str:
     return re.sub(r"\.warc(\.gz)?$", "", base)
 
 
-def warc_pages(spark, path, record_types: tuple[str, ...] = ("response",)):
-    """``.warc.gz`` files → pages DataFrame.
-
-    ``spark.read.format("binaryFile")`` gives (path, content) one row per
-    file; the record-splitting parse runs in ``mapInPandas`` — one Python
-    call per Arrow batch of files, vectorized output columns. Pass
-    ``record_types=None`` for the reference's unfiltered iteration.
-    """
-    raw = spark.read.format("binaryFile").load(path).select("path", "content")
-    use_fastwarc = _have_fastwarc()
+def _file_parse_fn(record_types, use_fastwarc: bool):
+    """mapInPandas generator over (path, content) file rows — shared by the
+    batch and streaming readers."""
 
     def _parse(batches):
         it = _iter_with_fastwarc if use_fastwarc else iter_warc_records
@@ -277,7 +270,50 @@ def warc_pages(spark, path, record_types: tuple[str, ...] = ("response",)):
                 ],
             )
 
-    return raw.mapInPandas(_parse, WARC_PAGES_SCHEMA)
+    return _parse
+
+
+def warc_pages(spark, path, record_types: tuple[str, ...] = ("response",)):
+    """``.warc.gz`` files → pages DataFrame.
+
+    ``spark.read.format("binaryFile")`` gives (path, content) one row per
+    file; the record-splitting parse runs in ``mapInPandas`` — one Python
+    call per Arrow batch of files, vectorized output columns. Pass
+    ``record_types=None`` for the reference's unfiltered iteration.
+    """
+    raw = spark.read.format("binaryFile").load(path).select("path", "content")
+    return raw.mapInPandas(
+        _file_parse_fn(record_types, _have_fastwarc()), WARC_PAGES_SCHEMA
+    )
+
+
+def warc_pages_stream(
+    spark,
+    path: str,
+    record_types: tuple[str, ...] = ("response",),
+    max_files_per_trigger: int = 1,
+):
+    """Streaming WARC ingest: new ``.warc.gz`` files landing in ``path``
+    become micro-batches of pages rows (the 'segments arrive continuously
+    from the fetch fleet' shape). Same parser as the batch reader; pair
+    with streaming/microbatch.py sinks (foreachBatch snapshot commits,
+    watermarked windowed counts) or streaming/seen_state.py dedup."""
+    raw = (
+        spark.readStream.format("binaryFile")
+        # binaryFile's schema is fixed but streaming sources require it
+        # stated explicitly
+        .schema(
+            "path string, modificationTime timestamp, "
+            "length long, content binary"
+        )
+        .option("maxFilesPerTrigger", max_files_per_trigger)
+        .option("pathGlobFilter", "*.warc.gz")
+        .load(path)
+        .select("path", "content")
+    )
+    return raw.mapInPandas(
+        _file_parse_fn(record_types, _have_fastwarc()), WARC_PAGES_SCHEMA
+    )
 
 
 # ---------------------------------------------------------------------------

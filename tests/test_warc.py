@@ -142,6 +142,91 @@ def test_multi_member_gzip_layout(tmp_path):
     assert first.startswith(b"WARC/1.0\r\n")
 
 
+def test_warc_pages_stream(spark, tmp_path):
+    """Streaming ingest: .warc.gz files arriving in a directory become
+    micro-batches through the SAME parser; availableNow drains the
+    directory with one file per trigger and the union of batches equals
+    the batch reader's output."""
+    rows, recs = _fixture_records(n=20)
+    src = tmp_path / "incoming"
+    src.mkdir()
+    for i in range(2):
+        warc.write_warc_gz(
+            str(src / f"CC-MAIN-x-{i:05d}.warc.gz"), recs[i::2]
+        )
+    from language_diversity_common_crawler_spark.sources.warc import (
+        warc_pages_stream,
+    )
+
+    stream = warc_pages_stream(spark, str(src))
+    assert stream.isStreaming
+    out = str(tmp_path / "out")
+    batches = []
+
+    def _sink(df, batch_id):
+        batches.append(df.count())
+        df.write.mode("overwrite").parquet(f"{out}/batch={batch_id:05d}")
+
+    q = (
+        stream.writeStream.foreachBatch(_sink)
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    assert len(batches) == 2 and sum(batches) == len(rows)
+    got = {r["url"]: bytes(r["html"]) for r in spark.read.parquet(
+        f"{out}/batch=*").collect()}
+    assert got == {r["url"]: r["html"] for r in rows}
+
+
+def test_warc_roundtrip_property():
+    """Hypothesis: arbitrary binary bodies + header inputs survive
+    build_record_bytes -> iter_warc_records byte-identically."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    @settings(max_examples=60, deadline=None)
+    @given(
+        st.lists(
+            st.tuples(
+                st.binary(max_size=300),
+                st.text(
+                    alphabet=st.characters(
+                        min_codepoint=33, max_codepoint=126
+                    ),
+                    min_size=1, max_size=40,
+                ),
+                st.one_of(st.none(), st.sampled_from(
+                    ["utf-8", "iso-8859-1", "GBK"])),
+            ),
+            min_size=1, max_size=6,
+        )
+    )
+    def inner(items):
+        recs = [
+            {
+                "url": f"https://h.ex/{i}/{u}",
+                "body": body,
+                "warc_date": "2023-09-21T07:37:11Z",
+                "record_id": f"<urn:uuid:{i:032x}>",
+                "http_charset": cs,
+                "accept_language": None,
+            }
+            for i, (body, u, cs) in enumerate(items)
+        ]
+        blob = b"".join(warc.build_record_bytes(**r) for r in recs)
+        parsed = list(warc.iter_warc_records(blob))
+        assert len(parsed) == len(recs)
+        for r, p in zip(recs, parsed):
+            assert p["html"] == r["body"]
+            assert p["url"] == r["url"]
+            cs = r["http_charset"]
+            assert p["http_charset"] == (cs.lower() if cs else None)
+
+    inner()
+
+
 @pytest.mark.parametrize(
     "name,expect",
     [
