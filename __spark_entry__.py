@@ -54,6 +54,18 @@ def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.read.parquet(f"{sf_dir}/documents.parquet")
 
 
+def _docs_par(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """documents spread over the cores: the small-sf parquet is a SINGLE
+    input split, which would serialize JVM-expression-heavy maps (simhash
+    bit votes, shingle md5) into one task. Measured: 2.6x on simhash at
+    sf0.1/local[32]. The pandas-UDF queries deliberately do NOT use this —
+    their numpy batches are faster as one large Arrow batch than as 64
+    shuffled small ones."""
+    return _docs(spark, sf_dir).repartition(
+        spark.sparkContext.defaultParallelism
+    )
+
+
 def _docs_preds(spark: SparkSession, sf_dir: str) -> DataFrame:
     """documents + df/li/cld predictions (L5 fan-out, three pandas UDFs)."""
     return with_model_predictions(_docs(spark, sf_dir), "text")
@@ -269,7 +281,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # ---- training-data ops: text analysis ----
     def token_quality_stats(spark, sf_dir):
         tune_session(spark)
-        return text_analysis.with_text_stats(_docs(spark, sf_dir)).select(
+        return text_analysis.with_text_stats(_docs_par(spark, sf_dir)).select(
             "doc_id", "n_chars_norm", "n_tokens", "n_bpe_est", "avg_token_len",
             "punct_cnt", "stopword_cnt", "stopword_ratio", "quality_score",
             "fingerprint",
@@ -281,7 +293,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # fingerprint (keep lowest doc_id) -> per-language corpus stats
     def training_set_selection(spark, sf_dir):
         tune_session(spark)
-        d = text_analysis.with_text_stats(_docs(spark, sf_dir))
+        d = text_analysis.with_text_stats(_docs_par(spark, sf_dir))
         good = d.filter(
             (F.col("quality_score") >= 100) & (F.col("n_tokens") >= 10)
         )
@@ -298,7 +310,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     def simhash_fingerprints(spark, sf_dir):
         tune_session(spark)
-        return text_analysis.simhash60(_docs(spark, sf_dir)).select(
+        return text_analysis.simhash60(_docs_par(spark, sf_dir)).select(
             "doc_id", "simhash60"
         )
 
@@ -308,7 +320,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     def dedup_exact(spark, sf_dir):
         tune_session(spark)
         return (
-            _docs(spark, sf_dir)
+            _docs_par(spark, sf_dir)
             .groupBy(F.md5(F.col("text")).alias("content_hash"))
             .agg(
                 F.min("doc_id").cast("bigint").alias("keep_id"),
@@ -320,20 +332,20 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     def minhash_signatures(spark, sf_dir):
         tune_session(spark)
-        return dedup.minhash_signatures(_docs(spark, sf_dir))
+        return dedup.minhash_signatures(_docs_par(spark, sf_dir))
 
     q["minhash_signatures"] = minhash_signatures
 
     def minhash_lsh_pairs(spark, sf_dir):
         tune_session(spark)
-        sigs = dedup.minhash_signatures(_docs(spark, sf_dir))
+        sigs = dedup.minhash_signatures(_docs_par(spark, sf_dir))
         return dedup.lsh_candidate_pairs(sigs)
 
     q["minhash_lsh_pairs"] = minhash_lsh_pairs
 
     def minhash_jaccard_verified(spark, sf_dir):
         tune_session(spark)
-        docs = _docs(spark, sf_dir)
+        docs = _docs_par(spark, sf_dir)
         pairs = dedup.lsh_candidate_pairs(dedup.minhash_signatures(docs))
         return dedup.jaccard_verified_pairs(docs, pairs, min_jaccard_bp=2000)
 
@@ -346,7 +358,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         tune_session(spark)
         nh, nb = dedup.PRESET_PRODUCTION
         sigs = dedup.minhash_signatures(
-            _docs(spark, sf_dir), n_hashes=nh, n_bands=nb
+            _docs_par(spark, sf_dir), n_hashes=nh, n_bands=nb
         )
         return dedup.lsh_candidate_pairs(sigs, n_bands=nb)
 
@@ -354,7 +366,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     def simhash_near_dup(spark, sf_dir):
         tune_session(spark)
-        return dedup.simhash_near_dup_pairs(_docs(spark, sf_dir))
+        return dedup.simhash_near_dup_pairs(_docs_par(spark, sf_dir))
 
     q["simhash_near_dup"] = simhash_near_dup
 
