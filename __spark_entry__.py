@@ -157,7 +157,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # ---- reference core: projections / extraction (P1, P5-P8) ----
     def decode_roundtrip(spark, sf_dir):
         tune_session(spark)
-        d = _docs(spark, sf_dir)
+        d = _docs_par(spark, sf_dir)
         return d.select(
             "doc_id",
             F.decode(F.encode(F.col("text"), "UTF-8"), "UTF-8").alias("decoded"),
@@ -168,7 +168,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     def http_header_extract(spark, sf_dir):
         tune_session(spark)
-        d = _docs(spark, sf_dir)
+        d = _docs_par(spark, sf_dir)
         hdr = F.when(
             F.col("doc_id") % 7 == 0, F.lit(None).cast("string")
         ).otherwise(F.concat(F.col("lang"), F.lit("-XX,"), F.col("lang"), F.lit(";q=0.9")))
@@ -185,7 +185,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     def meta_extract(spark, sf_dir):
         tune_session(spark)
-        d = _docs(spark, sf_dir)
+        d = _docs_par(spark, sf_dir)
         html = F.concat(
             F.lit("<html"),
             F.when(F.col("doc_id") % 3 == 0, F.lit("")).otherwise(
@@ -212,7 +212,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     def quote_sanitize(spark, sf_dir):
         tune_session(spark)
-        d = _docs(spark, sf_dir)
+        d = _docs_par(spark, sf_dir)
         return d.select(
             "doc_id",
             F.translate(F.col("text"), "'", "`").alias("sanitized"),

@@ -292,12 +292,16 @@ def warc_pages_stream(
     path: str,
     record_types: tuple[str, ...] = ("response",),
     max_files_per_trigger: int = 1,
+    path_glob: str = "*.warc.gz",
 ):
-    """Streaming WARC ingest: new ``.warc.gz`` files landing in ``path``
-    become micro-batches of pages rows (the 'segments arrive continuously
-    from the fetch fleet' shape). Same parser as the batch reader; pair
-    with streaming/microbatch.py sinks (foreachBatch snapshot commits,
-    watermarked windowed counts) or streaming/seen_state.py dedup."""
+    """Streaming WARC ingest: new WARC files landing in ``path`` become
+    micro-batches of pages rows (the 'segments arrive continuously from
+    the fetch fleet' shape). Same parser as the batch reader — pass
+    ``path_glob='*.warc'`` for uncompressed segments (the parser sniffs
+    gzip either way, mirroring the batch reader's caller-controlled
+    glob). Pair with streaming/microbatch.py sinks (foreachBatch snapshot
+    commits, watermarked windowed counts) or streaming/seen_state.py
+    dedup."""
     raw = (
         spark.readStream.format("binaryFile")
         # binaryFile's schema is fixed but streaming sources require it
@@ -307,7 +311,7 @@ def warc_pages_stream(
             "length long, content binary"
         )
         .option("maxFilesPerTrigger", max_files_per_trigger)
-        .option("pathGlobFilter", "*.warc.gz")
+        .option("pathGlobFilter", path_glob)
         .load(path)
         .select("path", "content")
     )

@@ -154,11 +154,7 @@ def test_warc_pages_stream(spark, tmp_path):
         warc.write_warc_gz(
             str(src / f"CC-MAIN-x-{i:05d}.warc.gz"), recs[i::2]
         )
-    from language_diversity_common_crawler_spark.sources.warc import (
-        warc_pages_stream,
-    )
-
-    stream = warc_pages_stream(spark, str(src))
+    stream = warc.warc_pages_stream(spark, str(src))
     assert stream.isStreaming
     out = str(tmp_path / "out")
     batches = []
@@ -183,8 +179,9 @@ def test_warc_pages_stream(spark, tmp_path):
 def test_warc_roundtrip_property():
     """Hypothesis: arbitrary binary bodies + header inputs survive
     build_record_bytes -> iter_warc_records byte-identically."""
-    from hypothesis import given, settings
-    from hypothesis import strategies as st
+    hypothesis = pytest.importorskip("hypothesis")
+    given, settings = hypothesis.given, hypothesis.settings
+    st = hypothesis.strategies
 
     @settings(max_examples=60, deadline=None)
     @given(

@@ -427,9 +427,10 @@ def _write_baseline_section(summary: dict, lo: int, hi: int) -> None:
         f"still share one memory bus, so the shuffle-free control row is "
         f"the box's own scaling ceiling for the day; engine numbers should "
         f"be read against it. The best-so-far accumulation file "
-        f"(/tmp/scaling_best.json) must be reset whenever the measured "
-        f"code changes \u2014 mixing levels from different code versions makes "
-        f"the ratio incoherent.\n\n"
+        f"(/tmp/scaling_best.json) is keyed by a fingerprint of the "
+        f"measured engine modules and resets itself when they change \u2014 "
+        f"mixing levels from different code versions would make the ratio "
+        f"incoherent.\n\n"
         f"Raw: `{json.dumps(summary)}`\n"
     )
     with open(path, "w") as f:
