@@ -37,6 +37,10 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+# The sandbox box has bursty noisy neighbors (observed 2-10x wall-time swings
+# on identical plans). Per-query times are the min over REPS runs — the same
+# additive-noise capability estimate BASELINE.md's scaling protocol uses.
+REPS = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "3")))
 
 
 def _sf_of(path: str) -> float:
@@ -83,9 +87,12 @@ def _extract_over_parquet(spark, n_pages: int) -> tuple[int, float]:
     out = extract_pipeline(df)
     # warm the UDF/Arrow path once so the timing measures steady state
     out.agg(F.count("df_lang")).collect()
-    t0 = time.perf_counter()
-    n = int(out.agg(F.count("df_lang").alias("n")).collect()[0]["n"])
-    return n, time.perf_counter() - t0
+    best = float("inf")
+    for _ in range(REPS):
+        t0 = time.perf_counter()
+        n = int(out.agg(F.count("df_lang").alias("n")).collect()[0]["n"])
+        best = min(best, time.perf_counter() - t0)
+    return n, best
 
 
 def main() -> None:
@@ -113,9 +120,16 @@ def main() -> None:
 
     for name in HEADLINE:
         fn = qs[name]
-        t0 = time.perf_counter()
-        row_counts[name] = fn(spark, SF_DIR).count()
-        timings[name] = round(time.perf_counter() - t0, 4)
+        best = float("inf")
+        for _ in range(REPS):
+            # queries that persist() internally would hand rep 2 a warm
+            # CacheManager hit — clear it so every rep is a full execution
+            # and min() removes only scheduler/neighbor noise
+            spark.catalog.clearCache()
+            t0 = time.perf_counter()
+            row_counts[name] = fn(spark, SF_DIR).count()
+            best = min(best, time.perf_counter() - t0)
+        timings[name] = round(best, 4)
 
     # Frontier crawl round: canonicalize + bloom-seen probe + robots +
     # politeness schedule over the orders-derived seed list; throughput in
@@ -130,9 +144,12 @@ def main() -> None:
     # codegen-compiles differently from mult=1, and the regex-heavy
     # canonicalize compile dwarfs a steady-state run
     crawl.bench_round(spark, SF_DIR, mult=mult)
-    t0 = time.perf_counter()
-    n_seeds, n_scheduled = crawl.bench_round(spark, SF_DIR, mult=mult)
-    dt = time.perf_counter() - t0
+    dt = float("inf")
+    for _ in range(REPS):
+        spark.catalog.clearCache()
+        t0 = time.perf_counter()
+        n_seeds, n_scheduled = crawl.bench_round(spark, SF_DIR, mult=mult)
+        dt = min(dt, time.perf_counter() - t0)
     timings["frontier_crawl_round"] = round(dt, 4)
     frontier_urls_per_sec = round(n_seeds / dt, 1)
 
@@ -158,6 +175,7 @@ def main() -> None:
                 "frontier_urls_per_sec": frontier_urls_per_sec,
                 "frontier_urls_scheduled": n_scheduled,
                 "extract_rows_per_sec": extract_rows_per_sec,
+                "timing": f"min of {REPS} runs per query (noisy-box capability estimate)",
             }
         )
     )
