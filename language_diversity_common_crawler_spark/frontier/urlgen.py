@@ -109,20 +109,42 @@ def with_canonical(df: DataFrame, raw_col: str = "url_raw") -> DataFrame:
     The inline :func:`canonicalize_expr` repeats the fragment-strip regex in
     every component (scheme/host/path each re-strip the raw URL) because a
     single SQL expression can't share subtrees, and Spark performs no CSE
-    when an alias is re-inlined. Materializing the stripped URL and the
-    host-port once cuts regex passes per URL from ~12 to ~7. Values are
-    identical to the inline expression (oracle parity unaffected)."""
+    when an alias is re-inlined. On top of the staging, every EXTRACTION
+    regex is replaced by string primitives (substring_index / substr /
+    endswith) that compute the identical value: once ``__valid`` certifies
+    the ``scheme://`` shape, the first '://' **is** the scheme boundary
+    (scheme chars exclude ':' and '/'), the host-port is the run before the
+    first of '/'/'?' in the remainder ('#' is already stripped), and the
+    path is the remainder after it. Only the genuine rewrite patterns stay
+    regex (fragment strip, dot-segments, tracking params) — 6 regex ops per
+    URL instead of ~11; at 10^10 URLs the canonicalize map is the single
+    hottest expression chain in the frontier.
+
+    ``host`` strips everything from the first ':' (substring_index), which
+    is exactly :func:`oracle.py_host` / :func:`host_expr` semantics
+    (``[^/:?#]*``); the old ':[0-9]+$' strip diverged from the oracle on a
+    non-numeric port suffix."""
     out = df.withColumn("__e", F.expr(f"regexp_replace({raw_col}, '#.*$', '')"))
     out = out.withColumn(
+        "__valid", F.expr("__e RLIKE '^[A-Za-z][A-Za-z0-9+.-]*://'")
+    )
+    out = out.withColumn(
+        "__scheme",
+        F.expr("CASE WHEN __valid THEN lower(substring_index(__e, '://', 1)) ELSE '' END"),
+    )
+    # remainder after 'scheme://' (lower() preserves length)
+    out = out.withColumn(
+        "__rest",
+        F.expr("CASE WHEN __valid THEN substr(__e, length(__scheme) + 4) ELSE '' END"),
+    )
+    out = out.withColumn(
         "__hostport",
-        F.expr("lower(regexp_extract(__e, '^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]*)', 1))"),
+        F.expr(
+            "lower(substring_index(substring_index(__rest, '/', 1), '?', 1))"
+        ),
     )
     dotseg = rx(_DOTSEG, "spark")
-    p1 = (
-        "regexp_replace("
-        "regexp_extract(__e, '^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*(.*)$', 1), "
-        f"{dotseg}, '/')"
-    )
+    p1 = f"regexp_replace(substr(__rest, length(__hostport) + 1), {dotseg}, '/')"
     out = out.withColumn(
         "__path",
         F.expr(
@@ -134,17 +156,20 @@ def with_canonical(df: DataFrame, raw_col: str = "url_raw") -> DataFrame:
         # scheme-less/malformed input falls back to the fragment-stripped
         # string, matching canonicalize_expr / oracle.py_canonicalize
         F.expr(
-            "CASE WHEN __e RLIKE '^[A-Za-z][A-Za-z0-9+.-]*://' THEN concat("
-            "lower(regexp_extract(__e, '^([A-Za-z][A-Za-z0-9+.-]*)://', 1)), "
-            "'://', "
-            "regexp_replace(__hostport, ':(443|80)$', ''), "
+            "CASE WHEN __valid THEN concat("
+            "__scheme, '://', "
+            "CASE WHEN endswith(__hostport, ':443') "
+            "     THEN substr(__hostport, 1, length(__hostport) - 4) "
+            "     WHEN endswith(__hostport, ':80') "
+            "     THEN substr(__hostport, 1, length(__hostport) - 3) "
+            "     ELSE __hostport END, "
             "CASE WHEN __path = '' THEN '/' ELSE __path END) "
             "ELSE __e END"
         ),
     ).withColumn(
-        "host", F.expr("regexp_replace(__hostport, ':[0-9]+$', '')")
+        "host", F.expr("substring_index(__hostport, ':', 1)")
     )
-    return out.drop("__e", "__hostport", "__path")
+    return out.drop("__e", "__valid", "__scheme", "__rest", "__hostport", "__path")
 
 
 def sql_seed_table(dialect: str, table: str = "orders") -> str:
