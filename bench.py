@@ -43,6 +43,22 @@ CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
 REPS = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "3")))
 
 
+def _timed_best(thunk, spark=None):
+    """Min wall time of ``thunk()`` over REPS runs (capability estimate).
+    With ``spark`` given, the SQL cache is cleared before each rep so
+    internally-persisted relations don't hand later reps a warm hit.
+    Returns (last_result, best_seconds)."""
+    best = float("inf")
+    result = None
+    for _ in range(REPS):
+        if spark is not None:
+            spark.catalog.clearCache()
+        t0 = time.perf_counter()
+        result = thunk()
+        best = min(best, time.perf_counter() - t0)
+    return result, best
+
+
 def _sf_of(path: str) -> float:
     import re
 
@@ -87,11 +103,9 @@ def _extract_over_parquet(spark, n_pages: int) -> tuple[int, float]:
     out = extract_pipeline(df)
     # warm the UDF/Arrow path once so the timing measures steady state
     out.agg(F.count("df_lang")).collect()
-    best = float("inf")
-    for _ in range(REPS):
-        t0 = time.perf_counter()
-        n = int(out.agg(F.count("df_lang").alias("n")).collect()[0]["n"])
-        best = min(best, time.perf_counter() - t0)
+    n, best = _timed_best(
+        lambda: int(out.agg(F.count("df_lang").alias("n")).collect()[0]["n"])
+    )
     return n, best
 
 
@@ -120,15 +134,12 @@ def main() -> None:
 
     for name in HEADLINE:
         fn = qs[name]
-        best = float("inf")
-        for _ in range(REPS):
-            # queries that persist() internally would hand rep 2 a warm
-            # CacheManager hit — clear it so every rep is a full execution
-            # and min() removes only scheduler/neighbor noise
-            spark.catalog.clearCache()
-            t0 = time.perf_counter()
-            row_counts[name] = fn(spark, SF_DIR).count()
-            best = min(best, time.perf_counter() - t0)
+        # clearCache per rep: queries that persist() internally would
+        # otherwise hand rep 2 a warm CacheManager hit — every rep is a
+        # full execution and min() removes only scheduler/neighbor noise
+        row_counts[name], best = _timed_best(
+            lambda fn=fn: fn(spark, SF_DIR).count(), spark=spark
+        )
         timings[name] = round(best, 4)
 
     # Frontier crawl round: canonicalize + bloom-seen probe + robots +
@@ -144,12 +155,9 @@ def main() -> None:
     # codegen-compiles differently from mult=1, and the regex-heavy
     # canonicalize compile dwarfs a steady-state run
     crawl.bench_round(spark, SF_DIR, mult=mult)
-    dt = float("inf")
-    for _ in range(REPS):
-        spark.catalog.clearCache()
-        t0 = time.perf_counter()
-        n_seeds, n_scheduled = crawl.bench_round(spark, SF_DIR, mult=mult)
-        dt = min(dt, time.perf_counter() - t0)
+    (n_seeds, n_scheduled), dt = _timed_best(
+        lambda: crawl.bench_round(spark, SF_DIR, mult=mult), spark=spark
+    )
     timings["frontier_crawl_round"] = round(dt, 4)
     frontier_urls_per_sec = round(n_seeds / dt, 1)
 

@@ -38,7 +38,13 @@ def py_synthetic_url(o_orderkey: int, o_custkey: int) -> str:
 
 
 def py_canonicalize(url: str) -> str:
-    """Mirror of urlgen.canonicalize_expr (same regexes, same order)."""
+    """Mirror of urlgen.canonicalize_expr (same regexes, same order).
+
+    Raw line terminators pass through unchanged — see canonicalize_expr's
+    CONTRACT note (Java/RE2/Python '$' semantics can't be aligned there).
+    """
+    if "\n" in url or "\r" in url:
+        return url
     e = re.sub(r"#.*$", "", url)
     m = _URL.match(e)
     if not m:
@@ -56,6 +62,8 @@ def py_canonicalize(url: str) -> str:
 
 
 def py_host(canon_url: str) -> str:
+    if "\n" in canon_url or "\r" in canon_url:
+        return ""  # canonicalize passthrough case — mirror of host_expr
     m = re.match(r"^[a-z][a-z0-9+.\-]*://([^/:?#]*)", canon_url)
     return m.group(1) if m else ""
 

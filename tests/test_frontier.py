@@ -416,6 +416,88 @@ def test_canonicalize_mid_params_spark_parity(spark):
         assert got[r] == oracle.py_canonicalize(r)
 
 
+# Adversarial corpus for the three-way canonicalize/host contract: line
+# terminators (passthrough + host ''), '#' whose fragment strip would be
+# engine-divergent next to a terminator, Unicode one-to-many lowercase
+# (U+0130 grows under lower()), ports, dot-segments, tracking runs,
+# scheme-less and malformed shapes, empties.
+_ADVERSARIAL_RAWS = [
+    "http://h.ex/a\n",
+    "http://h.ex/a\nb",
+    "http://h.ex\ra",
+    "http://h.ex#frag\nx",
+    "\n",
+    "http://\u0130.ex/x",
+    "http://H.\u0130X:443/P?utm_a=1&id=2#f",
+    "HTTPS://Host1.Example.COM:443/x/../o/5?id=5&utm_source=feed&ref=home#s",
+    "http://h.ex:80",
+    "http://h.ex:8080/a",
+    "http://h.ex:4443/a",
+    "http://:443/x",
+    "http://h.ex?q=1/slash",
+    "http:///nohost",
+    "http://",
+    "no-scheme-at-all",
+    "1http://bad.scheme/x",
+    "ht~tp://bad.chars/x",
+    "",
+    "ftp+ssh-1.x://Mixed.Case/path",
+    "https://h.ex/p?utm_a=1&utm_b=2&utm_c=3",
+    "https://h.ex/a/../b/../c",
+]
+
+
+def test_canonicalize_adversarial_three_way(spark):
+    """with_canonical (staged primitives), inline canonicalize_expr (Spark
+    dialect), and py_canonicalize/py_host agree on every adversarial raw —
+    including NULL propagation. DuckDB agrees on the ASCII subset; non-ASCII
+    hosts are out of the oracle contract (DuckDB's lower() maps U+0130 to
+    'i' where Java/Python produce 'i'+U+0307 — real crawl hosts are IDNA
+    punycode ASCII before they ever reach the frontier)."""
+    import duckdb
+
+    rows = [(r,) for r in _ADVERSARIAL_RAWS] + [(None,)]
+    df = spark.createDataFrame(rows, ["url_raw"])
+    staged = {
+        r["url_raw"]: (r["url_canon"], r["host"])
+        for r in urlgen.with_canonical(df).collect()
+    }
+    inline = {
+        r["url_raw"]: (r["url_canon"], r["host"])
+        for r in df.withColumn(
+            "url_canon", F.expr(urlgen.canonicalize_expr("url_raw", "spark"))
+        )
+        .withColumn("host", F.expr(urlgen.host_expr("url_canon", "spark")))
+        .collect()
+    }
+    assert staged[None] == (None, None)
+    assert inline[None] == (None, None)
+    for raw in _ADVERSARIAL_RAWS:
+        want = oracle.py_canonicalize(raw)
+        want_host = oracle.py_host(want)
+        assert staged[raw] == (want, want_host), f"staged mismatch on {raw!r}"
+        assert inline[raw] == (want, want_host), f"inline mismatch on {raw!r}"
+
+    ascii_raws = [r for r in _ADVERSARIAL_RAWS if r.isascii()]
+    con = duckdb.connect()
+    canon = urlgen.canonicalize_expr("url_raw", "duckdb")
+    host = urlgen.host_expr("url_canon", "duckdb")
+    duck = {
+        row[0]: (row[1], row[2])
+        for row in con.execute(
+            f"WITH raws AS (SELECT unnest(?) AS url_raw) "
+            f"SELECT url_raw, url_canon, {host} AS host FROM ("
+            f"SELECT url_raw, {canon} AS url_canon FROM raws)",
+            [ascii_raws],
+        ).fetchall()
+    }
+    for raw in ascii_raws:
+        want = oracle.py_canonicalize(raw)
+        assert duck[raw] == (want, oracle.py_host(want)), (
+            f"duckdb mismatch on {raw!r}"
+        )
+
+
 def test_extract_links_keeps_fragment_hrefs(spark):
     pages = spark.createDataFrame(
         [("https://h.ex/page", '<a href="https://h.ex/doc#sec">d</a>'

@@ -74,6 +74,19 @@ def test_canonicalize_idempotent(path_bit):
     assert oracle.py_canonicalize(once) == once
 
 
+@settings(max_examples=100, deadline=None)
+@given(st.text(alphabet=st.characters(codec="utf-8"), max_size=60),
+       st.sampled_from(["\n", "\r"]),
+       st.text(alphabet=st.characters(codec="utf-8"), max_size=60))
+def test_canonicalize_terminator_passthrough(a, term, b):
+    """Any input containing a raw line terminator passes through unchanged
+    and yields host '' — the cross-engine contract that sidesteps
+    Java/RE2/Python '$' divergence (canonicalize_expr CONTRACT note)."""
+    url = a + term + b
+    assert oracle.py_canonicalize(url) == url
+    assert oracle.py_host(url) == ""
+
+
 @settings(max_examples=50, deadline=None)
 @given(st.lists(st.integers(min_value=1, max_value=2**62), min_size=1,
                 max_size=300, unique=True))
