@@ -364,6 +364,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["minhash_lsh_pairs_16x8"] = minhash_lsh_pairs_16x8
 
+    def ngram_jaccard_pairs(spark, sf_dir):
+        """Exact n-gram Jaccard via inverted shingle index with a df-cap
+        (stop-shingle pruning) — the non-probabilistic dedup path."""
+        tune_session(spark)
+        return dedup.ngram_jaccard_pairs(
+            _docs_par(spark, sf_dir), min_jaccard_bp=2000, max_df=200
+        )
+
+    q["ngram_jaccard_pairs"] = ngram_jaccard_pairs
+
     def simhash_near_dup(spark, sf_dir):
         tune_session(spark)
         return dedup.simhash_near_dup_pairs(_docs_par(spark, sf_dir))
@@ -731,6 +741,10 @@ FROM uniq GROUP BY lang
     o["minhash_lsh_pairs_16x8"] = dedup.sql_lsh_candidate_pairs(
         dedup.sql_minhash_signatures("documents", n_hashes=_nh, n_bands=_nb),
         n_bands=_nb,
+    )
+
+    o["ngram_jaccard_pairs"] = dedup.sql_ngram_jaccard_pairs(
+        "documents", min_jaccard_bp=2000, max_df=200
     )
 
     o["minhash_jaccard_verified"] = dedup.sql_jaccard_verified_pairs(

@@ -388,3 +388,122 @@ def sql_lsh_candidate_pairs(sigs_select: str, n_bands: int = N_BANDS) -> str:
         f"WITH sigs AS ({sigs_select})\n"
         f"SELECT DISTINCT a, b FROM (" + " UNION ALL ".join(parts) + ")"
     )
+
+
+def ngram_jaccard_pairs(
+    docs: DataFrame,
+    min_jaccard_bp: int = 5000,
+    max_df: int | None = None,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """EXACT n-gram Jaccard near-dup pairs via an inverted shingle index —
+    the non-probabilistic sibling of MinHash LSH (reference computes no
+    dedup at all; this is a training-data-pipeline extension).
+
+    Plan: distinct shingle hashes per doc → explode into postings
+    (shingle, doc) → self-join postings on the shingle hash → count common
+    shingles per (a, b) pair → join per-doc set sizes →
+    jaccard = common / (|A| + |B| - common), reported in basis points.
+
+    Scale shape: the postings self-join is shuffled on the shingle hash
+    (uniform), and its cost is Σ df(s)² over shingles — dominated by
+    boilerplate shingles shared by millions of documents. ``max_df`` is the
+    standard fix (df-capped / stop-shingle pruning, cf. prefix filtering in
+    Vernica et al., SIGMOD'10): postings for shingles with document
+    frequency > max_df are dropped BEFORE the join, bounding per-shingle
+    join fan-out at max_df² while leaving discriminative shingles intact.
+    Set sizes are computed AFTER the cap, so the result is exactly Jaccard
+    over the df-capped shingle space in both engines (with max_df=None it
+    is plain exact Jaccard). The df-filter join is co-partitioned with the
+    groupBy that feeds it (same key), so the cap costs no extra shuffle of
+    the postings.
+
+    Output: (a, b, jaccard_bp) with a < b, jaccard_bp >= min_jaccard_bp.
+    """
+    toks = docs.select(
+        F.col(id_col), F.expr(tokens_expr(text_col, "spark")).alias("__toks")
+    )
+    shingled = toks.select(
+        id_col,
+        F.expr(shingles_from_tokens("__toks", "spark")).alias("__shg"),
+    )
+    hashed = shingled.select(
+        id_col,
+        F.array_distinct(
+            F.expr(shingle_hash_expr("__shg", "spark"))
+        ).alias("__sh"),
+    )
+    postings = hashed.select(
+        F.col(id_col), F.explode("__sh").alias("sh")
+    )
+    if max_df is not None:
+        keep = (
+            postings.groupBy("sh")
+            .agg(F.count(F.lit(1)).alias("__df"))
+            .filter(F.col("__df") <= max_df)
+            .select("sh")
+        )
+        postings = postings.join(keep, "sh")
+    # both the sizes aggregate and the two self-join sides read the capped
+    # postings — persist so the shingle md5 pass (and the df-cap join) runs
+    # once, not three times
+    postings = postings.persist(StorageLevel.MEMORY_AND_DISK)
+    sizes = postings.groupBy(id_col).agg(F.count(F.lit(1)).alias("sz"))
+    left = postings.select(F.col(id_col).alias("a"), "sh")
+    right = postings.select(F.col(id_col).alias("b"), "sh")
+    common = (
+        left.join(right, "sh")
+        .filter(F.col("a") < F.col("b"))
+        .groupBy("a", "b")
+        .agg(F.count(F.lit(1)).alias("__common"))
+    )
+    # sizes has one row per doc — small relative to the pair set; broadcast
+    sa = sizes.select(F.col(id_col).alias("a"), F.col("sz").alias("__sa"))
+    sb = sizes.select(F.col(id_col).alias("b"), F.col("sz").alias("__sb"))
+    uni = F.col("__sa") + F.col("__sb") - F.col("__common")
+    jacc = F.floor(F.col("__common") * 10000 / uni).cast("bigint")
+    return (
+        common.join(F.broadcast(sa), "a")
+        .join(F.broadcast(sb), "b")
+        .select("a", "b", jacc.alias("jaccard_bp"))
+        .filter(F.col("jaccard_bp") >= min_jaccard_bp)
+    )
+
+
+def sql_ngram_jaccard_pairs(
+    table: str = "documents",
+    min_jaccard_bp: int = 5000,
+    max_df: int | None = None,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> str:
+    """DuckDB mirror of ngram_jaccard_pairs (identical shingle hashes,
+    df-cap, and basis-point arithmetic)."""
+    sh = shingles_expr(text_col, "duckdb")
+    hashed = shingle_hash_expr(sh, "duckdb")
+    cap = (
+        f"postings AS (SELECT p0.{id_col}, p0.sh FROM postings0 p0 JOIN "
+        f"(SELECT sh FROM postings0 GROUP BY sh "
+        f"HAVING count(*) <= {max_df}) k USING (sh)),"
+        if max_df is not None
+        else "postings AS (SELECT * FROM postings0),"
+    )
+    return f"""
+WITH postings0 AS (
+  SELECT {id_col}, unnest(list_distinct({hashed})) AS sh FROM {table}),
+{cap}
+sizes AS (SELECT {id_col}, count(*) AS sz FROM postings GROUP BY {id_col}),
+common AS (
+  SELECT l.{id_col} AS a, r.{id_col} AS b, count(*) AS common
+  FROM postings l JOIN postings r
+    ON l.sh = r.sh AND l.{id_col} < r.{id_col}
+  GROUP BY l.{id_col}, r.{id_col})
+SELECT a, b,
+       CAST(floor(common * 10000 / (sa.sz + sb.sz - common)) AS BIGINT)
+         AS jaccard_bp
+FROM common
+JOIN sizes sa ON sa.{id_col} = a
+JOIN sizes sb ON sb.{id_col} = b
+WHERE floor(common * 10000 / (sa.sz + sb.sz - common)) >= {min_jaccard_bp}
+"""

@@ -1,0 +1,74 @@
+"""Exact inverted-index n-gram Jaccard dedup: cross-engine parity, df-cap
+semantics, and ground-truth Jaccard values on hand-built documents."""
+
+from __future__ import annotations
+
+import duckdb
+import pytest
+
+from language_diversity_common_crawler_spark.functions import dedup
+
+ROWS = [
+    (1, "the quick brown fox jumps over the lazy dog"),
+    (2, "the quick brown fox jumps over the lazy cat"),   # near-dup of 1
+    (3, "the quick brown fox jumps over the lazy dog"),   # exact dup of 1
+    (4, "completely different content with nothing shared here at all"),
+    (5, "too short"),                                     # < 3 tokens: no shingles
+    (6, None),                                            # NULL text
+    (7, ""),                                              # empty text
+]
+
+
+@pytest.fixture(scope="module")
+def duck():
+    con = duckdb.connect()
+    con.execute("CREATE TABLE documents(doc_id BIGINT, text VARCHAR)")
+    con.executemany("INSERT INTO documents VALUES (?, ?)", ROWS)
+    return con
+
+
+def _spark_pairs(spark, **kw):
+    df = spark.createDataFrame(ROWS, "doc_id bigint, text string")
+    out = dedup.ngram_jaccard_pairs(df, **kw)
+    return {(r["a"], r["b"]): r["jaccard_bp"] for r in out.collect()}
+
+
+def _duck_pairs(duck, **kw):
+    sql = dedup.sql_ngram_jaccard_pairs("documents", **kw)
+    return {(a, b): j for a, b, j in duck.execute(sql).fetchall()}
+
+
+def test_ground_truth_values(spark):
+    """Docs 1/3 are identical (7 shingles each → jaccard 10000); docs 1/2
+    share 6 of 8 distinct shingles (6/8 = 7500 bp); doc 4 shares nothing;
+    docs 5-7 have no shingles and never pair."""
+    got = _spark_pairs(spark, min_jaccard_bp=0)
+    assert got[(1, 3)] == 10000
+    assert got[(1, 2)] == 7500
+    assert got[(2, 3)] == 7500
+    assert not any(4 in p or 5 in p or 6 in p or 7 in p for p in got)
+
+
+def test_cross_engine_parity(spark, duck):
+    for kw in ({"min_jaccard_bp": 0}, {"min_jaccard_bp": 7600},
+               {"min_jaccard_bp": 0, "max_df": 2}):
+        assert _spark_pairs(spark, **kw) == _duck_pairs(duck, **kw), kw
+
+
+def test_df_cap_prunes_hot_shingles(spark, duck):
+    """max_df=2 drops every shingle shared by docs 1, 2 AND 3 (df=3),
+    leaving only the df<=2 shingle space: 1/3 still agree on their
+    remaining shingles (identical sets → 10000), 1/2 keep only their
+    differing tails."""
+    capped = _spark_pairs(spark, min_jaccard_bp=0, max_df=2)
+    uncapped = _spark_pairs(spark, min_jaccard_bp=0)
+    assert capped == _duck_pairs(duck, min_jaccard_bp=0, max_df=2)
+    assert capped[(1, 3)] == 10000
+    # the shared 7-shingle core has df=3 and is gone; 1 and 2 now share
+    # nothing in the capped space, so the pair disappears entirely
+    assert (1, 2) not in capped and (1, 2) in uncapped
+
+
+def test_threshold_filters(spark):
+    got = _spark_pairs(spark, min_jaccard_bp=8000)
+    assert set(got) == {(1, 3)}
