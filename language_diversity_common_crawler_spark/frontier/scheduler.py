@@ -95,15 +95,29 @@ def politeness_schedule(
     w1 = Window.partitionBy(host_col, "salt").orderBy(
         F.desc("priority"), F.asc(url_col)
     )
+    # Both rank filters carry an explicit LITERAL bound (the scalar global
+    # ceiling) in addition to the exact per-host column bound: Catalyst's
+    # rank-limit pushdown (WindowGroupLimit, Partial + Final) only fires on
+    # a literal, and it is what keeps the sort-and-shuffle volume at
+    # O(groups * budget) instead of O(rows) — map-side top-k before the
+    # exchange. With a per-host ``budgets`` table the column comparison
+    # alone would silently disable it (measured: full-row sorts + full
+    # shuffle); the literal ceiling is implied by the column bound
+    # (__budget <= budget by construction) so semantics are unchanged.
     survivors = (
         df.withColumn("salt", salt)
         .withColumn("rn", F.row_number().over(w1))
-        .filter(F.col("rn") <= F.col("__budget"))
+        .filter(
+            (F.col("rn") <= F.lit(budget)) & (F.col("rn") <= F.col("__budget"))
+        )
         .drop("rn", "salt")
     )
     w2 = Window.partitionBy(host_col).orderBy(F.desc("priority"), F.asc(url_col))
     return (
         survivors.withColumn("slot", F.row_number().over(w2))
-        .filter(F.col("slot") <= F.col("__budget"))
+        .filter(
+            (F.col("slot") <= F.lit(budget))
+            & (F.col("slot") <= F.col("__budget"))
+        )
         .drop("__budget")
     )
