@@ -282,12 +282,21 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     def token_quality_stats(spark, sf_dir):
         tune_session(spark)
         return text_analysis.with_text_stats(_docs_par(spark, sf_dir)).select(
-            "doc_id", "n_chars_norm", "n_tokens", "n_bpe_est", "avg_token_len",
+            "doc_id", "n_chars_norm", "n_tokens", "n_bpe_est", "n_bpe_tokens",
+            "avg_token_len",
             "punct_cnt", "stopword_cnt", "stopword_ratio", "quality_score",
             "fingerprint",
         )
 
     q["token_quality_stats"] = token_quality_stats
+
+    def winnow_fingerprints(spark, sf_dir):
+        """Rolling-hash winnowing fingerprints (MOSS scheme): char k-gram
+        hashes -> w-window minima, shuffle-free linear-scan map."""
+        tune_session(spark)
+        return text_analysis.winnow_fingerprints(_docs_par(spark, sf_dir))
+
+    q["winnow_fingerprints"] = winnow_fingerprints
 
     # end-to-end training-set selection: quality gate -> exact dedup by
     # fingerprint (keep lowest doc_id) -> per-language corpus stats
@@ -721,6 +730,8 @@ FROM uniq GROUP BY lang
         [f"{e} AS {n}" for n, e in {**tok, **qual}.items()] + [f"{fp} AS fingerprint"]
     )
     o["token_quality_stats"] = f"SELECT doc_id,\n       {cols}\nFROM documents"
+
+    o["winnow_fingerprints"] = text_analysis.sql_winnow_fingerprints("documents")
 
     o["simhash_fingerprints"] = (
         f"SELECT doc_id, {text_analysis.simhash60_exprs('text', 'duckdb')} "

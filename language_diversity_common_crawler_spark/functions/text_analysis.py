@@ -38,17 +38,29 @@ def token_stats_exprs(text: str, dialect: str) -> dict[str, str]:
     """Column-name → SQL expression for token statistics (inline norm —
     fine for oracle SQL; Spark hot path materializes the norm first, see
     with_text_stats)."""
-    return token_stats_from_norm(_sql_norm(text, dialect))
+    return token_stats_from_norm(_sql_norm(text, dialect), dialect)
 
 
-def token_stats_from_norm(norm: str) -> dict[str, str]:
+# BPE-ish pre-tokenizer pattern (GPT-2-style splitting, reduced to the
+# character classes that behave identically in Java regex and DuckDB's RE2):
+# letter runs, single digits, single non-alphanumeric marks. No backslash
+# escapes, so it needs no dialect rx() handling.
+_BPE_PAT = "[a-z]+|[0-9]|[^a-z0-9 ]"
+
+
+def token_stats_from_norm(norm: str, dialect: str = "spark") -> dict[str, str]:
     """Token statistics over an ALREADY-NORMALIZED text expression/column."""
     spaces = _sql_count_char(norm, " ")
     n_tokens = f"CASE WHEN length({norm}) = 0 THEN 0 ELSE {spaces} + 1 END"
+    arr_len = "len" if dialect == "duckdb" else "size"
+    bpe = (
+        f"{arr_len}(regexp_extract_all(lower({norm}), '{_BPE_PAT}', 0))"
+    )
     return {
         "n_chars_norm": f"CAST(length({norm}) AS BIGINT)",
         "n_tokens": f"CAST({n_tokens} AS BIGINT)",
         "n_bpe_est": f"CAST(ceil(length({norm}) / 4.0) AS BIGINT)",
+        "n_bpe_tokens": f"CAST({bpe} AS BIGINT)",
         "avg_token_len": (
             f"CAST(CASE WHEN ({n_tokens}) = 0 THEN 0.0 "
             f"ELSE (length({norm}) - ({spaces})) * 1.0 / ({n_tokens}) END AS DOUBLE)"
@@ -105,7 +117,7 @@ def with_text_stats(df: DataFrame, text_col: str = "text") -> DataFrame:
     (~10 regex passes per row instead of 1)."""
     out = df.withColumn("__norm", F.expr(_sql_norm(text_col, "spark")))
     out = out.withColumn("__pad", F.expr("concat(' ', lower(__norm), ' ')"))
-    for name, e in {**token_stats_from_norm("__norm"),
+    for name, e in {**token_stats_from_norm("__norm", "spark"),
                     **quality_from_norm("__norm", "__pad")}.items():
         out = out.withColumn(name, F.expr(e))
     out = out.withColumn(
@@ -200,3 +212,109 @@ def simhash60_exprs(text: str, dialect: str) -> str:
         h = "CAST(conv(substring(md5(t), 1, 15), 16, 10) AS BIGINT)"
         th = f"transform({toks}, t -> {h})"
     return simhash60_from_hashes(th, dialect)
+
+
+# --- winnowing (rolling-hash document fingerprints) -------------------------
+# Schleimer/Wilkerson/Aiken '03 (MOSS): hash every char k-gram of the
+# normalized text, slide a w-window over the hash sequence, keep each
+# window's minimum — guarantees any shared substring of length >= k + w - 1
+# between two documents yields a shared fingerprint, with ~2/(w+1) of the
+# grams selected. The reference computes no fingerprinting (this is a
+# training-data-pipeline extension); expressed as pure dialect-shared SQL
+# so the hot path is whole-stage-codegen'd JVM work — a shuffle-free map
+# that scales linearly with corpus bytes.
+WINNOW_K = 8  # char-gram length
+WINNOW_W = 4  # winnowing window (in grams)
+
+
+def _winnow_gram_hash(gram: str, dialect: str) -> str:
+    if dialect == "duckdb":
+        return f"CAST(('0x' || substring(md5({gram}), 1, 15)) AS BIGINT)"
+    return f"CAST(conv(substring(md5({gram}), 1, 15), 16, 10) AS BIGINT)"
+
+
+def winnow_hashes_expr(norm: str, dialect: str, k: int = WINNOW_K) -> str:
+    """Array of k-gram rolling hashes over an already-normalized column.
+    Explicit empty-array guard: Spark's sequence(1, 0) produces a
+    DESCENDING [1, 0] (not empty), DuckDB's generate_series(1, 0) is empty
+    — the CASE keeps both engines at [] for short/NULL text."""
+    if dialect == "duckdb":
+        gram = f"substring(lower({norm}), i, {k})"
+        h = _winnow_gram_hash(gram, dialect)
+        return (
+            f"CASE WHEN {norm} IS NULL OR length({norm}) < {k} THEN []::BIGINT[] "
+            f"ELSE list_transform(generate_series(1, length({norm}) - {k - 1}), "
+            f"i -> {h}) END"
+        )
+    gram = f"substring(lower({norm}), CAST(i AS INT), {k})"
+    h = _winnow_gram_hash(gram, dialect)
+    return (
+        f"CASE WHEN {norm} IS NULL OR length({norm}) < {k} "
+        f"THEN CAST(array() AS ARRAY<BIGINT>) "
+        f"ELSE transform(sequence(1, length({norm}) - {k - 1}), i -> {h}) END"
+    )
+
+
+def winnow_select_expr(hashes: str, dialect: str, w: int = WINNOW_W) -> str:
+    """Distinct window minima over a HASH-ARRAY COLUMN reference (pass a
+    materialized column, not the hash expression — lambda bodies get no
+    CSE, so inlining would recompute the md5 array per window). Fewer than
+    ``w`` grams → the single global minimum (every non-empty doc gets at
+    least one fingerprint, per the paper's boundary rule)."""
+    if dialect == "duckdb":
+        win_min = f"list_min(({hashes})[i:i + {w - 1}])"
+        return (
+            f"CASE WHEN len({hashes}) = 0 THEN []::BIGINT[] "
+            f"WHEN len({hashes}) < {w} THEN [list_min({hashes})] "
+            f"ELSE list_distinct(list_transform("
+            f"generate_series(1, len({hashes}) - {w - 1}), i -> {win_min})) END"
+        )
+    win_min = f"array_min(slice({hashes}, CAST(i AS INT), {w}))"
+    return (
+        f"CASE WHEN size({hashes}) = 0 THEN CAST(array() AS ARRAY<BIGINT>) "
+        f"WHEN size({hashes}) < {w} THEN array(array_min({hashes})) "
+        f"ELSE array_distinct(transform("
+        f"sequence(1, size({hashes}) - {w - 1}), i -> {win_min})) END"
+    )
+
+
+def winnow_fingerprints(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = WINNOW_K,
+    w: int = WINNOW_W,
+) -> DataFrame:
+    """(id, fp) — one row per selected winnowing fingerprint. Staged so the
+    norm and the k-gram hash array each materialize once per row."""
+    norm = df.select(
+        F.col(id_col),
+        F.expr(_sql_norm(text_col, "spark")).alias("__norm"),
+    )
+    hashed = norm.select(
+        id_col,
+        F.expr(winnow_hashes_expr("__norm", "spark", k)).alias("__wh"),
+    )
+    return hashed.select(
+        F.col(id_col),
+        F.explode(
+            F.expr(winnow_select_expr("__wh", "spark", w))
+        ).alias("fp"),
+    )
+
+
+def sql_winnow_fingerprints(
+    table: str = "documents",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = WINNOW_K,
+    w: int = WINNOW_W,
+) -> str:
+    norm = _sql_norm(text_col, "duckdb")
+    hashes = winnow_hashes_expr("__norm", "duckdb", k)
+    sel = winnow_select_expr("__wh", "duckdb", w)
+    return f"""
+WITH n AS (SELECT {id_col}, {norm} AS __norm FROM {table}),
+h AS (SELECT {id_col}, {hashes} AS __wh FROM n)
+SELECT {id_col}, unnest({sel}) AS fp FROM h
+"""

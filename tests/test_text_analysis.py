@@ -59,3 +59,39 @@ def test_simhash60_inline_equals_staged(spark):
         ).collect()
     }
     assert staged == inline
+
+
+def test_winnow_guarantee_shared_substring(spark):
+    """MOSS guarantee: two documents sharing a substring of length
+    >= k + w - 1 (after norm) must share at least one fingerprint."""
+    k, w = ta.WINNOW_K, ta.WINNOW_W
+    shared = "the quick brown fox jumps over it"[: k + w - 1]
+    assert len(shared) >= k + w - 1
+    rows = [(1, "PREFIX aaaa " + shared + " zz suffix one"),
+            (2, "completely different head " + shared + " other tail")]
+    df = spark.createDataFrame(rows, "doc_id bigint, text string")
+    fps = ta.winnow_fingerprints(df).collect()
+    s1 = {r["fp"] for r in fps if r["doc_id"] == 1}
+    s2 = {r["fp"] for r in fps if r["doc_id"] == 2}
+    assert s1 & s2
+
+
+def test_winnow_boundaries_and_duckdb_parity(spark, duck):
+    """NULL / empty / shorter-than-k / between-k-and-k+w texts hit every
+    CASE branch; both engines agree row-for-row."""
+    k = ta.WINNOW_K
+    rows = [(1, "hello world"), (2, None), (3, ""), (4, "a" * (k - 1)),
+            (5, "b" * k), (6, "exact gram here"), (7, "  spaced   out  ")]
+    df = spark.createDataFrame(rows, "doc_id bigint, text string")
+    got = sorted((r["doc_id"], r["fp"])
+                 for r in ta.winnow_fingerprints(df).collect())
+    duck.execute("CREATE OR REPLACE TABLE wdocs(doc_id BIGINT, text VARCHAR)")
+    duck.executemany("INSERT INTO wdocs VALUES (?, ?)", rows)
+    want = sorted(duck.execute(
+        ta.sql_winnow_fingerprints("wdocs")).fetchall())
+    assert got == want
+    by_id = {}
+    for d, fp in got:
+        by_id.setdefault(d, set()).add(fp)
+    assert 2 not in by_id and 3 not in by_id and 4 not in by_id
+    assert len(by_id[5]) == 1  # single gram -> one global minimum
