@@ -427,6 +427,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["embedding_lsh_neighbors"] = embedding_lsh_neighbors
 
+    def embedding_cosine_dedup(spark, sf_dir):
+        """Near-dup dedup by embedding cosine: LSH candidate pairs ->
+        greedy keep-lowest-id representative (one verdict row/vector)."""
+        tune_session(spark)
+        emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+        return similarity.cosine_dedup(emb, threshold=0.25)
+
+    q["embedding_cosine_dedup"] = embedding_cosine_dedup
+
     # ---- reference end-to-end pipeline on synthetic pages (P1+P2+F1+L1-L5)
     # Oracle: the UDF chain is not SQL-expressible, so the oracle replays
     # the same pure functions driver-side once into a golden parquet
@@ -779,6 +788,10 @@ FROM documents d JOIN ({_PREDS_SQL}) p ON d.doc_id = p.doc_id
     )
     o["embedding_ivf_topk"] = similarity.sql_ivf_topk(
         "embeddings", [20, 21, 22, 23, 24], k=10
+    )
+
+    o["embedding_cosine_dedup"] = similarity.sql_cosine_dedup(
+        "embeddings", threshold=0.25
     )
 
     o["embedding_lsh_neighbors"] = similarity.sql_lsh_bucketed_neighbors(

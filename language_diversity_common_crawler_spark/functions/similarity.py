@@ -443,3 +443,66 @@ FROM banded l JOIN banded r ON l.band = r.band AND l.bk = r.bk
   AND l.vec_id < r.vec_id
 WHERE {cos} >= {min_cosine}
 """
+
+
+def cosine_dedup(
+    emb: DataFrame,
+    threshold: float = 0.25,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_bands: int = N_LSH_BANDS,
+    bits_per_band: int = LSH_BITS_PER_BAND,
+) -> DataFrame:
+    """Embedding-cosine near-duplicate dedup: one row per vector with a
+    keep/drop verdict. A vector is DROPPED when any lower-id vector
+    collides with it in an LSH band at cosine >= threshold; the lowest id
+    in each near-dup neighborhood survives as the representative
+    (``dup_of`` = the smallest such neighbor, NULL for kept rows).
+
+    Greedy min-id, not transitive closure: exact connected components need
+    an iterative join loop; the single-pass greedy rule is deterministic,
+    order-independent (min/max aggregates), and is what production
+    embedding-dedup pipelines run at corpus scale. Plan: the banded LSH
+    self-join from lsh_bucketed_neighbors (shuffle key = band bucket, no
+    all-pairs), then one groupBy(b) aggregation — candidate volume, not
+    corpus size, drives the extra cost. The verdict join back to the
+    corpus is a plain hash join on the id."""
+    pairs = lsh_bucketed_neighbors(
+        emb, min_cosine=threshold, id_col=id_col, vec_col=vec_col,
+        n_bands=n_bands, bits_per_band=bits_per_band,
+    )
+    dup = pairs.groupBy(F.col("b").alias(id_col)).agg(
+        F.min("a").alias("dup_of"),
+        F.max("cosine").alias("max_cosine"),
+        F.count(F.lit(1)).alias("n_near"),
+    )
+    return (
+        emb.select(id_col)
+        .join(dup, id_col, "left")
+        .select(
+            id_col,
+            F.col("dup_of").isNull().alias("kept"),
+            "dup_of",
+            "max_cosine",
+            F.coalesce("n_near", F.lit(0)).alias("n_near"),
+        )
+    )
+
+
+def sql_cosine_dedup(
+    table: str,
+    threshold: float = 0.25,
+    n_bands: int = N_LSH_BANDS,
+    bits_per_band: int = LSH_BITS_PER_BAND,
+) -> str:
+    pairs = sql_lsh_bucketed_neighbors(table, threshold, n_bands, bits_per_band)
+    return f"""
+WITH dup AS (
+  SELECT b AS vec_id, min(a) AS dup_of, max(cosine) AS max_cosine,
+         count(*) AS n_near
+  FROM ({pairs}) pairs
+  GROUP BY b)
+SELECT e.vec_id, dup.vec_id IS NULL AS kept, dup.dup_of, dup.max_cosine,
+       coalesce(dup.n_near, 0) AS n_near
+FROM {table} e LEFT JOIN dup ON e.vec_id = dup.vec_id
+"""

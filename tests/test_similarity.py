@@ -120,3 +120,33 @@ def test_brute_force_matches_numpy(spark):
         want = set(np.argsort(-np.round(s, 6))[:5].tolist())
         have = {r["n_id"] for r in got if r["q_id"] == q}
         assert have == want
+
+
+def test_cosine_dedup_drops_planted_twins(spark):
+    """Greedy cosine dedup: >=90% of planted near-twins (odd ids) are
+    dropped with dup_of = their even-id original; the unrelated random
+    originals overwhelmingly survive."""
+    rng = random.Random(47)
+    dim = 64
+    rows = []
+    vid = 0
+    for _ in range(120):
+        base = [rng.gauss(0, 1) for _ in range(dim)]
+        nb = math.sqrt(sum(x * x for x in base))
+        base = [x / nb for x in base]
+        rows.append((vid, base))
+        twin = [x + rng.gauss(0, 0.02) for x in base]
+        nt = math.sqrt(sum(x * x for x in twin))
+        rows.append((vid + 1, [x / nt for x in twin]))
+        vid += 2
+    emb = spark.createDataFrame(rows, "vec_id bigint, embedding array<float>")
+    verdicts = {r["vec_id"]: r for r in
+                similarity.cosine_dedup(emb, threshold=0.9).collect()}
+    assert len(verdicts) == len(rows)
+    twins = [v for i, v in verdicts.items() if i % 2 == 1]
+    dropped = [v for v in twins if not v["kept"]]
+    assert len(dropped) >= 0.9 * len(twins), len(dropped)
+    assert all(v["dup_of"] == v["vec_id"] - 1 for v in dropped)
+    originals = [v for i, v in verdicts.items() if i % 2 == 0]
+    kept_orig = sum(1 for v in originals if v["kept"])
+    assert kept_orig >= 0.95 * len(originals), kept_orig
