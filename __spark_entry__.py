@@ -298,6 +298,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["winnow_fingerprints"] = winnow_fingerprints
 
+    def winnow_near_dup_pairs(spark, sf_dir):
+        """MOSS detection join: pairs sharing >= 2 winnowing fingerprints
+        (df-capped inverted index over the winnowed sample)."""
+        tune_session(spark)
+        return dedup.winnow_near_dup_pairs(_docs_par(spark, sf_dir))
+
+    q["winnow_near_dup_pairs"] = winnow_near_dup_pairs
+
     # end-to-end training-set selection: quality gate -> exact dedup by
     # fingerprint (keep lowest doc_id) -> per-language corpus stats
     def training_set_selection(spark, sf_dir):
@@ -741,6 +749,8 @@ FROM uniq GROUP BY lang
     o["token_quality_stats"] = f"SELECT doc_id,\n       {cols}\nFROM documents"
 
     o["winnow_fingerprints"] = text_analysis.sql_winnow_fingerprints("documents")
+
+    o["winnow_near_dup_pairs"] = dedup.sql_winnow_near_dup_pairs("documents")
 
     o["simhash_fingerprints"] = (
         f"SELECT doc_id, {text_analysis.simhash60_exprs('text', 'duckdb')} "

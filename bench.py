@@ -80,10 +80,12 @@ HEADLINE = [
     "top_customers",
     "window_events",
     "token_quality_stats",
+    "winnow_fingerprints",
     "simhash_near_dup",
     "minhash_lsh_pairs",
     "minhash_jaccard_verified",
     "embedding_topk",
+    "embedding_cosine_dedup",
     "frontier_politeness_schedule",
     "frontier_robots_filter",
     "media_decode_stats",

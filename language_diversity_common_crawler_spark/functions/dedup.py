@@ -507,3 +507,92 @@ JOIN sizes sa ON sa.{id_col} = a
 JOIN sizes sb ON sb.{id_col} = b
 WHERE floor(common * 10000 / (sa.sz + sb.sz - common)) >= {min_jaccard_bp}
 """
+
+
+def winnow_near_dup_pairs(
+    docs: DataFrame,
+    min_shared: int = 2,
+    max_df: int | None = 64,
+    k: int = 16,
+    w: int = 8,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Near-dup candidate pairs from SHARED WINNOWING FINGERPRINTS — the
+    MOSS detection join (Schleimer et al. '03). Same inverted-index shape
+    as ngram_jaccard_pairs, but over the winnowed sample instead of the
+    full shingle set: winnowing keeps ~2/(w+1) of the k-gram hashes while
+    guaranteeing every shared run of length >= k + w - 1 still collides,
+    so the postings table (and the Σ df² self-join cost) shrinks ~(w+1)/2×
+    with no loss of long-match recall. ``max_df`` drops boilerplate
+    fingerprints shared by more than max_df docs before the join
+    (stop-shingle pruning), bounding per-key fan-out at max_df².
+
+    Output: (a, b, n_shared) with a < b and n_shared >= min_shared shared
+    selected fingerprints.
+
+    Geometry: the standalone winnow_fingerprints query keeps the short
+    k=8 default (fine-grained fingerprinting); the DETECTION join defaults
+    to k=16, w=8 — guarantee threshold k + w - 1 = 23 shared chars — which
+    on template-heavy web text is what keeps the candidate set ~1% of all
+    pairs instead of ~75% (measured on the synthetic corpus; short grams
+    collide on boilerplate phrases exactly like under-sized SimHash bands).
+    """
+    from .text_analysis import winnow_fingerprints
+
+    postings = winnow_fingerprints(docs, id_col=id_col, text_col=text_col,
+                                   k=k, w=w)
+    if max_df is not None:
+        keep = (
+            postings.groupBy("fp")
+            .agg(F.count(F.lit(1)).alias("__df"))
+            .filter(F.col("__df") <= max_df)
+            .select("fp")
+        )
+        postings = postings.join(keep, "fp")
+    # both self-join sides read the winnowed postings — persist so the
+    # per-gram md5 pass (and the df-cap) runs once
+    postings = postings.persist(StorageLevel.MEMORY_AND_DISK)
+    left = postings.select(F.col(id_col).alias("a"), "fp")
+    right = postings.select(F.col(id_col).alias("b"), "fp")
+    return (
+        left.join(right, "fp")
+        .filter(F.col("a") < F.col("b"))
+        .groupBy("a", "b")
+        .agg(F.count(F.lit(1)).alias("n_shared"))
+        .filter(F.col("n_shared") >= min_shared)
+    )
+
+
+def sql_winnow_near_dup_pairs(
+    table: str = "documents",
+    min_shared: int = 2,
+    max_df: int | None = 64,
+    k: int = 16,
+    w: int = 8,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> str:
+    """DuckDB mirror of winnow_near_dup_pairs (identical fingerprint
+    selection, df-cap, and pair counting)."""
+    from .text_analysis import sql_winnow_fingerprints
+
+    fps = sql_winnow_fingerprints(table, id_col=id_col, text_col=text_col,
+                                  k=k, w=w)
+    cap = (
+        f"postings AS (SELECT p0.{id_col}, p0.fp FROM postings0 p0 JOIN "
+        f"(SELECT fp FROM postings0 GROUP BY fp "
+        f"HAVING count(*) <= {max_df}) k USING (fp)),"
+        if max_df is not None
+        else "postings AS (SELECT * FROM postings0),"
+    )
+    return f"""
+WITH postings0 AS ({fps}),
+{cap}
+pairs AS (
+  SELECT l.{id_col} AS a, r.{id_col} AS b, count(*) AS n_shared
+  FROM postings l JOIN postings r
+    ON l.fp = r.fp AND l.{id_col} < r.{id_col}
+  GROUP BY l.{id_col}, r.{id_col})
+SELECT a, b, n_shared FROM pairs WHERE n_shared >= {min_shared}
+"""

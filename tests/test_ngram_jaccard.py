@@ -72,3 +72,35 @@ def test_df_cap_prunes_hot_shingles(spark, duck):
 def test_threshold_filters(spark):
     got = _spark_pairs(spark, min_jaccard_bp=8000)
     assert set(got) == {(1, 3)}
+
+
+def test_winnow_near_dup_pairs_parity_and_detection(spark):
+    """Docs sharing a long passage (>= k + w - 1 chars) are paired; both
+    engines agree row-for-row; unrelated docs are absent."""
+    import duckdb
+
+    from language_diversity_common_crawler_spark.functions import dedup
+
+    passage = ("the quick brown fox jumps over the lazy dog while the "
+               "band plays on through the long night")
+    rows = [
+        (1, "intro text alpha " + passage + " closing remarks one"),
+        (2, "different opening " + passage + " other ending"),
+        (3, "totally unrelated content about maritime navigation signals"),
+        (4, None),
+        (5, ""),
+    ]
+    df = spark.createDataFrame(rows, "doc_id bigint, text string")
+    got = sorted(
+        (r["a"], r["b"], r["n_shared"])
+        for r in dedup.winnow_near_dup_pairs(df, min_shared=2).collect()
+    )
+    con = duckdb.connect()
+    con.execute("CREATE TABLE wnd(doc_id BIGINT, text VARCHAR)")
+    con.executemany("INSERT INTO wnd VALUES (?, ?)", rows)
+    want = sorted(con.execute(
+        dedup.sql_winnow_near_dup_pairs("wnd", min_shared=2)).fetchall())
+    assert got == want
+    pair_ids = {(a, b) for a, b, _ in got}
+    assert (1, 2) in pair_ids
+    assert all(3 not in p and 4 not in p and 5 not in p for p in pair_ids)
