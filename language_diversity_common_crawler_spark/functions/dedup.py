@@ -97,6 +97,46 @@ def shingle_hash_expr(shingles: str, dialect: str) -> str:
     return f"{fn}({shingles}, s -> {h} % {MH_P})"
 
 
+def shingle_hash60_expr(shingles: str, dialect: str) -> str:
+    """Full 60-bit shingle hashes — for EXACT set operations (inverted-index
+    Jaccard), where the minhash path's mod-(2^31-1) reduction would merge
+    distinct shingles at birthday rates (~23k colliding shingle pairs per
+    10M distinct shingles), silently inflating intersection counts."""
+    h = sql_md5_60("s") if dialect == "duckdb" else (
+        "CAST(conv(substring(md5(s), 1, 15), 16, 10) AS BIGINT)"
+    )
+    fn = "list_transform" if dialect == "duckdb" else "transform"
+    return f"{fn}({shingles}, s -> {h})"
+
+
+def _df_capped(postings: DataFrame, key: str, max_df: int | None) -> DataFrame:
+    """Stop-shingle pruning: drop postings whose key's document frequency
+    exceeds max_df BEFORE any self-join (bounds per-key fan-out at max_df²).
+    The cap join is co-partitioned with the groupBy feeding it (same key),
+    so it costs no extra shuffle of the postings."""
+    if max_df is None:
+        return postings
+    keep = (
+        postings.groupBy(key)
+        .agg(F.count(F.lit(1)).alias("__df"))
+        .filter(F.col("__df") <= max_df)
+        .select(key)
+    )
+    return postings.join(keep, key)
+
+
+def _sql_df_cap(key: str, max_df: int | None) -> str:
+    """`postings AS (...)` CTE fragment applying the same df cap to a
+    ``postings0`` CTE in the DuckDB oracle dialect."""
+    if max_df is None:
+        return "postings AS (SELECT * FROM postings0),"
+    return (
+        f"postings AS (SELECT p0.* FROM postings0 p0 JOIN "
+        f"(SELECT {key} FROM postings0 GROUP BY {key} "
+        f"HAVING count(*) <= {max_df}) k USING ({key})),"
+    )
+
+
 def minhash_exprs(hashed: str, dialect: str,
                   n_hashes: int = N_MINHASH) -> dict[str, str]:
     """k min-hashes over a shingle-hash-array expression (affine maps mod p,
@@ -431,20 +471,13 @@ def ngram_jaccard_pairs(
     hashed = shingled.select(
         id_col,
         F.array_distinct(
-            F.expr(shingle_hash_expr("__shg", "spark"))
+            F.expr(shingle_hash60_expr("__shg", "spark"))
         ).alias("__sh"),
     )
     postings = hashed.select(
         F.col(id_col), F.explode("__sh").alias("sh")
     )
-    if max_df is not None:
-        keep = (
-            postings.groupBy("sh")
-            .agg(F.count(F.lit(1)).alias("__df"))
-            .filter(F.col("__df") <= max_df)
-            .select("sh")
-        )
-        postings = postings.join(keep, "sh")
+    postings = _df_capped(postings, "sh", max_df)
     # both the sizes aggregate and the two self-join sides read the capped
     # postings — persist so the shingle md5 pass (and the df-cap join) runs
     # once, not three times
@@ -458,14 +491,16 @@ def ngram_jaccard_pairs(
         .groupBy("a", "b")
         .agg(F.count(F.lit(1)).alias("__common"))
     )
-    # sizes has one row per doc — small relative to the pair set; broadcast
+    # sizes has one row per doc with shingles — no broadcast hint: it is
+    # O(n_docs) and unbounded at corpus scale, so a forced broadcast would
+    # OOM the driver at 10^9 docs; AQE broadcasts it when actually small
     sa = sizes.select(F.col(id_col).alias("a"), F.col("sz").alias("__sa"))
     sb = sizes.select(F.col(id_col).alias("b"), F.col("sz").alias("__sb"))
     uni = F.col("__sa") + F.col("__sb") - F.col("__common")
     jacc = F.floor(F.col("__common") * 10000 / uni).cast("bigint")
     return (
-        common.join(F.broadcast(sa), "a")
-        .join(F.broadcast(sb), "b")
+        common.join(sa, "a")
+        .join(sb, "b")
         .select("a", "b", jacc.alias("jaccard_bp"))
         .filter(F.col("jaccard_bp") >= min_jaccard_bp)
     )
@@ -481,14 +516,8 @@ def sql_ngram_jaccard_pairs(
     """DuckDB mirror of ngram_jaccard_pairs (identical shingle hashes,
     df-cap, and basis-point arithmetic)."""
     sh = shingles_expr(text_col, "duckdb")
-    hashed = shingle_hash_expr(sh, "duckdb")
-    cap = (
-        f"postings AS (SELECT p0.{id_col}, p0.sh FROM postings0 p0 JOIN "
-        f"(SELECT sh FROM postings0 GROUP BY sh "
-        f"HAVING count(*) <= {max_df}) k USING (sh)),"
-        if max_df is not None
-        else "postings AS (SELECT * FROM postings0),"
-    )
+    hashed = shingle_hash60_expr(sh, "duckdb")
+    cap = _sql_df_cap("sh", max_df)
     return f"""
 WITH postings0 AS (
   SELECT {id_col}, unnest(list_distinct({hashed})) AS sh FROM {table}),
@@ -533,23 +562,21 @@ def winnow_near_dup_pairs(
 
     Geometry: the standalone winnow_fingerprints query keeps the short
     k=8 default (fine-grained fingerprinting); the DETECTION join defaults
-    to k=16, w=8 — guarantee threshold k + w - 1 = 23 shared chars — which
-    on template-heavy web text is what keeps the candidate set ~1% of all
-    pairs instead of ~75% (measured on the synthetic corpus; short grams
-    collide on boilerplate phrases exactly like under-sized SimHash bands).
+    to k=16, w=8 — a shared run of >= k + w - 1 = 23 chars guarantees ONE
+    shared fingerprint — which on template-heavy web text is what keeps
+    the candidate set ~1% of all pairs instead of ~75% (measured on the
+    synthetic corpus; short grams collide on boilerplate phrases exactly
+    like under-sized SimHash bands). NOTE the default min_shared=2 asks
+    for two guaranteed windows: it detects a single shared run only at
+    >= k + 2w - 1 = 31 chars (or two disjoint 23-char runs); pass
+    min_shared=1 for the strict single-window guarantee at the price of
+    more boilerplate-driven candidates.
     """
     from .text_analysis import winnow_fingerprints
 
     postings = winnow_fingerprints(docs, id_col=id_col, text_col=text_col,
                                    k=k, w=w)
-    if max_df is not None:
-        keep = (
-            postings.groupBy("fp")
-            .agg(F.count(F.lit(1)).alias("__df"))
-            .filter(F.col("__df") <= max_df)
-            .select("fp")
-        )
-        postings = postings.join(keep, "fp")
+    postings = _df_capped(postings, "fp", max_df)
     # both self-join sides read the winnowed postings — persist so the
     # per-gram md5 pass (and the df-cap) runs once
     postings = postings.persist(StorageLevel.MEMORY_AND_DISK)
@@ -579,13 +606,7 @@ def sql_winnow_near_dup_pairs(
 
     fps = sql_winnow_fingerprints(table, id_col=id_col, text_col=text_col,
                                   k=k, w=w)
-    cap = (
-        f"postings AS (SELECT p0.{id_col}, p0.fp FROM postings0 p0 JOIN "
-        f"(SELECT fp FROM postings0 GROUP BY fp "
-        f"HAVING count(*) <= {max_df}) k USING (fp)),"
-        if max_df is not None
-        else "postings AS (SELECT * FROM postings0),"
-    )
+    cap = _sql_df_cap("fp", max_df)
     return f"""
 WITH postings0 AS ({fps}),
 {cap}

@@ -234,19 +234,23 @@ def _winnow_gram_hash(gram: str, dialect: str) -> str:
 
 
 def winnow_hashes_expr(norm: str, dialect: str, k: int = WINNOW_K) -> str:
-    """Array of k-gram rolling hashes over an already-normalized column.
+    """Array of k-gram rolling hashes over an already-normalized,
+    ALREADY-LOWERCASED column reference — lowercase in the projection that
+    materializes ``norm``, never here: a lower() inside the per-gram
+    lambda would re-lowercase the whole string for every gram (no CSE in
+    lambda bodies → O(len²) character work per document).
     Explicit empty-array guard: Spark's sequence(1, 0) produces a
     DESCENDING [1, 0] (not empty), DuckDB's generate_series(1, 0) is empty
     — the CASE keeps both engines at [] for short/NULL text."""
     if dialect == "duckdb":
-        gram = f"substring(lower({norm}), i, {k})"
+        gram = f"substring({norm}, i, {k})"
         h = _winnow_gram_hash(gram, dialect)
         return (
             f"CASE WHEN {norm} IS NULL OR length({norm}) < {k} THEN []::BIGINT[] "
             f"ELSE list_transform(generate_series(1, length({norm}) - {k - 1}), "
             f"i -> {h}) END"
         )
-    gram = f"substring(lower({norm}), CAST(i AS INT), {k})"
+    gram = f"substring({norm}, CAST(i AS INT), {k})"
     h = _winnow_gram_hash(gram, dialect)
     return (
         f"CASE WHEN {norm} IS NULL OR length({norm}) < {k} "
@@ -286,10 +290,11 @@ def winnow_fingerprints(
     w: int = WINNOW_W,
 ) -> DataFrame:
     """(id, fp) — one row per selected winnowing fingerprint. Staged so the
-    norm and the k-gram hash array each materialize once per row."""
+    lowercased norm and the k-gram hash array each materialize once per
+    row."""
     norm = df.select(
         F.col(id_col),
-        F.expr(_sql_norm(text_col, "spark")).alias("__norm"),
+        F.expr(f"lower({_sql_norm(text_col, 'spark')})").alias("__norm"),
     )
     hashed = norm.select(
         id_col,
@@ -314,7 +319,7 @@ def sql_winnow_fingerprints(
     hashes = winnow_hashes_expr("__norm", "duckdb", k)
     sel = winnow_select_expr("__wh", "duckdb", w)
     return f"""
-WITH n AS (SELECT {id_col}, {norm} AS __norm FROM {table}),
+WITH n AS (SELECT {id_col}, lower({norm}) AS __norm FROM {table}),
 h AS (SELECT {id_col}, {hashes} AS __wh FROM n)
 SELECT {id_col}, unnest({sel}) AS fp FROM h
 """
