@@ -95,3 +95,51 @@ def test_winnow_boundaries_and_duckdb_parity(spark, duck):
         by_id.setdefault(d, set()).add(fp)
     assert 2 not in by_id and 3 not in by_id and 4 not in by_id
     assert len(by_id[5]) == 1  # single gram -> one global minimum
+
+
+def _py_winnow(text, k=None, w=None):
+    """Independent pure-Python mirror of the winnowing selection (norm ->
+    lower -> k-gram md5-60 hashes -> distinct w-window minima) used to
+    cross-check the two SQL implementations' index arithmetic."""
+    import hashlib
+    import re
+
+    k = k if k is not None else ta.WINNOW_K
+    w = w if w is not None else ta.WINNOW_W
+    if text is None:
+        return set()
+    norm = re.sub(r"\s+", " ", text.strip()).lower()
+    if len(norm) < k:
+        return set()
+    hashes = [
+        int(hashlib.md5(norm[i:i + k].encode()).hexdigest()[:15], 16)
+        for i in range(len(norm) - k + 1)
+    ]
+    if len(hashes) < w:
+        return {min(hashes)}
+    return {min(hashes[i:i + w]) for i in range(len(hashes) - w + 1)}
+
+
+def test_winnow_three_way_parity_on_random_corpus(spark, duck):
+    """Spark, DuckDB, and an independent pure-Python winnower agree on a
+    seeded random ASCII corpus (lengths straddling every CASE boundary)."""
+    import random
+
+    rng = random.Random(1234)
+    alphabet = "abcdefgh XY.,-"
+    rows = [
+        (i, "".join(rng.choice(alphabet) for _ in range(rng.randint(0, 40))))
+        for i in range(200)
+    ]
+    df = spark.createDataFrame(rows, "doc_id bigint, text string")
+    got_spark = {}
+    for r in ta.winnow_fingerprints(df).collect():
+        got_spark.setdefault(r["doc_id"], set()).add(r["fp"])
+    duck.execute("CREATE OR REPLACE TABLE wrand(doc_id BIGINT, text VARCHAR)")
+    duck.executemany("INSERT INTO wrand VALUES (?, ?)", rows)
+    got_duck = {}
+    for d, fp in duck.execute(ta.sql_winnow_fingerprints("wrand")).fetchall():
+        got_duck.setdefault(d, set()).add(fp)
+    want = {i: _py_winnow(t) for i, t in rows if _py_winnow(t)}
+    assert got_spark == want
+    assert got_duck == want
