@@ -508,3 +508,31 @@ def test_extract_links_keeps_fragment_hrefs(spark):
 
     got = {r["link_url"] for r in links.extract_links(pages).collect()}
     assert got == {"https://h.ex/doc", "https://h.ex/rel"}
+
+
+def test_politeness_hot_host_skew_exact(spark):
+    """The salted two-phase top-k must produce the exact per-host
+    (priority DESC, url ASC) order when one host dwarfs the others —
+    the skew condition the two-phase design exists for (one hot host
+    with 5,000 URLs vs 50 cold hosts with 3 each; budget 5)."""
+    urls = [(f"https://hot.ex/p/{i}", "hot.ex") for i in range(5000)]
+    urls += [
+        (f"https://cold{c}.ex/p/{i}", f"cold{c}.ex")
+        for c in range(50)
+        for i in range(3)
+    ]
+    df = spark.createDataFrame(urls, ["url_canon", "host"]).repartition(16)
+    sched = scheduler.politeness_schedule(df, budget=5).collect()
+    by_host = {}
+    for r in sched:
+        by_host.setdefault(r["host"], []).append(r)
+    assert len(by_host["hot.ex"]) == 5
+    assert all(len(v) == 3 for h, v in by_host.items() if h != "hot.ex")
+    for host, rows in by_host.items():
+        rows.sort(key=lambda r: r["slot"])
+        want = sorted(
+            [u for u, h in urls if h == host],
+            key=lambda u: (-scheduler.py_priority(u), u),
+        )[: len(rows)]
+        assert [r["url_canon"] for r in rows] == want
+        assert [r["slot"] for r in rows] == list(range(1, len(rows) + 1))
