@@ -67,6 +67,12 @@ def _code_fingerprint() -> str:
     import hashlib
 
     h = hashlib.md5()
+    # measured-JOB version: bump whenever the harness changes WHAT a timed
+    # job does (not just statistics/reporting) — v2 moved synthetic seed
+    # GENERATION out of the timed frontier jobs into a cached input; v3
+    # clears the SQL cache before each timed rep (v2's same-plan warm-up
+    # let reps cache-hit filter_unseen's persisted probe output)
+    h.update(b"job-v3")
     pkg = os.path.join(REPO, "language_diversity_common_crawler_spark")
     for rel in (
         "frontier/urlgen.py", "frontier/seen.py", "frontier/scheduler.py",
@@ -113,6 +119,27 @@ def _raw_seeds(spark, mult: int):
     )
 
 
+_SEED_CACHE: dict = {}
+
+
+def _cached_seeds(spark, mult: int):
+    """The frontier jobs' INPUT: (seed_id, url_raw) materialized into a
+    persisted DataFrame (built during warm-up, partitioned 2x the level's
+    cores). A real crawl reads its frontier from a table — URL string
+    SYNTHESIS is data generation, not engine work, and it is string-concat
+    heavy enough to pollute the memory-bandwidth profile of the map stage
+    it used to run inside. Cache (not parquet) keeps per-level split
+    sizing automatic and removes disk-read variance from the timed reps."""
+    from pyspark import StorageLevel
+
+    key = (id(spark), mult)
+    if key not in _SEED_CACHE:
+        df = _raw_seeds(spark, mult).persist(StorageLevel.MEMORY_AND_DISK)
+        df.count()  # materialize now (warm-up path) so reps never build it
+        _SEED_CACHE[key] = df
+    return _SEED_CACHE[key]
+
+
 def _prep_state_once(mult: int) -> None:
     """Untimed: materialize the 'already-seen' state (exact set + bloom) a
     real crawl reads from its snapshot tables — not part of the measured
@@ -152,7 +179,7 @@ def _frontier_job(spark, mult: int):
     # shuffle-volume discipline: the timed chain moves millions of rows
     # through ~6 exchanges — carry ONLY (url_canon, host) plus the hash
     # columns the probe itself needs, and drop the hashes again right after
-    seeds = urlgen.with_canonical(_raw_seeds(spark, mult)).select(
+    seeds = urlgen.with_canonical(_cached_seeds(spark, mult)).select(
         "url_canon", "host"
     )
     pre_seen = spark.read.parquet(f"{STATE_DIR}/pre_seen")
@@ -203,7 +230,7 @@ def _frontier_map_job(spark, mult: int):
     from language_diversity_common_crawler_spark.frontier import seen, urlgen
 
     seeds = seen.with_url_hashes(
-        urlgen.with_canonical(_raw_seeds(spark, mult)).select(
+        urlgen.with_canonical(_cached_seeds(spark, mult)).select(
             "url_canon", "host"
         ),
         n_parts=64,
@@ -245,11 +272,25 @@ def child(cpus: int) -> None:
 
     out: dict = {"cpus": cpus}
 
-    def _measure(name: str, fn, unit_count_fn):
-        fn()  # warm-up: JIT, Arrow workers, parquet footers
+    def _reset_caches():
+        """Drop every cached relation EXCEPT the seed input, then re-pin
+        the seeds. filter_unseen persists its probe output and Spark's
+        CacheManager matches by logical plan — with a same-plan warm-up a
+        timed rep would silently read the probe result from cache and the
+        'frontier round' would measure only its tail. clearCache() also
+        evicts the seed input, so re-materialize it (the persist marker
+        survives on the DataFrame object)."""
+        spark.catalog.clearCache()
+        for df in _SEED_CACHE.values():
+            df.count()
+
+    def _measure(name: str, fn, unit_count_fn, reset=None):
+        fn()  # warm-up: JIT, Arrow workers, parquet footers, input caches
         best = float("inf")
         n = 0
         for _ in range(BEST_OF):
+            if reset is not None:
+                reset()
             t0 = time.perf_counter()
             n = unit_count_fn()
             best = min(best, time.perf_counter() - t0)
@@ -257,12 +298,17 @@ def child(cpus: int) -> None:
         out[f"{name}_units"] = n
         out[f"{name}_per_sec"] = round(n / best, 1)
 
+    # frontier warm-ups run at FULL mult: the first call builds the cached
+    # seed input (generation excluded from timed reps) and compiles the
+    # exact plan the timed rep will run
     if "frontier" in jobs:
-        _measure("frontier", lambda: _frontier_job(spark, 1),
-                 lambda: _frontier_job(spark, MULT)[0])
+        _measure("frontier", lambda: _frontier_job(spark, MULT),
+                 lambda: _frontier_job(spark, MULT)[0],
+                 reset=_reset_caches)
     if "frontier_map" in jobs:
-        _measure("frontier_map", lambda: _frontier_map_job(spark, 1),
-                 lambda: _frontier_map_job(spark, MULT))
+        _measure("frontier_map", lambda: _frontier_map_job(spark, MULT),
+                 lambda: _frontier_map_job(spark, MULT),
+                 reset=_reset_caches)
     if "extract" in jobs:
         _measure("extract", lambda: _extract_job(spark),
                  lambda: _extract_job(spark))
@@ -383,7 +429,10 @@ def parent(levels: list[int], update_baseline: bool) -> None:
         "protocol": (f"taskset-pinned local[{lo}] vs local[{hi}], same "
                      f"input, warm JVM, per-level best of {ROUNDS} "
                      f"interleaved rounds (additive-noise capability "
-                     f"estimate); per-round paired ratios reported"),
+                     f"estimate); per-round paired ratios reported; "
+                     f"frontier seed URLs pre-materialized into a cached "
+                     f"input during warm-up (synthesis is data generation, "
+                     f"not engine work)"),
     }
     print(json.dumps(summary))
     if update_baseline:
