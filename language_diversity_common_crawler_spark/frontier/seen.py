@@ -8,8 +8,9 @@ Design for 10^10 URLs (SURVEY.md §4.3):
   keys, stored as one ``binary`` row. At 1% fpp, 10^10 keys need ~12 GB of
   bitset total — partitioned over e.g. 4096 parts that is ~3 MB per task,
   loaded only by the task probing that hash range (cogrouped
-  ``applyInPandas``: candidates and the filter slice meet on ``part_id``
-  without broadcasting the whole set).
+  ``applyInArrow``: candidates and the filter slice meet on ``part_id``
+  without broadcasting the whole set, and rows cross the Python boundary
+  as Arrow buffers — no pandas conversion, no Python string objects).
 - Membership math is double hashing (Kirsch-Mitzenmacher): bit index
   ``(h1 + i*h2) mod m`` for i in 0..k-1, fully vectorized in numpy over the
   Arrow batch — no per-row Python (input_hint).
@@ -32,6 +33,8 @@ from __future__ import annotations
 
 import numpy as np
 import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
 from pyspark import StorageLevel
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
@@ -79,6 +82,17 @@ def _bit_indices(h1: np.ndarray, h2: np.ndarray, i: int, n_bits: int) -> np.ndar
     return ((h1 + np.uint64(i) * h2) % np.uint64(n_bits)).astype(np.int64)
 
 
+def _u64_col(tbl: pa.Table, name: str) -> np.ndarray:
+    """Near-zero-copy view of a non-null int64 Arrow column as uint64
+    (copies only when the column arrived in multiple chunks)."""
+    return (
+        tbl.column(name)
+        .combine_chunks()
+        .to_numpy(zero_copy_only=False)
+        .view(np.uint64)
+    )
+
+
 def build_bloom(
     hashed: DataFrame, n_bits_per_part: int = 1 << 20, n_hashes: int = 7
 ) -> DataFrame:
@@ -86,27 +100,38 @@ def build_bloom(
 
     ``n_bits_per_part`` default (1 Mi bits = 128 KiB) holds ~100k keys/part
     at ~1% fpp; size up with key count (m ≈ 9.6 n for 1% fpp).
+
+    Arrow-native (``applyInArrow``): the grouped exchange carries only
+    ``(part_id, h1, h2)`` — 20 bytes/row instead of full URL rows — and the
+    hash columns reach numpy as zero-copy views of the Arrow buffers; no
+    pandas conversion, no Python string objects.
     """
     n_bytes = (n_bits_per_part + 7) // 8
 
-    def _build(pdf: pd.DataFrame) -> pd.DataFrame:
+    def _build(tbl: pa.Table) -> pa.Table:
         bits = np.zeros(n_bytes, dtype=np.uint8)
-        h1 = pdf["h1"].to_numpy(dtype=np.int64).view(np.uint64)
-        h2 = pdf["h2"].to_numpy(dtype=np.int64).view(np.uint64)
+        h1 = _u64_col(tbl, "h1")
+        h2 = _u64_col(tbl, "h2")
         for i in range(n_hashes):
             idx = _bit_indices(h1, h2, i, n_bits_per_part)
             np.bitwise_or.at(bits, idx >> 3, (1 << (idx & 7)).astype(np.uint8))
-        return pd.DataFrame(
+        return pa.table(
             {
-                "part_id": [int(pdf["part_id"].iloc[0])],
-                "bits": [bits.tobytes()],
-                "n_bits": [n_bits_per_part],
-                "n_hashes": [n_hashes],
-                "n_keys": [len(pdf)],
+                "part_id": pa.array(
+                    [tbl.column("part_id")[0].as_py()], type=pa.int32()
+                ),
+                "bits": pa.array([bits.tobytes()], type=pa.binary()),
+                "n_bits": pa.array([n_bits_per_part], type=pa.int64()),
+                "n_hashes": pa.array([n_hashes], type=pa.int32()),
+                "n_keys": pa.array([tbl.num_rows], type=pa.int64()),
             }
         )
 
-    return hashed.groupBy("part_id").applyInPandas(_build, BLOOM_SCHEMA)
+    return (
+        hashed.select("part_id", "h1", "h2")
+        .groupBy("part_id")
+        .applyInArrow(_build, BLOOM_SCHEMA)
+    )
 
 
 def merge_bloom(a: DataFrame, b: DataFrame) -> DataFrame:
@@ -187,45 +212,62 @@ def probe_bloom(
     order — deterministic). A URL's partition is a function of the URL, so
     per-partition dedup IS global dedup — and it rides the shuffle the
     cogroup needs anyway, saving the separate dropDuplicates exchange.
+
+    Arrow-native (``applyInArrow``): candidate rows cross the Python
+    boundary as Arrow buffers and come back the same way — URL strings are
+    never materialized as Python/pandas objects, the hash columns feed
+    numpy as zero-copy views, and the output appends one boolean column to
+    the input table. This matters because the probe's cost at scale is
+    pure memory bandwidth across the Arrow boundary; cutting the
+    pandas<->Arrow conversion roughly halves the bytes touched per row
+    (BASELINE.md stage diagnosis: the probe is the weakest-scaling stage).
     """
     out_schema = StructType(
         candidates.schema.fields + [StructField("maybe_seen", BooleanType(), False)]
     )
-    cols = [f.name for f in candidates.schema.fields]
 
-    def _probe(cand: pd.DataFrame, filt: pd.DataFrame) -> pd.DataFrame:
-        if cand.empty:
-            return pd.DataFrame(columns=cols + ["maybe_seen"])
-        if dedupe_on is not None:
-            cand = cand.sort_values(dedupe_on).drop_duplicates(dedupe_on)
-        if filt.empty:
-            out = cand.copy()
-            out["maybe_seen"] = False
-            return out
-        if len(filt) > 1:
+    def _probe(cand: pa.Table, filt: pa.Table) -> pa.Table:
+        if dedupe_on is not None and cand.num_rows > 1:
+            cand = cand.sort_by(dedupe_on).combine_chunks()
+            col = cand.column(dedupe_on)
+            keep = np.ones(cand.num_rows, dtype=bool)
+            # first occurrence of each run in the sorted column survives
+            neq = pc.fill_null(
+                pc.not_equal(col.slice(1), col.slice(0, cand.num_rows - 1)),
+                True,
+            ).combine_chunks()
+            keep[1:] = neq.to_numpy(zero_copy_only=False)
+            cand = cand.filter(pa.array(keep))
+        cand = cand.combine_chunks()
+        if filt.num_rows == 0 or cand.num_rows == 0:
+            hit = np.zeros(cand.num_rows, dtype=bool)
+        elif filt.num_rows > 1:
             raise ValueError(
-                f"probe_bloom: {len(filt)} filter rows for part_id "
-                f"{int(filt['part_id'].iloc[0])} — merge_bloom snapshot and "
-                "delta first (probing one row would silently lose the "
+                f"probe_bloom: {filt.num_rows} filter rows for part_id "
+                f"{filt.column('part_id')[0].as_py()} — merge_bloom snapshot "
+                "and delta first (probing one row would silently lose the "
                 "other rows' keys)"
             )
-        bits = np.frombuffer(filt["bits"].iloc[0], dtype=np.uint8)
-        n_bits = int(filt["n_bits"].iloc[0])
-        n_hashes = int(filt["n_hashes"].iloc[0])
-        h1 = cand["h1"].to_numpy(dtype=np.int64).view(np.uint64)
-        h2 = cand["h2"].to_numpy(dtype=np.int64).view(np.uint64)
-        hit = np.ones(len(cand), dtype=bool)
-        for i in range(n_hashes):
-            idx = _bit_indices(h1, h2, i, n_bits)
-            hit &= (bits[idx >> 3] & (1 << (idx & 7)).astype(np.uint8)) != 0
-        out = cand.copy()
-        out["maybe_seen"] = hit
-        return out
+        else:
+            bits = np.frombuffer(
+                filt.column("bits")[0].as_buffer(), dtype=np.uint8
+            )
+            n_bits = filt.column("n_bits")[0].as_py()
+            n_hashes = filt.column("n_hashes")[0].as_py()
+            h1 = _u64_col(cand, "h1")
+            h2 = _u64_col(cand, "h2")
+            hit = np.ones(cand.num_rows, dtype=bool)
+            for i in range(n_hashes):
+                idx = _bit_indices(h1, h2, i, n_bits)
+                hit &= (bits[idx >> 3] & (1 << (idx & 7)).astype(np.uint8)) != 0
+        return cand.append_column(
+            "maybe_seen", pa.array(hit, type=pa.bool_())
+        )
 
     return (
         candidates.groupBy("part_id")
         .cogroup(bloom.groupBy("part_id"))
-        .applyInPandas(_probe, out_schema)
+        .applyInArrow(_probe, out_schema)
     )
 
 
@@ -390,30 +432,39 @@ CUCKOO_SCHEMA = StructType(
 
 
 def build_cuckoo(hashed: DataFrame, n_buckets: int = 1 << 14) -> DataFrame:
-    """Per-partition cuckoo filters (deletion-capable seen set)."""
+    """Per-partition cuckoo filters (deletion-capable seen set).
+    Arrow-native like :func:`build_bloom`: the grouped exchange carries
+    only ``(part_id, h1)``."""
 
-    def _build(pdf: pd.DataFrame) -> pd.DataFrame:
+    def _build(tbl: pa.Table) -> pa.Table:
         cf = CuckooFilter(n_buckets)
-        h = np.unique(pdf["h1"].to_numpy(dtype=np.int64).view(np.uint64))
+        h = np.unique(_u64_col(tbl, "h1"))
         failed = cf.insert(h)
         if failed:
             raise ValueError(
-                f"build_cuckoo: partition {int(pdf['part_id'].iloc[0])} "
+                f"build_cuckoo: partition "
+                f"{tbl.column('part_id')[0].as_py()} "
                 f"overflowed — {failed}/{len(h)} keys failed to insert at "
                 f"n_buckets={n_buckets} ({n_buckets * CuckooFilter.SLOTS} "
                 "slots). A lossy cuckoo filter has false negatives, which "
                 "the seen-set must never have; size n_buckets to ~keys/3"
             )
-        return pd.DataFrame(
+        return pa.table(
             {
-                "part_id": [int(pdf["part_id"].iloc[0])],
-                "table": [cf.to_bytes()],
-                "n_buckets": [n_buckets],
-                "n_keys": [len(h)],
+                "part_id": pa.array(
+                    [tbl.column("part_id")[0].as_py()], type=pa.int32()
+                ),
+                "table": pa.array([cf.to_bytes()], type=pa.binary()),
+                "n_buckets": pa.array([n_buckets], type=pa.int32()),
+                "n_keys": pa.array([len(h)], type=pa.int64()),
             }
         )
 
-    return hashed.groupBy("part_id").applyInPandas(_build, CUCKOO_SCHEMA)
+    return (
+        hashed.select("part_id", "h1")
+        .groupBy("part_id")
+        .applyInArrow(_build, CUCKOO_SCHEMA)
+    )
 
 
 def probe_cuckoo(candidates: DataFrame, cuckoo: DataFrame) -> DataFrame:
@@ -422,30 +473,28 @@ def probe_cuckoo(candidates: DataFrame, cuckoo: DataFrame) -> DataFrame:
     out_schema = StructType(
         candidates.schema.fields + [StructField("maybe_seen", BooleanType(), False)]
     )
-    cols = [f.name for f in candidates.schema.fields]
 
-    def _probe(cand: pd.DataFrame, filt: pd.DataFrame) -> pd.DataFrame:
-        if cand.empty:
-            return pd.DataFrame(columns=cols + ["maybe_seen"])
-        if filt.empty:
-            out = cand.copy()
-            out["maybe_seen"] = False
-            return out
-        if len(filt) > 1:
+    def _probe(cand: pa.Table, filt: pa.Table) -> pa.Table:
+        cand = cand.combine_chunks()
+        if filt.num_rows == 0 or cand.num_rows == 0:
+            hit = np.zeros(cand.num_rows, dtype=bool)
+        elif filt.num_rows > 1:
             raise ValueError(
-                f"probe_cuckoo: {len(filt)} filter rows for part_id "
-                f"{int(filt['part_id'].iloc[0])} — combine filters first"
+                f"probe_cuckoo: {filt.num_rows} filter rows for part_id "
+                f"{filt.column('part_id')[0].as_py()} — combine filters first"
             )
-        cf = CuckooFilter.from_bytes(
-            filt["table"].iloc[0], int(filt["n_buckets"].iloc[0])
+        else:
+            cf = CuckooFilter.from_bytes(
+                filt.column("table")[0].as_py(),
+                filt.column("n_buckets")[0].as_py(),
+            )
+            hit = cf.contains(_u64_col(cand, "h1"))
+        return cand.append_column(
+            "maybe_seen", pa.array(hit, type=pa.bool_())
         )
-        h = cand["h1"].to_numpy(dtype=np.int64).view(np.uint64)
-        out = cand.copy()
-        out["maybe_seen"] = cf.contains(h)
-        return out
 
     return (
         candidates.groupBy("part_id")
         .cogroup(cuckoo.groupBy("part_id"))
-        .applyInPandas(_probe, out_schema)
+        .applyInArrow(_probe, out_schema)
     )
