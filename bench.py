@@ -116,10 +116,22 @@ def _extract_over_parquet(spark, n_pages: int) -> tuple[int, float]:
         ).parquet(path)
     df = spark.read.parquet(path)
     out = extract_pipeline(df)
+    # the aggregate must reference ALL THREE models' outputs — an agg that
+    # touches only df_lang lets Catalyst prune the li/cld model UDFs out of
+    # the plan, and the "extract" time silently becomes a 1-model number
+    aggs = [
+        F.count("df_lang").alias("n"),
+        F.sum(F.length("content")).alias("chars"),
+        F.count("li_lang").alias("n_li"),
+        F.count("cld_lang").alias("n_cld"),
+        F.sum("df_prec").alias("p1"),
+        F.sum("li_prec").alias("p2"),
+        F.sum("cld_prec").alias("p3"),
+    ]
     # warm the UDF/Arrow path once so the timing measures steady state
-    out.agg(F.count("df_lang")).collect()
+    out.agg(*aggs).collect()
     n, best = _timed_best(
-        lambda: int(out.agg(F.count("df_lang").alias("n")).collect()[0]["n"])
+        lambda: int(out.agg(*aggs).collect()[0]["n"])
     )
     return n, best
 

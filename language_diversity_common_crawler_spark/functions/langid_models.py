@@ -27,15 +27,26 @@ from . import langspec
 _RESULT_TYPE = "lang: string, precision: double"
 
 
+def predict_batch(
+    model: str, text: pd.Series, use_real: bool | None = None
+) -> pd.DataFrame:
+    """One model over one pandas batch — real library when importable,
+    deterministic langspec otherwise. Shared by the per-model UDFs and the
+    fused extract pass (plans/pipeline.py) so both paths dispatch
+    identically. ``use_real`` lets UDF constructors snapshot the import
+    probe once instead of re-probing per batch."""
+    if use_real is None:
+        use_real = langspec.real_models_available()
+    if use_real:  # pragma: no cover - libs absent in this sandbox
+        return _predict_real(model, text)
+    return langspec.predict_pandas(model, text)
+
+
 def _make_udf(model: str):
     use_real = langspec.real_models_available()
 
-    if use_real:  # pragma: no cover - libs absent in this sandbox
-        def fn(text: pd.Series) -> pd.DataFrame:
-            return _predict_real(model, text)
-    else:
-        def fn(text: pd.Series) -> pd.DataFrame:
-            return langspec.predict_pandas(model, text)
+    def fn(text: pd.Series) -> pd.DataFrame:
+        return predict_batch(model, text, use_real)
 
     fn.__name__ = f"{model}_identify"
     return pandas_udf(_RESULT_TYPE)(fn)

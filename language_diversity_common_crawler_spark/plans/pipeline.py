@@ -20,6 +20,20 @@ Scale notes: decode+html2text UDFs are the dominant cost and are pure map
 work — zero shuffle; the histogram/stats aggregations shuffle only
 |languages| × |models| rows after map-side partial agg. `segment` is the
 partition column, so per-segment runs are partition-pruned scans.
+
+Measured negative result (keep the chain UNFUSED): a variant fusing
+decode → boilerplate → all 3 models into ONE pandas UDF (html in once,
+one struct out once, ~7→2 large-string boundary crossings) benchmarked
+13-20% SLOWER than this chain at pinned local[8] over 270k pages,
+interleaved A/B, all model columns referenced so nothing pruned. Each
+chained ArrowEvalPython stage gets its own Python worker pool, so
+batches overlap across stages (decode batch k+1 runs while models chew
+batch k); that pipeline parallelism is worth more than the extra Arrow
+crossings, which are cheap next to the per-string codec/regex work.
+Caveat when benchmarking this chain: an aggregate that references only
+one model's output lets Catalyst prune the other two model UDFs out of
+the plan entirely — reference all six model columns or the number is a
+1-model number.
 """
 
 from __future__ import annotations

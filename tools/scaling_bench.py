@@ -71,8 +71,11 @@ def _code_fingerprint() -> str:
     # job does (not just statistics/reporting) — v2 moved synthetic seed
     # GENERATION out of the timed frontier jobs into a cached input; v3
     # clears the SQL cache before each timed rep (v2's same-plan warm-up
-    # let reps cache-hit filter_unseen's persisted probe output)
-    h.update(b"job-v3")
+    # let reps cache-hit filter_unseen's persisted probe output); v4 makes
+    # the extract aggregate reference all three models' outputs (v3's agg
+    # touched only df_lang, so Catalyst pruned the li/cld model UDFs and
+    # the extract row was a 1-model number)
+    h.update(b"job-v4")
     pkg = os.path.join(REPO, "language_diversity_common_crawler_spark")
     for rel in (
         "frontier/urlgen.py", "frontier/seen.py", "frontier/scheduler.py",
@@ -213,9 +216,17 @@ def _extract_job(spark):
 
     df = spark.read.parquet(PAGES_PATH)
     out = extract_pipeline(df)
+    # reference ALL THREE models' outputs: an agg touching only df_lang
+    # lets Catalyst prune the li/cld model UDFs from the plan, silently
+    # turning the "extract" time into a 1-model number
     row = out.agg(
         F.count("df_lang").alias("n"),
         F.sum(F.length("content")).alias("chars"),
+        F.count("li_lang").alias("n_li"),
+        F.count("cld_lang").alias("n_cld"),
+        F.sum("df_prec").alias("p1"),
+        F.sum("li_prec").alias("p2"),
+        F.sum("cld_prec").alias("p3"),
     ).collect()[0]
     return int(row["n"])
 
