@@ -121,6 +121,99 @@ class ParquetStateBackend:
         ]
         return self.spark.read.parquet(*paths).select("url_canon")
 
+    # -- compacted seen set (bucketed) ----------------------------------
+    #
+    # The per-round anti-join's big side is the seen set; joining against
+    # a plain union of delta files reshuffles all 10^10 rows by url_canon
+    # EVERY round. Periodic compaction rewrites the accumulated deltas
+    # once into a table BUCKETED by url_canon; after that the anti-join
+    # reads the bucketed scan with NO exchange on the big side (only the
+    # small maybe-set shuffles, to the bucket count), and only the few
+    # post-compaction deltas still join the slow way (they're small —
+    # AQE broadcasts them). This is the parquet emulation of Iceberg's
+    # `bucket(N, url_canon)` partition transform + storage-partitioned
+    # join; compaction itself is Iceberg's rewrite_data_files.
+
+    SEEN_BUCKETS = 64
+
+    def _compact_marker(self, upto: int) -> str:
+        return os.path.join(self.ckpt, f"COMPACT-{upto:04d}.json")
+
+    def _compact_table(self, upto: int) -> str:
+        import hashlib
+
+        tag = hashlib.md5(self.ckpt.encode()).hexdigest()[:8]
+        return f"ldcc_seen_compact_{tag}_{upto:04d}"
+
+    def latest_compact(self) -> int | None:
+        best = None
+        for name in fsio.list_names(self.spark, self.ckpt):
+            if name.startswith("COMPACT-") and name.endswith(".json"):
+                k = int(name[len("COMPACT-"):-len(".json")])
+                best = k if best is None else max(best, k)
+        return best
+
+    def compact_seen(self, upto: int) -> None:
+        """Rewrite seen deltas 0..upto into one url_canon-bucketed table
+        (marker written LAST — an interrupted compaction is invisible and
+        simply re-runs). Deltas are disjoint by construction (each holds
+        only genuinely-new URLs), so this is a straight rewrite."""
+        full = self.spark.read.parquet(*[
+            _rdir(self.ckpt, k, "seen_delta")
+            for k in range(upto + 1)
+            if fsio.exists(self.spark, _rdir(self.ckpt, k, "seen_delta"))
+        ])
+        path = _rdir(self.ckpt, upto, "seen_compact")
+        (
+            full.select("url_canon", "host", "part_id")
+            .write.mode("overwrite")
+            .format("parquet")
+            .bucketBy(self.SEEN_BUCKETS, "url_canon")
+            .sortBy("url_canon")
+            .option("path", path)
+            .saveAsTable(self._compact_table(upto))
+        )
+        fsio.write_text(
+            self.spark, self._compact_marker(upto),
+            json.dumps({"upto": upto, "n_buckets": self.SEEN_BUCKETS}),
+        )
+
+    def read_seen_split(
+        self, upto: int
+    ) -> tuple[DataFrame | None, DataFrame | None]:
+        """(compacted, deltas) covering rounds 0..upto — compacted is the
+        bucketed table of the latest compaction ≤ upto (None before any),
+        deltas the union of rounds after it (None if none). A fresh
+        session re-registers the bucketed table from its path (idempotent
+        DDL) so resume keeps the no-exchange join."""
+        c = self.latest_compact()
+        compacted = None
+        start = 0
+        if c is not None and c <= upto:
+            name = self._compact_table(c)
+            if not self.spark.catalog.tableExists(name):
+                self.spark.sql(
+                    f"CREATE TABLE {name} "
+                    "(url_canon STRING, host STRING, part_id INT) "
+                    "USING PARQUET CLUSTERED BY (url_canon) "
+                    "SORTED BY (url_canon) "
+                    f"INTO {self.SEEN_BUCKETS} BUCKETS "
+                    f"LOCATION '{_rdir(self.ckpt, c, 'seen_compact')}'"
+                )
+            compacted = self.spark.table(name).select("url_canon")
+            start = c + 1
+        paths = [
+            _rdir(self.ckpt, k, "seen_delta")
+            for k in range(start, upto + 1)
+            if fsio.exists(self.spark, _rdir(self.ckpt, k, "seen_delta"))
+        ]
+        deltas = (
+            self.spark.read.parquet(*paths).select("url_canon")
+            if paths
+            else None
+        )
+        return compacted, deltas
+
     def latest_round(self) -> int | None:
         best = None
         for name in fsio.list_names(self.spark, self.ckpt):
@@ -199,11 +292,17 @@ def run_round(
     budget: int = 3,
     rules: DataFrame | None = None,
     use_bloom: bool = True,
+    compact_every: int | None = 8,
 ) -> dict:
     """Execute the next crawl round from the latest committed snapshot;
     commit scheduled/frontier/seen-delta/metrics, manifest last. Returns the
     manifest dict. Idempotent on crash: an uncommitted round is simply
-    re-run."""
+    re-run.
+
+    ``compact_every``: rewrite the seen-delta log into a url_canon-bucketed
+    table every N rounds (None disables). Against the bucketed table the
+    exact anti-join has NO exchange on the (10^10-row) seen side; only the
+    post-compaction deltas — at most N-1 small rounds — join unbucketed."""
     st = _backend(spark, ckpt)
     prev = st.latest_round()
     if prev is None:
@@ -211,7 +310,20 @@ def run_round(
     k = prev + 1
 
     frontier = st.read(prev, "frontier")
-    seen_urls = st.read_seen_upto(prev)
+    compacted, deltas = (
+        st.read_seen_split(prev)
+        if hasattr(st, "read_seen_split")
+        else (None, None)
+    )
+    if compacted is None and deltas is None:
+        deltas = st.read_seen_upto(prev)
+
+    def _full_seen() -> DataFrame:
+        if compacted is None:
+            return deltas
+        if deltas is None:
+            return compacted
+        return compacted.unionByName(deltas)
 
     eligible = frontier
     if rules is not None:
@@ -234,9 +346,18 @@ def run_round(
         bloom = (
             st.read(prev, "bloom")
             if st.exists(prev, "bloom")
-            else seen.build_bloom(seen.with_url_hashes(seen_urls, n_parts=N_PARTS))
+            else seen.build_bloom(
+                seen.with_url_hashes(_full_seen(), n_parts=N_PARTS)
+            )
         )
-    new = seen.filter_unseen(cand, seen_urls, bloom=bloom, dedupe=True)
+    # exact check: bucketed compacted table first (exchange-free big side),
+    # then the small post-compaction deltas (AQE broadcasts them). The
+    # committed bloom covers BOTH, so a URL seen only in a delta still
+    # flags maybe_seen and is caught by the second anti-join.
+    exact_base = compacted if compacted is not None else deltas
+    new = seen.filter_unseen(cand, exact_base, bloom=bloom, dedupe=True)
+    if compacted is not None and deltas is not None:
+        new = new.join(deltas.select("url_canon"), "url_canon", "left_anti")
 
     n_new = st.write(
         new.select("url_canon", "host", "part_id"), k, "seen_delta", count=True
@@ -284,6 +405,13 @@ def run_round(
         "n_new": n_new,
     }
     st.write_manifest(k, manifest)  # commit marker, written LAST
+
+    # post-commit maintenance (crash-safe: an interrupted compaction has
+    # no marker and re-runs on the next qualifying round)
+    if compact_every and hasattr(st, "compact_seen"):
+        last_c = st.latest_compact()
+        if k - (last_c if last_c is not None else -1) >= compact_every:
+            st.compact_seen(k)
     return manifest
 
 

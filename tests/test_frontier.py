@@ -536,3 +536,64 @@ def test_politeness_hot_host_skew_exact(spark):
         )[: len(rows)]
         assert [r["url_canon"] for r in rows] == want
         assert [r["slot"] for r in rows] == list(range(1, len(rows) + 1))
+
+
+def test_seen_compaction_parity_and_bucketed_join(spark, tmp_path):
+    """Periodic seen-set compaction (url_canon-bucketed rewrite) must not
+    change crawl semantics, and the exact anti-join against the compacted
+    table must read it WITHOUT an exchange on the seen side — the whole
+    point of bucketing the 10^10-row set."""
+    ckpt = str(tmp_path / "ckpt")
+    crawl.init_crawl(spark, _spark_seeds(spark, 60), ckpt)
+    rules = _spark_rules(spark)
+    for _ in range(5):
+        crawl.run_round(spark, ckpt, budget=2, rules=rules, compact_every=2)
+
+    # identical order + seen set vs the sequential oracle
+    oc = _oracle_run(5)
+    assert _order_tuples(spark, ckpt) == sorted(
+        oc.order, key=lambda t: (t[0], t[1], t[2])
+    )
+    st = crawl.ParquetStateBackend(spark, ckpt)
+    c = st.latest_compact()
+    assert c is not None and c >= 2
+    last = crawl.latest_round(spark, ckpt)
+    compacted, deltas = st.read_seen_split(last)
+    assert compacted is not None
+    full = compacted if deltas is None else compacted.unionByName(deltas)
+    assert {r["url_canon"] for r in full.collect()} == oc.seen
+
+    # a fresh session would re-register the table from its path; simulate
+    # by dropping it and re-reading through the split API
+    spark.sql(f"DROP TABLE {st._compact_table(c)}")
+    compacted, _ = st.read_seen_split(last)
+    assert compacted.count() > 0
+
+    # plan shape: disable broadcast so the join planner must pick SMJ,
+    # then assert the compacted side scans its buckets with no exchange
+    # (exactly one Exchange in the plan — the small probe side's)
+    thresholds = {
+        "spark.sql.autoBroadcastJoinThreshold": None,
+        "spark.sql.adaptive.autoBroadcastJoinThreshold": None,
+    }
+    for k in thresholds:
+        try:
+            thresholds[k] = spark.conf.get(k)
+        except Exception:
+            thresholds[k] = None
+        spark.conf.set(k, "-1")
+    try:
+        probe = spark.createDataFrame(
+            [(u,) for u in sorted(oc.seen)[:5]]
+            + [("https://nowhere.example.com/x",)],
+            ["url_canon"],
+        )
+        anti = probe.join(compacted, "url_canon", "left_anti")
+        plan = anti._jdf.queryExecution().executedPlan().toString()
+        assert "SortMergeJoin" in plan, plan
+        assert plan.count("Exchange") == 1, plan
+        assert anti.count() == 1
+    finally:
+        for k, v in thresholds.items():
+            if v is not None:
+                spark.conf.set(k, v)
