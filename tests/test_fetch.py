@@ -1,0 +1,135 @@
+"""S1 — distributed HTTP fetch against a local deterministic server.
+
+The sandbox has no external network, so the fetcher is driven end-to-end
+against a threaded ``http.server`` on 127.0.0.1 serving charset variants,
+a 404, a redirect and an oversized body — the full row-level fault matrix
+``frontier/fetch.py`` must absorb without failing the job.
+"""
+
+from __future__ import annotations
+
+import http.server
+import os
+import sys
+import threading
+
+import pytest
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from language_diversity_common_crawler_spark.frontier import fetch  # noqa: E402
+
+PAGES = {
+    "/utf8": ("text/html; charset=utf-8", "<html><p>héllo utf8</p></html>".encode("utf-8")),
+    "/latin1": ("text/html; charset=ISO-8859-1", "<html><p>caf\xe9</p></html>".encode("iso-8859-1")),
+    "/nocharset": ("text/html", b"<html><p>plain</p></html>"),
+    "/big": ("text/html; charset=utf-8", b"x" * 100_000),
+}
+
+
+class _Handler(http.server.BaseHTTPRequestHandler):
+    def do_GET(self):  # noqa: N802 (stdlib API name)
+        if self.path == "/redir":
+            self.send_response(302)
+            self.send_header("Location", "/utf8")
+            self.end_headers()
+            return
+        if self.path not in PAGES:
+            self.send_error(404)
+            return
+        ctype, body = PAGES[self.path]
+        self.send_response(200)
+        self.send_header("Content-Type", ctype)
+        self.send_header("Content-Length", str(len(body)))
+        self.end_headers()
+        self.wfile.write(body)
+
+    def log_message(self, *args):  # silence per-request stderr noise
+        pass
+
+
+@pytest.fixture(scope="module")
+def server():
+    srv = http.server.ThreadingHTTPServer(("127.0.0.1", 0), _Handler)
+    t = threading.Thread(target=srv.serve_forever, daemon=True)
+    t.start()
+    yield f"http://127.0.0.1:{srv.server_address[1]}"
+    srv.shutdown()
+
+
+def test_charset_of():
+    assert fetch.charset_of("text/html; charset=UTF-8") == "utf-8"
+    assert fetch.charset_of('text/html; charset="ISO-8859-1"') == "iso-8859-1"
+    assert fetch.charset_of("text/html") is None
+    assert fetch.charset_of(None) is None
+
+
+def test_record_id_deterministic():
+    a = fetch.record_id_for("https://h.ex/a")
+    assert a == fetch.record_id_for("https://h.ex/a")
+    assert a.startswith("<urn:uuid:") and a.endswith(">") and len(a) == 47
+
+
+def test_fetch_one_matrix(server):
+    body, cs, status, err = fetch.fetch_one(
+        f"{server}/utf8", "t", 5.0, 1 << 20
+    )
+    assert (status, err, cs) == (200, None, "utf-8")
+    assert "héllo utf8" in body.decode("utf-8")
+
+    body, cs, status, err = fetch.fetch_one(f"{server}/miss", "t", 5.0, 1 << 20)
+    assert (body, status, err) == (None, 404, "http_404")
+
+    # redirect followed transparently by urllib
+    body, cs, status, err = fetch.fetch_one(f"{server}/redir", "t", 5.0, 1 << 20)
+    assert status == 200 and b"utf8" in body
+
+    # byte cap truncates, never raises
+    body, cs, status, err = fetch.fetch_one(f"{server}/big", "t", 5.0, 1000)
+    assert status == 200 and len(body) == 1000
+
+    # connection refused -> error row, not an exception
+    body, cs, status, err = fetch.fetch_one(
+        "http://127.0.0.1:9/never", "t", 2.0, 1 << 20
+    )
+    assert body is None and status is None and err
+
+
+def test_fetch_pages_end_to_end(spark, server):
+    """Scheduled batch -> fetched pages rows -> extract pipeline."""
+    from language_diversity_common_crawler_spark.plans.pipeline import (
+        extract_pipeline,
+    )
+    from pyspark.sql import functions as F
+
+    sched = spark.createDataFrame(
+        [
+            (f"{server}/utf8", "127.0.0.1", 1),
+            (f"{server}/latin1", "127.0.0.1", 2),
+            (f"{server}/nocharset", "127.0.0.1", 3),
+            (f"{server}/miss", "127.0.0.1", 4),
+        ],
+        ["url_canon", "host", "slot"],
+    )
+    rows = {r["url"]: r for r in fetch.fetch_pages(sched, n_partitions=2).collect()}
+    assert len(rows) == 4
+    ok = rows[f"{server}/utf8"]
+    assert ok["status"] == 200 and ok["http_charset"] == "utf-8"
+    assert ok["content_length"] == str(len(PAGES["/utf8"][1]))
+    assert ok["warc_record_id"] == fetch.record_id_for(f"{server}/utf8")
+    assert rows[f"{server}/latin1"]["http_charset"] == "iso-8859-1"
+    assert rows[f"{server}/nocharset"]["http_charset"] is None
+    miss = rows[f"{server}/miss"]
+    assert miss["html"] is None and miss["status"] == 404
+
+    # fetched rows run the extract chain: decode honors the served charset
+    pages = fetch.fetch_pages(sched).filter(F.col("html").isNotNull())
+    out = {
+        r["url"]: r["content"]
+        for r in extract_pipeline(pages.withColumn("segment", F.lit("live")))
+        .select("url", "content")
+        .collect()
+    }
+    assert out[f"{server}/utf8"] == "héllo utf8"
+    assert out[f"{server}/latin1"] == "café"
+    assert out[f"{server}/nocharset"] == "plain"
