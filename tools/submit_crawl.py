@@ -47,6 +47,12 @@ def main() -> None:
     ap.add_argument("--budget", type=int, default=100)
     ap.add_argument("--local", action="store_true",
                     help="run on a local[] master (sandbox smoke)")
+    ap.add_argument("--fetch", action="store_true",
+                    help="HTTP-fetch each round's scheduled URLs into "
+                         "rounds/r=K/pages (frontier/fetch.py: per-host "
+                         "serial, paced, fault-isolated)")
+    ap.add_argument("--min-interval", type=float, default=1.0,
+                    help="per-host pacing floor in seconds for --fetch")
     args = ap.parse_args()
 
     if args.local:
@@ -94,6 +100,18 @@ def main() -> None:
         m = crawl.run_round(spark, args.ckpt, budget=args.budget, rules=rules)
         print(f"round {m['round']}: scheduled={m['n_scheduled']} "
               f"new={m['n_new']} frontier={m['n_frontier']}")
+        if args.fetch:
+            from language_diversity_common_crawler_spark.frontier import (
+                fetch as fetch_mod,
+            )
+
+            st = crawl.ParquetStateBackend(spark, args.ckpt)
+            pages = fetch_mod.fetch_pages(
+                st.read(m["round"], "scheduled"),
+                min_interval_s=args.min_interval,
+            )
+            st.write(pages, m["round"], "pages")
+            print(f"round {m['round']}: fetched pages committed")
 
     spark.stop()
 
