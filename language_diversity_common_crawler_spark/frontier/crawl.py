@@ -177,6 +177,19 @@ class ParquetStateBackend:
             self.spark, self._compact_marker(upto),
             json.dumps({"upto": upto, "n_buckets": self.SEEN_BUCKETS}),
         )
+        # superseded compactions are dead weight — each holds a FULL copy
+        # of the seen set; reclaim them once the new marker is durable
+        for name in fsio.list_names(self.spark, self.ckpt):
+            if name.startswith("COMPACT-") and name.endswith(".json"):
+                old = int(name[len("COMPACT-"):-len(".json")])
+                if old < upto:
+                    self.spark.sql(
+                        f"DROP TABLE IF EXISTS {self._compact_table(old)}"
+                    )
+                    fsio.delete(
+                        self.spark, _rdir(self.ckpt, old, "seen_compact")
+                    )
+                    fsio.delete(self.spark, self._compact_marker(old))
 
     def read_seen_split(
         self, upto: int

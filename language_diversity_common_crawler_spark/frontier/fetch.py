@@ -46,7 +46,7 @@ from pyspark.sql import DataFrame
 FETCH_SCHEMA = (
     "url string, warc_ts timestamp, html binary, http_charset string, "
     "accept_language string, warc_record_id string, content_length string, "
-    "status int, error string, fetch_ms double"
+    "status int, error string, fetch_ms double, truncated boolean"
 )
 
 
@@ -71,37 +71,64 @@ def charset_of(content_type: str | None) -> str | None:
     return None
 
 
+class FetchResult:
+    __slots__ = ("body", "charset", "status", "error", "length_header",
+                 "truncated")
+
+    def __init__(self, body=None, charset=None, status=None, error=None,
+                 length_header=None, truncated=False):
+        self.body = body
+        self.charset = charset
+        self.status = status
+        self.error = error
+        self.length_header = length_header  # server's Content-Length, if any
+        self.truncated = truncated
+
+
 def fetch_one(
     url: str,
     user_agent: str,
     timeout_s: float,
     max_bytes: int,
-) -> tuple[bytes | None, str | None, int | None, str | None]:
-    """(body, charset, status, error) for one URL — streaming read capped
-    at ``max_bytes``; any failure is returned, never raised."""
+    deadline_s: float = 60.0,
+) -> FetchResult:
+    """Fetch one URL — streaming read capped at ``max_bytes`` AND at
+    ``deadline_s`` total wall time (urllib's timeout bounds only individual
+    socket operations, so a slow-drip server would otherwise hold the task
+    forever). Only http(s) schemes are fetched — anything else (file://,
+    ftp://) is refused as an error row, never read off executor disk. Any
+    failure is returned, never raised."""
     import urllib.error
     import urllib.request
 
+    if not url.startswith(("http://", "https://")):
+        return FetchResult(error="non_http_scheme")
     req = urllib.request.Request(url, headers={"User-Agent": user_agent})
+    t0 = time.monotonic()
     try:
         with urllib.request.urlopen(req, timeout=timeout_s) as resp:
-            chunks, total = [], 0
+            chunks, total, truncated = [], 0, False
             while total < max_bytes:
+                if time.monotonic() - t0 > deadline_s:
+                    return FetchResult(error="deadline_exceeded")
                 chunk = resp.read(min(1 << 16, max_bytes - total))
                 if not chunk:
                     break
                 chunks.append(chunk)
                 total += len(chunk)
-            return (
-                b"".join(chunks),
-                charset_of(resp.headers.get("Content-Type")),
-                int(resp.status),
-                None,
+            if total >= max_bytes and resp.read(1):
+                truncated = True  # body continues past the cap
+            return FetchResult(
+                body=b"".join(chunks),
+                charset=charset_of(resp.headers.get("Content-Type")),
+                status=int(resp.status),
+                length_header=resp.headers.get("Content-Length"),
+                truncated=truncated,
             )
     except urllib.error.HTTPError as e:  # non-2xx with a status
-        return None, None, int(e.code), f"http_{e.code}"
+        return FetchResult(status=int(e.code), error=f"http_{e.code}")
     except Exception as e:  # DNS, timeout, refused, TLS, ...
-        return None, None, None, type(e).__name__
+        return FetchResult(error=type(e).__name__)
 
 
 def fetch_pages(
@@ -119,11 +146,19 @@ def fetch_pages(
     per-host pacing floor (crawl-delay); enforced exactly because each
     host lives in one task after the repartition.
     """
+    order_cols = ["host"] + (
+        ["slot"] if "slot" in scheduled.columns else ["url_canon"]
+    )
     cols = ["url_canon", "host"] + (
         ["slot"] if "slot" in scheduled.columns else []
     )
-    parts = scheduled.select(*cols).repartition(
-        *([n_partitions] if n_partitions else []), "host"
+    # slot order must hold across Arrow batch boundaries, so sort the
+    # PARTITION (JVM-side) rather than each pandas batch: batches arrive
+    # in partition order and the Python loop just walks them
+    parts = (
+        scheduled.select(*cols)
+        .repartition(*([n_partitions] if n_partitions else []), "host")
+        .sortWithinPartitions(*order_cols)
     )
 
     def _fetch(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -131,42 +166,42 @@ def fetch_pages(
         for pdf in batches:
             if pdf.empty:
                 continue
-            order = (
-                pdf.sort_values(["host", "slot"])
-                if "slot" in pdf.columns
-                else pdf.sort_values(["host", "url_canon"])
-            )
             out: dict[str, list] = {k: [] for k in (
                 "url", "warc_ts", "html", "http_charset", "accept_language",
                 "warc_record_id", "content_length", "status", "error",
-                "fetch_ms",
+                "fetch_ms", "truncated",
             )}
-            for url, host in zip(order["url_canon"], order["host"]):
+            for url, host in zip(pdf["url_canon"], pdf["host"]):
                 if min_interval_s > 0.0:
                     wait = last_hit.get(host, 0.0) + min_interval_s - time.monotonic()
                     if wait > 0:
                         time.sleep(wait)
                 t0 = time.monotonic()
-                body, charset, status, err = fetch_one(
-                    url, user_agent, timeout_s, max_bytes
-                )
+                r = fetch_one(url, user_agent, timeout_s, max_bytes)
                 dt = time.monotonic() - t0
                 if min_interval_s > 0.0:
                     last_hit[host] = time.monotonic()
                 out["url"].append(url)
-                out["warc_ts"].append(
-                    datetime.now(timezone.utc).replace(tzinfo=None)
-                )
-                out["html"].append(body)
-                out["http_charset"].append(charset)
+                out["warc_ts"].append(datetime.now(timezone.utc))
+                out["html"].append(r.body)
+                out["http_charset"].append(r.charset)
                 out["accept_language"].append(None)
                 out["warc_record_id"].append(record_id_for(url))
+                # the server's Content-Length (the WARC-header-parity value)
+                # when sent; actual body length otherwise
                 out["content_length"].append(
-                    str(len(body)) if body is not None else None
+                    r.length_header
+                    if r.length_header is not None
+                    else (str(len(r.body)) if r.body is not None else None)
                 )
-                out["status"].append(status)
-                out["error"].append(err)
+                out["status"].append(r.status)
+                out["error"].append(r.error)
                 out["fetch_ms"].append(dt * 1000.0)
-            yield pd.DataFrame(out)
+                out["truncated"].append(r.truncated)
+            pdf_out = pd.DataFrame(out)
+            # tz-aware UTC: Spark stores TimestampType as UTC micros — a
+            # naive datetime would be reinterpreted in the session timezone
+            pdf_out["warc_ts"] = pd.to_datetime(pdf_out["warc_ts"], utc=True)
+            yield pdf_out
 
     return parts.mapInPandas(_fetch, FETCH_SCHEMA)

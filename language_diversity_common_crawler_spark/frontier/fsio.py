@@ -63,3 +63,9 @@ def write_text(spark: SparkSession, path: str, text: str) -> None:
     # Hadoop rename reports most failures by returning false, not raising
     if not fs.rename(tmp, p):
         raise IOError(f"rename {tmp} -> {p} failed; commit marker not written")
+
+
+def delete(spark: SparkSession, path: str) -> bool:
+    """Recursive delete (True if something was removed)."""
+    fs, p = _fs_path(spark, path)
+    return bool(fs.delete(p, True))

@@ -84,13 +84,17 @@ def _bit_indices(h1: np.ndarray, h2: np.ndarray, i: int, n_bits: int) -> np.ndar
 
 def _u64_col(tbl: pa.Table, name: str) -> np.ndarray:
     """Near-zero-copy view of a non-null int64 Arrow column as uint64
-    (copies only when the column arrived in multiple chunks)."""
-    return (
-        tbl.column(name)
-        .combine_chunks()
-        .to_numpy(zero_copy_only=False)
-        .view(np.uint64)
-    )
+    (copies only when the column arrived in multiple chunks). Nulls are
+    rejected loudly: pyarrow would otherwise convert the whole batch to
+    float64 (NaN for nulls) and the uint64 reinterpretation would corrupt
+    every hash in the batch — a silent bloom false-negative factory."""
+    col = tbl.column(name)
+    if col.null_count:
+        raise ValueError(
+            f"_u64_col: column {name!r} has {col.null_count} null(s) — "
+            "hash columns must be non-null (null url_canon upstream?)"
+        )
+    return col.combine_chunks().to_numpy(zero_copy_only=False).view(np.uint64)
 
 
 def build_bloom(

@@ -31,10 +31,8 @@ def predict_batch(
     model: str, text: pd.Series, use_real: bool | None = None
 ) -> pd.DataFrame:
     """One model over one pandas batch — real library when importable,
-    deterministic langspec otherwise. Shared by the per-model UDFs and the
-    fused extract pass (plans/pipeline.py) so both paths dispatch
-    identically. ``use_real`` lets UDF constructors snapshot the import
-    probe once instead of re-probing per batch."""
+    deterministic langspec otherwise. ``use_real`` lets UDF constructors
+    snapshot the import probe once instead of re-probing per batch."""
     if use_real is None:
         use_real = langspec.real_models_available()
     if use_real:  # pragma: no cover - libs absent in this sandbox

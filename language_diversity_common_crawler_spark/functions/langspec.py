@@ -109,8 +109,8 @@ FALLBACK = {"detect_fast": "unknown", "langid": "en", "cld2": "un"}
 def real_models_available() -> bool:
     """True iff the reference's actual model libraries are importable.
     Deliberately NOT cached: the delegation tests flip availability by
-    monkeypatching sys.modules; hot paths snapshot the answer once at UDF
-    construction instead (langid_models._make_udf, pipeline._fused_udf)."""
+    monkeypatching sys.modules; the hot path snapshots the answer once at
+    UDF construction instead (langid_models._make_udf)."""
     try:  # pragma: no cover - not installed in this sandbox
         import langid  # noqa: F401
         import pycld2  # noqa: F401

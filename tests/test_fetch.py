@@ -71,28 +71,33 @@ def test_record_id_deterministic():
 
 
 def test_fetch_one_matrix(server):
-    body, cs, status, err = fetch.fetch_one(
-        f"{server}/utf8", "t", 5.0, 1 << 20
+    r = fetch.fetch_one(f"{server}/utf8", "t", 5.0, 1 << 20)
+    assert (r.status, r.error, r.charset, r.truncated) == (
+        200, None, "utf-8", False,
     )
-    assert (status, err, cs) == (200, None, "utf-8")
-    assert "héllo utf8" in body.decode("utf-8")
+    assert "héllo utf8" in r.body.decode("utf-8")
+    assert r.length_header == str(len(PAGES["/utf8"][1]))
 
-    body, cs, status, err = fetch.fetch_one(f"{server}/miss", "t", 5.0, 1 << 20)
-    assert (body, status, err) == (None, 404, "http_404")
+    r = fetch.fetch_one(f"{server}/miss", "t", 5.0, 1 << 20)
+    assert (r.body, r.status, r.error) == (None, 404, "http_404")
 
     # redirect followed transparently by urllib
-    body, cs, status, err = fetch.fetch_one(f"{server}/redir", "t", 5.0, 1 << 20)
-    assert status == 200 and b"utf8" in body
+    r = fetch.fetch_one(f"{server}/redir", "t", 5.0, 1 << 20)
+    assert r.status == 200 and b"utf8" in r.body
 
-    # byte cap truncates, never raises
-    body, cs, status, err = fetch.fetch_one(f"{server}/big", "t", 5.0, 1000)
-    assert status == 200 and len(body) == 1000
+    # byte cap truncates AND flags it; server Content-Length preserved
+    r = fetch.fetch_one(f"{server}/big", "t", 5.0, 1000)
+    assert r.status == 200 and len(r.body) == 1000
+    assert r.truncated is True
+    assert r.length_header == str(len(PAGES["/big"][1]))
 
-    # connection refused -> error row, not an exception
-    body, cs, status, err = fetch.fetch_one(
-        "http://127.0.0.1:9/never", "t", 2.0, 1 << 20
-    )
-    assert body is None and status is None and err
+    # connection refused -> error result, not an exception
+    r = fetch.fetch_one("http://127.0.0.1:9/never", "t", 2.0, 1 << 20)
+    assert r.body is None and r.status is None and r.error
+
+    # non-http schemes are refused, never read off local disk
+    r = fetch.fetch_one("file:///etc/hostname", "t", 2.0, 1 << 20)
+    assert r.body is None and r.error == "non_http_scheme"
 
 
 def test_fetch_pages_end_to_end(spark, server):
@@ -117,6 +122,7 @@ def test_fetch_pages_end_to_end(spark, server):
     assert ok["status"] == 200 and ok["http_charset"] == "utf-8"
     assert ok["content_length"] == str(len(PAGES["/utf8"][1]))
     assert ok["warc_record_id"] == fetch.record_id_for(f"{server}/utf8")
+    assert ok["truncated"] is False and ok["warc_ts"] is not None
     assert rows[f"{server}/latin1"]["http_charset"] == "iso-8859-1"
     assert rows[f"{server}/nocharset"]["http_charset"] is None
     miss = rows[f"{server}/miss"]

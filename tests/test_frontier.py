@@ -557,6 +557,15 @@ def test_seen_compaction_parity_and_bucketed_join(spark, tmp_path):
     st = crawl.ParquetStateBackend(spark, ckpt)
     c = st.latest_compact()
     assert c is not None and c >= 2
+    # superseded compactions (full copies of the seen set) are reclaimed:
+    # exactly one marker+table remains
+    markers = [n for n in os.listdir(ckpt) if n.startswith("COMPACT-")]
+    assert markers == [f"COMPACT-{c:04d}.json"]
+    compact_dirs = [
+        r for r in os.listdir(os.path.join(ckpt, "rounds"))
+        if os.path.isdir(os.path.join(ckpt, "rounds", r, "seen_compact"))
+    ]
+    assert compact_dirs == [f"r={c:04d}"]
     last = crawl.latest_round(spark, ckpt)
     compacted, deltas = st.read_seen_split(last)
     assert compacted is not None

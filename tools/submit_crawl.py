@@ -90,28 +90,46 @@ def main() -> None:
     if args.robots:
         rules = robots_mod.rules_from_bodies(spark.read.parquet(args.robots))
 
-    if crawl.latest_round(spark, args.ckpt) is None:
+    def _fetch_round(k: int) -> None:
+        from language_diversity_common_crawler_spark.frontier import (
+            fetch as fetch_mod,
+        )
+
+        st = crawl.ParquetStateBackend(spark, args.ckpt)
+        pages = fetch_mod.fetch_pages(
+            st.read(k, "scheduled"), min_interval_s=args.min_interval
+        )
+        st.write(pages, k, "pages")
+        print(f"round {k}: fetched pages committed")
+
+    def _pages_committed(k: int) -> bool:
+        # the parquet writer's _SUCCESS marker is the fetch commit marker:
+        # a crash mid-fetch leaves a partial dir without it and the round
+        # is re-fetched on resume (the round's own manifest committed
+        # earlier, so run_round alone would never revisit it)
+        from language_diversity_common_crawler_spark.frontier import fsio
+
+        base = os.path.join(args.ckpt, "rounds", f"r={k:04d}", "pages")
+        return fsio.exists(spark, os.path.join(base, "_SUCCESS"))
+
+    last = crawl.latest_round(spark, args.ckpt)
+    if last is None:
         crawl.init_crawl(spark, seeds, args.ckpt)
         print(f"initialized frontier at {args.ckpt}")
     else:
-        print(f"resuming from round {crawl.latest_round(spark, args.ckpt)}")
+        print(f"resuming from round {last}")
+        if args.fetch:
+            for k in range(1, last + 1):
+                if not _pages_committed(k):
+                    print(f"round {k}: pages missing — re-fetching")
+                    _fetch_round(k)
 
     for _ in range(args.rounds):
         m = crawl.run_round(spark, args.ckpt, budget=args.budget, rules=rules)
         print(f"round {m['round']}: scheduled={m['n_scheduled']} "
               f"new={m['n_new']} frontier={m['n_frontier']}")
         if args.fetch:
-            from language_diversity_common_crawler_spark.frontier import (
-                fetch as fetch_mod,
-            )
-
-            st = crawl.ParquetStateBackend(spark, args.ckpt)
-            pages = fetch_mod.fetch_pages(
-                st.read(m["round"], "scheduled"),
-                min_interval_s=args.min_interval,
-            )
-            st.write(pages, m["round"], "pages")
-            print(f"round {m['round']}: fetched pages committed")
+            _fetch_round(m["round"])
 
     spark.stop()
 
