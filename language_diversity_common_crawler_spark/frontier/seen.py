@@ -301,8 +301,14 @@ def filter_unseen(
     )
     # the two branches below would otherwise re-execute the cogrouped
     # Python probe (and everything upstream) once each — persist the probe
-    # output; the ContextCleaner unpersists it when the DataFrame is GC'd
+    # output; the ContextCleaner unpersists it when the DataFrame is GC'd.
+    # Materialize EAGERLY: a lazy persist is populated during the first
+    # action, and the two branches' stages run CONCURRENTLY in that job —
+    # both find partitions uncached and both compute the probe (measured:
+    # the race roughly doubles cold-round cost). One cheap count() pins
+    # the cache before anything branches.
     flagged = flagged.persist(StorageLevel.MEMORY_AND_DISK)
+    flagged.count()
     definitely_new = flagged.filter(~F.col("maybe_seen")).drop("maybe_seen")
     maybe = flagged.filter(F.col("maybe_seen")).drop("maybe_seen")
     confirmed_new = maybe.join(seen_urls.select(url_col), on=url_col, how="left_anti")
