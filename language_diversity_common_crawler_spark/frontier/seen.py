@@ -302,13 +302,13 @@ def filter_unseen(
     # the two branches below would otherwise re-execute the cogrouped
     # Python probe (and everything upstream) once each — persist the probe
     # output; the ContextCleaner unpersists it when the DataFrame is GC'd.
-    # Materialize EAGERLY: a lazy persist is populated during the first
-    # action, and the two branches' stages run CONCURRENTLY in that job —
-    # both find partitions uncached and both compute the probe (measured:
-    # the race roughly doubles cold-round cost). One cheap count() pins
-    # the cache before anything branches.
+    # LAZY persist deliberately (measured, interleaved A/B at pinned 2 and
+    # 8 cores): an eager count() here costs 9-15% per round — the barrier
+    # splits the round into two sequential jobs and kills stage overlap —
+    # while the feared cache-population race between the branches does not
+    # materialize (stage scheduling populates the cache once; lazy also
+    # beat no-persist-at-all, so the dedup is real).
     flagged = flagged.persist(StorageLevel.MEMORY_AND_DISK)
-    flagged.count()
     definitely_new = flagged.filter(~F.col("maybe_seen")).drop("maybe_seen")
     maybe = flagged.filter(F.col("maybe_seen")).drop("maybe_seen")
     confirmed_new = maybe.join(seen_urls.select(url_col), on=url_col, how="left_anti")
