@@ -26,6 +26,7 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 from language_diversity_common_crawler_spark.functions import (  # noqa: E402
     dedup,
     langspec,
+    sampling,
     similarity,
     text_analysis,
 )
@@ -324,6 +325,24 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
 
     q["training_set_selection"] = training_set_selection
+
+    def source_balanced_sample(spark, sf_dir):
+        """Per-source (domain) cap: keep the 10 highest-quality docs per
+        source. Constant rank limit -> WindowGroupLimit (map-side partial
+        top-k), so the exchange carries O(sources x cap) rows at scale."""
+        tune_session(spark)
+        return sampling.source_balanced_sample(_docs_par(spark, sf_dir))
+
+    q["source_balanced_sample"] = source_balanced_sample
+
+    def lang_stratified_sample(spark, sf_dir):
+        """Deterministic per-language Bernoulli downsample (rebalance the
+        corpus mix the A1 histogram revealed) — hash-of-doc_id draw, no
+        rand(), shuffle-free codegen filter."""
+        tune_session(spark)
+        return sampling.lang_stratified_sample(_docs(spark, sf_dir))
+
+    q["lang_stratified_sample"] = lang_stratified_sample
 
     def simhash_fingerprints(spark, sf_dir):
         tune_session(spark)
@@ -735,6 +754,11 @@ SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
        CAST(sum(n_tokens) AS BIGINT) AS total_tokens
 FROM uniq GROUP BY lang
 """
+    o["source_balanced_sample"] = sampling.sql_source_balanced_sample(
+        text_analysis.quality_exprs("text", "duckdb")["quality_score"]
+    )
+    o["lang_stratified_sample"] = sampling.sql_lang_stratified_sample()
+
     o["top_customers"] = relational.SQL_TOP_CUSTOMERS
     o["nation_region_rollup"] = relational.SQL_NATION_REGION_ROLLUP
     o["window_events"] = relational.SQL_WINDOW_EVENTS

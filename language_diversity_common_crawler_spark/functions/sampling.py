@@ -1,0 +1,189 @@
+"""Training-set sampling operators (corpus-balance layer).
+
+Two classic web-scale LLM-data operations the reference's histogram analysis
+feeds into (the reference measures per-language diversity,
+``commands/count_fastwarc_result.sh:5-6``; these operators ACT on that
+measurement when assembling a training mix):
+
+- :func:`source_balanced_sample` — cap documents per source/domain so a few
+  hot hosts cannot dominate the corpus (the per-domain cap of
+  Gopher/FineWeb-style pipelines). Implemented as a quality-ranked
+  ``row_number() <= cap`` per source: with a constant rank limit Spark plans
+  a ``WindowGroupLimit`` — each map task keeps only its local top-``cap``
+  rows per source BEFORE the shuffle, so at 10^10 docs the exchange carries
+  O(n_sources x cap) rows, not the corpus.
+
+- :func:`lang_stratified_sample` — deterministic per-language Bernoulli
+  downsampling (rebalance the language mix the histogram revealed). The keep
+  decision is a pure hash of ``doc_id`` against a per-language rate in basis
+  points, so the sample is reproducible row-for-row across engines, runs and
+  cluster sizes — no ``rand()`` — and the plan is a shuffle-free
+  whole-stage-codegen filter.
+
+Both are built from dialect-shared SQL expressions (see
+``functions/dialect.py``) so the driver's DuckDB oracle runs the IDENTICAL
+logic: the Spark side evaluates ``F.expr(<expr>('spark'))``, the oracle the
+``'duckdb'`` rendering.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from .hashing import sql_md5_60_salted
+from .text_analysis import with_text_stats
+
+# ---------------------------------------------------------------------------
+# per-source (domain) balanced sample
+# ---------------------------------------------------------------------------
+
+DEFAULT_SOURCE_CAP = 10
+
+# Output columns of source_balanced_sample (shared with the oracle builder).
+_BALANCED_COLS = ("doc_id", "source", "lang", "quality_score", "sample_rank")
+
+
+def source_balanced_sample(
+    df: DataFrame, cap: int = DEFAULT_SOURCE_CAP
+) -> DataFrame:
+    """Keep the ``cap`` highest-quality documents per ``source``.
+
+    Rank = quality_score DESC, doc_id ASC (deterministic total order —
+    doc_id is unique). The constant ``row_number() <= cap`` filter is what
+    lets Catalyst rewrite the window into a WindowGroupLimit: a partial
+    per-source top-``cap`` runs map-side, the full sort never materializes,
+    and the shuffle moves at most ``cap`` rows per source per input task.
+    """
+    stats = with_text_stats(df).select(
+        "doc_id", "source", "lang", "quality_score"
+    )
+    w = Window.partitionBy("source").orderBy(
+        F.desc("quality_score"), F.asc("doc_id")
+    )
+    return (
+        stats.withColumn("sample_rank", F.row_number().over(w))
+        .filter(F.col("sample_rank") <= cap)
+        .select(
+            F.col("doc_id").cast("bigint").alias("doc_id"),
+            "source",
+            "lang",
+            F.col("quality_score").cast("bigint").alias("quality_score"),
+            F.col("sample_rank").cast("int").alias("sample_rank"),
+        )
+    )
+
+
+def sql_source_balanced_sample(
+    quality_score_sql: str, cap: int = DEFAULT_SOURCE_CAP,
+    table: str = "documents",
+) -> str:
+    """DuckDB oracle for :func:`source_balanced_sample`.
+
+    ``quality_score_sql`` is the 'duckdb'-dialect quality expression over the
+    raw ``text`` column (``text_analysis.quality_exprs``)."""
+    return f"""
+WITH stats AS (
+  SELECT doc_id, source, lang, {quality_score_sql} AS quality_score
+  FROM {table}
+), ranked AS (
+  SELECT doc_id, source, lang, quality_score,
+         ROW_NUMBER() OVER (
+           PARTITION BY source ORDER BY quality_score DESC, doc_id
+         ) AS sample_rank
+  FROM stats
+)
+SELECT CAST(doc_id AS BIGINT) AS doc_id, source, lang,
+       CAST(quality_score AS BIGINT) AS quality_score,
+       CAST(sample_rank AS INT) AS sample_rank
+FROM ranked WHERE sample_rank <= {cap}
+"""
+
+
+# ---------------------------------------------------------------------------
+# language-stratified deterministic sample
+# ---------------------------------------------------------------------------
+
+# Default rebalance dial for the synthetic corpus: downsample the dominant
+# languages hard, keep the tail fully. Rates in basis points of 10,000.
+DEFAULT_LANG_RATES_BP: dict[str, int] = {"en": 1500, "de": 4000, "fr": 4000}
+DEFAULT_RATE_BP = 9000
+_STRAT_SALT = "strat"
+_STRAT_MOD = 10_000
+
+
+def _rate_case_sql(rates_bp: dict[str, int], default_bp: int,
+                   lang: str = "lang") -> str:
+    """CASE expression mapping a lang code to its keep-rate (identical
+    syntax in both dialects — literals only)."""
+    whens = " ".join(
+        f"WHEN {lang} = '{code}' THEN {bp}"
+        for code, bp in sorted(rates_bp.items())
+    )
+    return f"CASE {whens} ELSE {default_bp} END"
+
+
+def strat_keep_sql(
+    dialect: str,
+    rates_bp: dict[str, int] | None = None,
+    default_bp: int = DEFAULT_RATE_BP,
+    doc_id: str = "doc_id",
+    lang: str = "lang",
+) -> tuple[str, str]:
+    """(strat_bucket_expr, keep_predicate) in the given dialect.
+
+    Bucket = salted 60-bit md5 of the doc_id string, mod 10,000 — a
+    deterministic uniform draw both engines (and plain Python, for tests)
+    compute identically. Keep when bucket < the language's rate."""
+    rates_bp = DEFAULT_LANG_RATES_BP if rates_bp is None else rates_bp
+    id_str = (
+        f"CAST({doc_id} AS {'VARCHAR' if dialect == 'duckdb' else 'STRING'})"
+    )
+    if dialect == "duckdb":
+        h = sql_md5_60_salted(id_str, _STRAT_SALT)
+    else:
+        h = (
+            f"CAST(conv(substring(md5(concat('{_STRAT_SALT}:', {id_str})), "
+            f"1, 15), 16, 10) AS BIGINT)"
+        )
+    bucket = f"CAST(({h}) % {_STRAT_MOD} AS INT)"
+    keep = f"({bucket}) < ({_rate_case_sql(rates_bp, default_bp, lang)})"
+    return bucket, keep
+
+
+def lang_stratified_sample(
+    df: DataFrame,
+    rates_bp: dict[str, int] | None = None,
+    default_bp: int = DEFAULT_RATE_BP,
+) -> DataFrame:
+    """Deterministic language-stratified Bernoulli sample of ``df``.
+
+    Shuffle-free: one codegen'd filter stage, so it scales linearly with
+    input splits and composes with any upstream/downstream operator without
+    adding an exchange. Reproducibility beats ``df.sample()`` for training
+    corpora: re-runs, retries and different cluster sizes select the same
+    rows (a task retry under ``rand()`` silently changes the corpus)."""
+    bucket, keep = strat_keep_sql("spark", rates_bp, default_bp)
+    return (
+        df.withColumn("strat_bucket", F.expr(bucket))
+        .filter(F.expr(keep))
+        .select(
+            F.col("doc_id").cast("bigint").alias("doc_id"),
+            "lang",
+            "strat_bucket",
+        )
+    )
+
+
+def sql_lang_stratified_sample(
+    rates_bp: dict[str, int] | None = None,
+    default_bp: int = DEFAULT_RATE_BP,
+    table: str = "documents",
+) -> str:
+    """DuckDB oracle for :func:`lang_stratified_sample`."""
+    bucket, keep = strat_keep_sql("duckdb", rates_bp, default_bp)
+    return (
+        f"SELECT CAST(doc_id AS BIGINT) AS doc_id, lang, "
+        f"{bucket} AS strat_bucket\nFROM {table}\nWHERE {keep}"
+    )
