@@ -416,8 +416,9 @@ def parent(levels: list[int], update_baseline: bool) -> None:
                     key = f"{job}_per_sec"
                     if pr.get(key, 0) > results[c].get(key, 0):
                         results[c][key] = pr[key]
-                        if pr.get(f"{job}_sec") is not None:
-                            results[c][f"{job}_sec"] = pr[f"{job}_sec"]
+                        for suffix in ("_sec", "_units", "_per_sec_median"):
+                            if pr.get(f"{job}{suffix}") is not None:
+                                results[c][f"{job}{suffix}"] = pr[f"{job}{suffix}"]
     with open(best_path, "w") as f:
         json.dump(
             {"code_key": code_key,
