@@ -33,6 +33,8 @@ import os
 import sys
 import time
 
+from pyspark import StorageLevel
+
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -65,6 +67,11 @@ def _timed_best(thunk, spark=None, repin=None):
         if spark is not None:
             spark.catalog.clearCache()
             for df in ([repin] if repin is not None and not isinstance(repin, (list, tuple)) else (repin or [])):
+                # clearCache() drops the persist MARKER too, not just the
+                # cached blocks — without re-persisting, count() scans
+                # without caching and the timed round recomputes the whole
+                # input-synthesis chain (measured 70-110s vs ~3s per round)
+                df.persist(StorageLevel.MEMORY_AND_DISK)
                 df.count()
         t0 = time.perf_counter()
         result = thunk()
@@ -85,6 +92,8 @@ HEADLINE = [
     "top_customers",
     "window_events",
     "token_quality_stats",
+    "source_balanced_sample",
+    "lang_stratified_sample",
     "winnow_fingerprints",
     "simhash_near_dup",
     "minhash_lsh_pairs",
