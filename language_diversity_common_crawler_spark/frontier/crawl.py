@@ -32,6 +32,7 @@ from __future__ import annotations
 import json
 import os
 
+from pyspark import StorageLevel
 from pyspark.sql import DataFrame, Observation, SparkSession
 from pyspark.sql import functions as F
 
@@ -356,13 +357,14 @@ def run_round(
     # rounds — never rebuilt from the (10^10-row) seen set
     bloom = None
     if use_bloom:
-        bloom = (
-            st.read(prev, "bloom")
-            if st.exists(prev, "bloom")
-            else seen.build_bloom(
+        if st.exists(prev, "bloom"):
+            bloom = st.read(prev, "bloom")
+        else:
+            # fallback rebuild — persist so filter_unseen's auto-mode
+            # metadata read + the probe don't each re-scan the seen set
+            bloom = seen.build_bloom(
                 seen.with_url_hashes(_full_seen(), n_parts=N_PARTS)
-            )
-        )
+            ).persist(StorageLevel.MEMORY_AND_DISK)
     # exact check: bucketed compacted table first (exchange-free big side),
     # then the small post-compaction deltas (AQE broadcasts them). The
     # committed bloom covers BOTH, so a URL seen only in a delta still

@@ -199,6 +199,105 @@ def bloom_stats(bloom: DataFrame) -> DataFrame:
     )
 
 
+def _probe_hashes(
+    bits: np.ndarray, n_bits: int, n_hashes: int,
+    h1: np.ndarray, h2: np.ndarray,
+) -> np.ndarray:
+    """Vectorized membership test of (h1, h2) key batches against one
+    bitset slice; shared by the cogroup and broadcast probe paths."""
+    hit = np.ones(h1.size, dtype=bool)
+    for i in range(n_hashes):
+        idx = _bit_indices(h1, h2, i, n_bits)
+        hit &= (bits[idx >> 3] & (1 << (idx & 7)).astype(np.uint8)) != 0
+    return hit
+
+
+def collect_bloom(bloom: DataFrame) -> dict[int, tuple[bytes, int, int]]:
+    """Driver-side collect of a per-partition filter set:
+    ``{part_id: (bits, n_bits, n_hashes)}`` for broadcast probing.
+    Refuses unmerged snapshot+delta inputs (two rows per part) the same
+    way probe_bloom does — probing one row would lose the other's keys."""
+    out: dict[int, tuple[bytes, int, int]] = {}
+    for r in bloom.select("part_id", "bits", "n_bits", "n_hashes").collect():
+        p = int(r["part_id"])
+        if p in out:
+            raise ValueError(
+                f"collect_bloom: multiple filter rows for part_id {p} — "
+                "merge_bloom snapshot and delta first"
+            )
+        out[p] = (bytes(r["bits"]), int(r["n_bits"]), int(r["n_hashes"]))
+    return out
+
+
+def probe_bloom_broadcast(
+    candidates: DataFrame,
+    bloom: DataFrame,
+    dedupe_on: str | None = None,
+) -> DataFrame:
+    """Broadcast-map variant of :func:`probe_bloom`: the whole per-partition
+    filter set is collected once, broadcast to executors, and probed in a
+    fused ``mapInArrow`` — a pure map stage, NO exchange. Catalyst fuses it
+    with the upstream canonicalize/hash projections, so the probe adds zero
+    shuffle to the round.
+
+    Scale boundary: broadcast is for filters that fit an executor-memory
+    budget — at 1% fpp that is ~2x10^8 keys per 256 MB. A 10^10-key set
+    (~12 GB of bitset) must keep the cogrouped :func:`probe_bloom`, where
+    each task loads only its ~3 MB hash-range slice.
+    :func:`filter_unseen` picks the path automatically from the filter's
+    metadata (``probe_mode="auto"``).
+
+    ``dedupe_on``: in the cogroup variant dedup rides the probe's own
+    shuffle; a map-only probe has no shuffle to ride, so dedup here is a
+    JVM hash aggregate BEFORE the probe — map-side partial aggregation
+    collapses duplicates early, and ``min(struct(...))`` keeps the
+    deterministic smallest row per key (same contract as the cogroup
+    path's sort-based first-occurrence rule, which also keys the sort by
+    ``dedupe_on`` alone)."""
+    spark = candidates.sparkSession
+    bc = spark.sparkContext.broadcast(collect_bloom(bloom))
+
+    cols = candidates.columns
+    if dedupe_on is not None:
+        others = [c for c in cols if c != dedupe_on]
+        candidates = (
+            candidates.groupBy(dedupe_on)
+            .agg(F.min(F.struct(*[F.col(c) for c in others])).alias("__rest"))
+            .select(dedupe_on, "__rest.*")
+            .select(*cols)
+        )
+
+    out_schema = StructType(
+        candidates.schema.fields + [StructField("maybe_seen", BooleanType(), False)]
+    )
+
+    def _probe_batches(batches):
+        parts = bc.value
+        for batch in batches:
+            if batch.num_rows == 0:
+                continue
+            tbl = pa.Table.from_batches([batch]).combine_chunks()
+            pid = tbl.column("part_id").combine_chunks().to_numpy(
+                zero_copy_only=False
+            )
+            h1 = _u64_col(tbl, "h1")
+            h2 = _u64_col(tbl, "h2")
+            hit = np.zeros(tbl.num_rows, dtype=bool)
+            for p in np.unique(pid):
+                ent = parts.get(int(p))
+                if ent is None:
+                    continue  # no keys ever inserted in this hash range
+                mask = pid == p
+                hit[mask] = _probe_hashes(
+                    np.frombuffer(ent[0], dtype=np.uint8),
+                    ent[1], ent[2], h1[mask], h2[mask],
+                )
+            out = tbl.append_column("maybe_seen", pa.array(hit, type=pa.bool_()))
+            yield from out.to_batches()
+
+    return candidates.mapInArrow(_probe_batches, out_schema)
+
+
 def probe_bloom(
     candidates: DataFrame,
     bloom: DataFrame,
@@ -253,17 +352,13 @@ def probe_bloom(
                 "other rows' keys)"
             )
         else:
-            bits = np.frombuffer(
-                filt.column("bits")[0].as_buffer(), dtype=np.uint8
+            hit = _probe_hashes(
+                np.frombuffer(filt.column("bits")[0].as_buffer(), dtype=np.uint8),
+                filt.column("n_bits")[0].as_py(),
+                filt.column("n_hashes")[0].as_py(),
+                _u64_col(cand, "h1"),
+                _u64_col(cand, "h2"),
             )
-            n_bits = filt.column("n_bits")[0].as_py()
-            n_hashes = filt.column("n_hashes")[0].as_py()
-            h1 = _u64_col(cand, "h1")
-            h2 = _u64_col(cand, "h2")
-            hit = np.ones(cand.num_rows, dtype=bool)
-            for i in range(n_hashes):
-                idx = _bit_indices(h1, h2, i, n_bits)
-                hit &= (bits[idx >> 3] & (1 << (idx & 7)).astype(np.uint8)) != 0
         return cand.append_column(
             "maybe_seen", pa.array(hit, type=pa.bool_())
         )
@@ -281,14 +376,26 @@ def filter_unseen(
     bloom: DataFrame | None = None,
     url_col: str = "url_canon",
     dedupe: bool = False,
+    probe_mode: str = "auto",
+    broadcast_max_bytes: int = 256 << 20,
 ) -> DataFrame:
     """Exact unseen set: bloom pre-filter (if given) then precise anti-join.
 
     ``seen_urls`` is the exact table (one ``url_canon`` column at minimum).
     Definitely-new rows (bloom miss) bypass the anti-join shuffle; only the
     maybe-seen remainder is joined. Without a bloom, plain ``left_anti``.
-    ``dedupe=True`` also drops duplicate candidate URLs (inside the probe's
-    cogroup shuffle when a bloom is given — one less exchange).
+    ``dedupe=True`` also drops duplicate candidate URLs (riding the probe's
+    cogroup shuffle, or a map-side-combinable hash aggregate in broadcast
+    mode — one exchange either way).
+
+    ``probe_mode``: ``"broadcast"`` collects + broadcasts the whole filter
+    set and probes in a shuffle-free ``mapInArrow``; ``"cogroup"`` keeps
+    the hash-range-aligned cogroup where each task loads only its slice;
+    ``"auto"`` (default) reads the filter's METADATA (a column-pruned scan
+    of the tiny per-part geometry rows — the bitsets themselves are not
+    read) and broadcasts iff the total bitset fits ``broadcast_max_bytes``.
+    The default 256 MB budget covers ~2x10^8 keys at 1% fpp; a 10^10-key
+    frontier (~12 GB of bitset) always takes the cogroup path.
     """
     if bloom is None:
         if dedupe:
@@ -296,7 +403,16 @@ def filter_unseen(
         return candidates.join(
             seen_urls.select(url_col), on=url_col, how="left_anti"
         )
-    flagged = probe_bloom(
+    mode = probe_mode
+    if mode == "auto":
+        total_bits = bloom.agg(F.sum("n_bits").alias("b")).collect()[0]["b"]
+        mode = (
+            "broadcast"
+            if total_bits is not None and total_bits // 8 <= broadcast_max_bytes
+            else "cogroup"
+        )
+    probe = probe_bloom_broadcast if mode == "broadcast" else probe_bloom
+    flagged = probe(
         candidates, bloom, dedupe_on=url_col if dedupe else None
     )
     # the two branches below would otherwise re-execute the cogrouped

@@ -85,6 +85,77 @@ def test_bloom_membership(spark):
     assert fp < 25  # 5% at default k=7, 64Ki bits/part for ~60 keys/part
 
 
+def test_probe_broadcast_matches_cogroup(spark):
+    """The shuffle-free broadcast probe and the hash-range cogroup probe
+    must flag the identical maybe_seen set (same bitsets, same hash math)."""
+    urls = spark.createDataFrame(
+        [(f"https://h{i % 10}.ex/p/{i % 400}",) for i in range(700)],
+        ["url_canon"],
+    )
+    hashed = seen.with_url_hashes(urls, n_parts=8)
+    bloom = seen.build_bloom(
+        seen.with_url_hashes(
+            urls.filter(F.xxhash64("url_canon") % 3 == 0), n_parts=8
+        ),
+        n_bits_per_part=1 << 16,
+    )
+    via_cg = {
+        (r["url_canon"], r["maybe_seen"])
+        for r in seen.probe_bloom(hashed, bloom, dedupe_on="url_canon").collect()
+    }
+    via_bc = {
+        (r["url_canon"], r["maybe_seen"])
+        for r in seen.probe_bloom_broadcast(
+            hashed, bloom, dedupe_on="url_canon"
+        ).collect()
+    }
+    assert via_bc == via_cg
+    # dedupe contract holds in both paths: one row per distinct URL
+    assert len({u for u, _ in via_bc}) == len(via_bc)
+
+    # an empty-part probe (bloom covers no keys in some hash ranges) must
+    # flag nothing in those ranges rather than fail
+    tiny = seen.build_bloom(
+        seen.with_url_hashes(urls.limit(1), n_parts=8), n_bits_per_part=1 << 16
+    )
+    out = seen.probe_bloom_broadcast(hashed, tiny)
+    assert out.filter(F.col("maybe_seen")).count() <= out.count()
+
+
+def test_filter_unseen_probe_modes_agree(spark):
+    """filter_unseen must return the exact unseen set under every probe
+    strategy (auto picks broadcast here — the filter is tiny)."""
+    all_urls = spark.createDataFrame(
+        [(f"https://h{i % 5}.ex/p/{i}", f"h{i % 5}.ex") for i in range(300)],
+        ["url_canon", "host"],
+    )
+    seen_urls = all_urls.filter(F.xxhash64("url_canon") % 2 == 0).select("url_canon")
+    cand = seen.with_url_hashes(all_urls, n_parts=8)
+    bloom = seen.build_bloom(seen.with_url_hashes(seen_urls, n_parts=8))
+    expect = {
+        r["url_canon"]
+        for r in all_urls.join(seen_urls, "url_canon", "left_anti").collect()
+    }
+    for mode in ("auto", "broadcast", "cogroup"):
+        got = {
+            r["url_canon"]
+            for r in seen.filter_unseen(
+                cand, seen_urls, bloom=bloom, dedupe=True, probe_mode=mode
+            ).collect()
+        }
+        assert got == expect, mode
+    # a sub-filter broadcast budget must force the cogroup path and still
+    # return the same set
+    got = {
+        r["url_canon"]
+        for r in seen.filter_unseen(
+            cand, seen_urls, bloom=bloom, probe_mode="auto",
+            broadcast_max_bytes=1,
+        ).collect()
+    }
+    assert got == expect
+
+
 def test_filter_unseen_matches_plain_antijoin(spark):
     all_urls = spark.createDataFrame(
         [(f"https://h{i % 5}.ex/p/{i}", f"h{i % 5}.ex") for i in range(300)],
