@@ -242,12 +242,21 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # is used on (SURVEY §2.4: not needed at scale; partition pruning or a
     # pre-computed ordering column + range filter replaces it there).
     def offset_skip(spark, sf_dir):
+        # F2 offset-skip (cc_fastwarc.py:89-90 intended semantics), scale-
+        # safe: the old Window.orderBy(doc_id) row_number pushed EVERY row
+        # through one task. doc_id is unique, so "skip the first 50" is
+        # "doc_id greater than the 50th-smallest doc_id" — a global
+        # limit-50 on a single pruned column (map-side TakeOrdered, no
+        # wide shuffle) feeding a broadcast scalar filter.
         tune_session(spark)
-        w = Window.orderBy("doc_id")
+        docs = _docs(spark, sf_dir)
+        cutoff = (
+            docs.select("doc_id").orderBy("doc_id").limit(50)
+            .agg(F.max("doc_id").alias("c"))
+        )
         return (
-            _docs(spark, sf_dir)
-            .select("doc_id", "n_chars", F.row_number().over(w).alias("rn"))
-            .filter(F.col("rn") > 50)
+            docs.join(F.broadcast(cutoff))
+            .filter(F.col("doc_id") > F.col("c"))
             .select("doc_id", "n_chars")
         )
 
