@@ -122,6 +122,29 @@ def test_probe_broadcast_matches_cogroup(spark):
     assert out.filter(F.col("maybe_seen")).count() <= out.count()
 
 
+def test_broadcast_probe_plan_is_shuffle_free(spark):
+    """The broadcast probe's whole point: without dedup it must compile to
+    a pure map pipeline — scan/project fused into mapInArrow, zero
+    Exchange nodes (the cogroup variant necessarily shuffles by part_id)."""
+    urls = spark.range(2000).select(
+        F.concat(F.lit("https://h"), (F.col("id") % 7).cast("string"),
+                 F.lit(".ex/p/"), F.col("id").cast("string")).alias("url_canon")
+    )
+    hashed = seen.with_url_hashes(urls, n_parts=8)
+    bloom = seen.build_bloom(
+        seen.with_url_hashes(urls.limit(500), n_parts=8),
+        n_bits_per_part=1 << 16,
+    )
+    probe = seen.probe_bloom_broadcast(hashed, bloom)
+    plan = probe._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan, plan
+    assert probe.count() == 2000
+
+    cg = seen.probe_bloom(hashed, bloom)
+    cg_plan = cg._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" in cg_plan  # the slice-aligned path shuffles by design
+
+
 def test_filter_unseen_probe_modes_agree(spark):
     """filter_unseen must return the exact unseen set under every probe
     strategy (auto picks broadcast here — the filter is tiny)."""
