@@ -455,8 +455,6 @@ def bench_seeds(spark: SparkSession, sf_dir: str, mult: int = 1):
     real crawl reads its frontier from a table — and timing it inside the
     round contaminates the bandwidth profile (BASELINE.md job-v2 note).
     Callers re-pin with ``.count()`` after any ``clearCache()``."""
-    from pyspark import StorageLevel
-
     orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
     # repartition the small side BEFORE expansion + the regex-heavy
     # canonicalize map: the orders file is a single small parquet split,
@@ -485,8 +483,6 @@ def bench_state(spark: SparkSession, sf_dir: str, mult: int = 1,
     building it belongs to the prior round's commit, not to the round
     being timed. bench.py materializes this once, untimed, and re-pins it
     after each cache clear."""
-    from pyspark import StorageLevel
-
     if seeds_raw is None:
         _, seeds_raw = bench_seeds(spark, sf_dir, mult)
     seeds = urlgen.with_canonical(seeds_raw).select("seed_id", "url_canon",

@@ -116,7 +116,11 @@ _STRAT_MOD = 10_000
 def _rate_case_sql(rates_bp: dict[str, int], default_bp: int,
                    lang: str = "lang") -> str:
     """CASE expression mapping a lang code to its keep-rate (identical
-    syntax in both dialects — literals only)."""
+    syntax in both dialects — literals only). An empty override dict means
+    'uniform default rate' — emit the bare literal (a CASE with no WHEN
+    clause is a parse error in both engines)."""
+    if not rates_bp:
+        return str(default_bp)
     whens = " ".join(
         f"WHEN {lang} = '{code}' THEN {bp}"
         for code, bp in sorted(rates_bp.items())

@@ -114,12 +114,16 @@ def test_probe_broadcast_matches_cogroup(spark):
     assert len({u for u, _ in via_bc}) == len(via_bc)
 
     # an empty-part probe (bloom covers no keys in some hash ranges) must
-    # flag nothing in those ranges rather than fail
+    # flag nothing in those ranges rather than fail — or conservatively
+    # flag everything (which would silently defeat the bloom prefilter)
     tiny = seen.build_bloom(
         seen.with_url_hashes(urls.limit(1), n_parts=8), n_bits_per_part=1 << 16
     )
-    out = seen.probe_bloom_broadcast(hashed, tiny)
-    assert out.filter(F.col("maybe_seen")).count() <= out.count()
+    covered = {r["part_id"] for r in tiny.select("part_id").collect()}
+    out = seen.probe_bloom_broadcast(hashed, tiny).collect()
+    uncovered = [r for r in out if r["part_id"] not in covered]
+    assert uncovered, "fixture must leave some hash ranges without a filter"
+    assert all(not r["maybe_seen"] for r in uncovered)
 
 
 def test_broadcast_probe_plan_is_shuffle_free(spark):

@@ -90,3 +90,23 @@ def test_stratified_sample_rate_accuracy(spark):
             lang, sampling.DEFAULT_RATE_BP) / 10_000
         frac = kept.get(lang, 0) / n
         assert abs(frac - rate) < 0.25, (lang, frac, rate)
+
+
+def test_stratified_sample_empty_overrides(spark):
+    """rates_bp={} means 'uniform default rate, no per-language overrides'
+    — must compile (a WHEN-less CASE is a parse error in both engines) and
+    keep ~default_bp/10000 of every language."""
+    import duckdb
+
+    docs = _docs(spark)
+    out = sampling.lang_stratified_sample(docs, rates_bp={}, default_bp=5000)
+    n_total = docs.count()
+    n_kept = out.count()
+    assert 0 < n_kept < n_total
+    sql = sampling.sql_lang_stratified_sample(rates_bp={}, default_bp=5000)
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM "
+        f"read_parquet('{SF_DIR}/documents.parquet')"
+    )
+    assert con.execute(f"SELECT count(*) FROM ({sql})").fetchone()[0] == n_kept
