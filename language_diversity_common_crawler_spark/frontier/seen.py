@@ -251,9 +251,9 @@ def probe_bloom_broadcast(
     shuffle; a map-only probe has no shuffle to ride, so dedup here is a
     JVM hash aggregate BEFORE the probe — map-side partial aggregation
     collapses duplicates early, and ``min(struct(...))`` keeps the
-    deterministic smallest row per key (same contract as the cogroup
-    path's sort-based first-occurrence rule, which also keys the sort by
-    ``dedupe_on`` alone)."""
+    deterministic smallest row per key (the cogroup path keeps the same
+    row: it sorts by dedupe_on plus every other column in schema order
+    and takes the first occurrence)."""
     spark = candidates.sparkSession
     bc = spark.sparkContext.broadcast(collect_bloom(bloom))
 
@@ -311,8 +311,10 @@ def probe_bloom(
     Output = candidate columns + ``maybe_seen`` boolean.
 
     ``dedupe_on``: optionally drop duplicate candidates by this column
-    inside the cogroup (keeps the row with the smallest ``dedupe_on``-sorted
-    order — deterministic). A URL's partition is a function of the URL, so
+    inside the cogroup (keeps the lexicographically minimal row per key —
+    sorted by ``dedupe_on`` then every other column, so the survivor is
+    deterministic under retries and identical to broadcast-mode's
+    ``min(struct(...))``). A URL's partition is a function of the URL, so
     per-partition dedup IS global dedup — and it rides the shuffle the
     cogroup needs anyway, saving the separate dropDuplicates exchange.
 
@@ -331,7 +333,18 @@ def probe_bloom(
 
     def _probe(cand: pa.Table, filt: pa.Table) -> pa.Table:
         if dedupe_on is not None and cand.num_rows > 1:
-            cand = cand.sort_by(dedupe_on).combine_chunks()
+            # sort by ALL columns (dedupe_on first, rest in schema order):
+            # the surviving first row per key is then the lexicographically
+            # minimal row — the same row broadcast-mode's min(struct(...))
+            # keeps, and deterministic under task retries (a dedupe_on-only
+            # sort would keep an arbitrary arrival-order companion when
+            # duplicate keys carry differing other columns)
+            keys = [dedupe_on] + [
+                c for c in cand.column_names if c != dedupe_on
+            ]
+            cand = cand.sort_by(
+                [(c, "ascending") for c in keys]
+            ).combine_chunks()
             col = cand.column(dedupe_on)
             keep = np.ones(cand.num_rows, dtype=bool)
             # first occurrence of each run in the sorted column survives
@@ -391,9 +404,12 @@ def filter_unseen(
     ``probe_mode``: ``"broadcast"`` collects + broadcasts the whole filter
     set and probes in a shuffle-free ``mapInArrow``; ``"cogroup"`` keeps
     the hash-range-aligned cogroup where each task loads only its slice;
-    ``"auto"`` (default) reads the filter's METADATA (a column-pruned scan
-    of the tiny per-part geometry rows — the bitsets themselves are not
-    read) and broadcasts iff the total bitset fits ``broadcast_max_bytes``.
+    ``"auto"`` (default) sizes the filter from its geometry rows and
+    broadcasts iff the total bitset fits ``broadcast_max_bytes``. For a
+    storage-backed bloom that size check is a column-pruned metadata scan
+    (bitsets unread); for a COMPUTED bloom (``build_bloom(...)`` passed
+    straight in) it executes the build — auto therefore persists the bloom
+    first so the probe reuses the result instead of building twice.
     The default 256 MB budget covers ~2x10^8 keys at 1% fpp; a 10^10-key
     frontier (~12 GB of bitset) always takes the cogroup path.
     """
@@ -403,8 +419,19 @@ def filter_unseen(
         return candidates.join(
             seen_urls.select(url_col), on=url_col, how="left_anti"
         )
+    if probe_mode not in ("auto", "broadcast", "cogroup"):
+        raise ValueError(
+            f"probe_mode must be 'auto', 'broadcast' or 'cogroup', got "
+            f"{probe_mode!r} (a silent fallback would quietly discard the "
+            "plan shape the caller asked for)"
+        )
     mode = probe_mode
     if mode == "auto":
+        # the size check executes the bloom plan: cheap column-pruned
+        # metadata scan for a storage-backed bloom, but a FULL build for a
+        # computed one (build_bloom(...) passed straight in) — persist so
+        # the probe below reuses that work instead of building twice
+        bloom = bloom.persist(StorageLevel.MEMORY_AND_DISK)
         total_bits = bloom.agg(F.sum("n_bits").alias("b")).collect()[0]["b"]
         mode = (
             "broadcast"

@@ -22,7 +22,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from .dialect import g_flag, rx
-from .hashing import sql_md5_60
+from .hashing import sql_md5_60, sql_md5_60_salted
 
 N_MINHASH = 8
 N_BANDS = 4  # 2 rows per band
@@ -90,9 +90,7 @@ def shingle_hash_expr(shingles: str, dialect: str) -> str:
     """ONE 60-bit md5 per shingle, reduced mod p — the only expensive hash
     pass. The k min-hashes derive from this array with integer-only affine
     maps (universal hashing), so minhash costs 1 md5 pass, not k."""
-    h = sql_md5_60("s") if dialect == "duckdb" else (
-        "CAST(conv(substring(md5(s), 1, 15), 16, 10) AS BIGINT)"
-    )
+    h = sql_md5_60("s", dialect)
     fn = "list_transform" if dialect == "duckdb" else "transform"
     return f"{fn}({shingles}, s -> {h} % {MH_P})"
 
@@ -102,9 +100,7 @@ def shingle_hash60_expr(shingles: str, dialect: str) -> str:
     Jaccard), where the minhash path's mod-(2^31-1) reduction would merge
     distinct shingles at birthday rates (~23k colliding shingle pairs per
     10M distinct shingles), silently inflating intersection counts."""
-    h = sql_md5_60("s") if dialect == "duckdb" else (
-        "CAST(conv(substring(md5(s), 1, 15), 16, 10) AS BIGINT)"
-    )
+    h = sql_md5_60("s", dialect)
     fn = "list_transform" if dialect == "duckdb" else "transform"
     return f"{fn}({shingles}, s -> {h})"
 
@@ -166,12 +162,7 @@ def band_exprs(dialect: str, n_hashes: int = N_MINHASH,
         parts = [f"CAST(mh{b * rows_per_band + r} AS {cast_t})"
                  for r in range(rows_per_band)]
         joined = "concat(" + ", ':', ".join(parts) + ")"
-        if dialect == "duckdb":
-            h = sql_md5_60(f"concat('b{b}:', {joined})")
-        else:
-            h = (
-                f"CAST(conv(substring(md5(concat('b{b}:', {joined})), 1, 15), 16, 10) AS BIGINT)"
-            )
+        h = sql_md5_60_salted(joined, f"b{b}", dialect)
         # Guard: null minhash (too-short doc) must yield null bucket in BOTH
         # dialects (Spark's concat_ws would silently skip nulls).
         out[f"band{b}"] = (

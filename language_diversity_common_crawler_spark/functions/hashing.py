@@ -35,15 +35,21 @@ def md5_60_salted(col: Column | str, salt: str) -> Column:
     return md5_60(F.concat(F.lit(salt + ":"), c))
 
 
-def sql_md5_60(expr: str) -> str:
-    """DuckDB SQL expression equivalent to :func:`md5_60`. Uses || (which
-    propagates NULL) rather than concat (which treats NULL as '') so a NULL
-    input hashes to NULL instead of crashing the cast with '0x'."""
-    return f"CAST(('0x' || substring(md5({expr}), 1, 15)) AS BIGINT)"
+def sql_md5_60(expr: str, dialect: str = "duckdb") -> str:
+    """SQL-string expression equivalent to :func:`md5_60`, in either
+    dialect — THE one place the 60-bit md5 recipe is spelled (every
+    dialect-shared expression builder calls this; inlining the string
+    invites the four-copies drift this helper replaced). DuckDB uses ||
+    (which propagates NULL) rather than concat (which treats NULL as '')
+    so a NULL input hashes to NULL instead of crashing the cast with
+    '0x'; Spark's conv() returns NULL for NULL input already."""
+    if dialect == "duckdb":
+        return f"CAST(('0x' || substring(md5({expr}), 1, 15)) AS BIGINT)"
+    return f"CAST(conv(substring(md5({expr}), 1, 15), 16, 10) AS BIGINT)"
 
 
-def sql_md5_60_salted(expr: str, salt: str) -> str:
-    return sql_md5_60(f"concat('{salt}:', {expr})")
+def sql_md5_60_salted(expr: str, salt: str, dialect: str = "duckdb") -> str:
+    return sql_md5_60(f"concat('{salt}:', {expr})", dialect)
 
 
 def py_md5_60(s: str, salt: str | None = None) -> int:

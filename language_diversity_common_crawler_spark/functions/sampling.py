@@ -144,13 +144,7 @@ def strat_keep_sql(
     id_str = (
         f"CAST({doc_id} AS {'VARCHAR' if dialect == 'duckdb' else 'STRING'})"
     )
-    if dialect == "duckdb":
-        h = sql_md5_60_salted(id_str, _STRAT_SALT)
-    else:
-        h = (
-            f"CAST(conv(substring(md5(concat('{_STRAT_SALT}:', {id_str})), "
-            f"1, 15), 16, 10) AS BIGINT)"
-        )
+    h = sql_md5_60_salted(id_str, _STRAT_SALT, dialect)
     bucket = f"CAST(({h}) % {_STRAT_MOD} AS INT)"
     keep = f"({bucket}) < ({_rate_case_sql(rates_bp, default_bp, lang)})"
     return bucket, keep

@@ -101,10 +101,7 @@ def quality_from_norm(norm: str, pad: str) -> dict[str, str]:
 
 def fingerprint_expr(text: str, dialect: str) -> str:
     """Document fingerprint: 60-bit hash of normalized text (exact-dup key)."""
-    norm = _sql_norm(text, dialect)
-    if dialect == "duckdb":
-        return sql_md5_60(norm)
-    return f"CAST(conv(substring(md5({norm}), 1, 15), 16, 10) AS BIGINT)"
+    return sql_md5_60(_sql_norm(text, dialect), dialect)
 
 
 def with_text_stats(df: DataFrame, text_col: str = "text") -> DataFrame:
@@ -120,21 +117,16 @@ def with_text_stats(df: DataFrame, text_col: str = "text") -> DataFrame:
     for name, e in {**token_stats_from_norm("__norm", "spark"),
                     **quality_from_norm("__norm", "__pad")}.items():
         out = out.withColumn(name, F.expr(e))
-    out = out.withColumn(
-        "fingerprint",
-        F.expr("CAST(conv(substring(md5(__norm), 1, 15), 16, 10) AS BIGINT)"),
-    )
+    out = out.withColumn("fingerprint", F.expr(sql_md5_60("__norm", "spark")))
     return out.drop("__norm", "__pad")
 
 
 def token_hash_expr(toks: str, dialect: str) -> str:
     """60-bit md5 per token over a token-array column — the ONE expensive
     pass; simhash bit-sums derive from this array with integer ops only."""
-    if dialect == "duckdb":
-        h = sql_md5_60("t")
-        return f"list_transform({toks}, t -> {h})"
-    h = "CAST(conv(substring(md5(t), 1, 15), 16, 10) AS BIGINT)"
-    return f"transform({toks}, t -> {h})"
+    h = sql_md5_60("t", dialect)
+    fn = "list_transform" if dialect == "duckdb" else "transform"
+    return f"{fn}({toks}, t -> {h})"
 
 
 SIMHASH_BITS = 60  # md5-60 native width; fits a signed BIGINT in both engines
@@ -203,14 +195,8 @@ def simhash60_exprs(text: str, dialect: str) -> str:
     functions on the token array (JVM-side in Spark, list ops in DuckDB).
     """
     norm = _sql_norm(text, dialect)
-    if dialect == "duckdb":
-        toks = f"string_split({norm}, ' ')"
-        h = sql_md5_60("t")
-        th = f"list_transform({toks}, t -> {h})"
-    else:
-        toks = f"split({norm}, ' ')"
-        h = "CAST(conv(substring(md5(t), 1, 15), 16, 10) AS BIGINT)"
-        th = f"transform({toks}, t -> {h})"
+    split_fn = "string_split" if dialect == "duckdb" else "split"
+    th = token_hash_expr(f"{split_fn}({norm}, ' ')", dialect)
     return simhash60_from_hashes(th, dialect)
 
 
@@ -228,9 +214,7 @@ WINNOW_W = 4  # winnowing window (in grams)
 
 
 def _winnow_gram_hash(gram: str, dialect: str) -> str:
-    if dialect == "duckdb":
-        return f"CAST(('0x' || substring(md5({gram}), 1, 15)) AS BIGINT)"
-    return f"CAST(conv(substring(md5({gram}), 1, 15), 16, 10) AS BIGINT)"
+    return sql_md5_60(gram, dialect)
 
 
 def winnow_hashes_expr(norm: str, dialect: str, k: int = WINNOW_K) -> str:

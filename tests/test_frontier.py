@@ -183,6 +183,50 @@ def test_filter_unseen_probe_modes_agree(spark):
     assert got == expect
 
 
+def test_filter_unseen_rejects_unknown_probe_mode(spark):
+    urls = spark.createDataFrame(
+        [("https://h0.ex/p/1", "h0.ex")], ["url_canon", "host"]
+    )
+    cand = seen.with_url_hashes(urls, n_parts=8)
+    bloom = seen.build_bloom(cand)
+    with pytest.raises(ValueError, match="probe_mode"):
+        seen.filter_unseen(
+            urls.select("url_canon"), urls.select("url_canon"),
+            bloom=bloom, probe_mode="Broadcast",
+        )
+
+
+def test_dedupe_survivor_row_matches_across_probe_paths(spark):
+    """When duplicate keys carry DIFFERING companion columns (an outlink
+    extractor attaching parent/priority), both probe paths must keep the
+    same row — the lexicographically minimal companion — so probe_mode
+    ('auto' flipping on filter size included) never changes row contents,
+    and a task retry re-electing the survivor is deterministic."""
+    rows = [
+        (f"https://h{i % 4}.ex/p/{i % 20}", f"parent{j}", 100 - j)
+        for i in range(20)
+        for j in range(3)
+    ]
+    cand = seen.with_url_hashes(
+        spark.createDataFrame(rows, ["url_canon", "parent", "priority"]),
+        n_parts=8,
+    )
+    bloom = seen.build_bloom(
+        seen.with_url_hashes(
+            spark.createDataFrame(rows[:1], ["url_canon", "parent", "priority"]),
+            n_parts=8,
+        )
+    )
+    pick = lambda df: {  # noqa: E731
+        r["url_canon"]: (r["parent"], r["priority"]) for r in df.collect()
+    }
+    via_bc = pick(seen.probe_bloom_broadcast(cand, bloom, dedupe_on="url_canon"))
+    via_cg = pick(seen.probe_bloom(cand, bloom, dedupe_on="url_canon"))
+    assert via_bc == via_cg
+    # the survivor is the minimal (parent, priority) tuple, not arrival order
+    assert all(v == ("parent0", 100) for v in via_bc.values()), via_bc
+
+
 def test_filter_unseen_matches_plain_antijoin(spark):
     all_urls = spark.createDataFrame(
         [(f"https://h{i % 5}.ex/p/{i}", f"h{i % 5}.ex") for i in range(300)],
