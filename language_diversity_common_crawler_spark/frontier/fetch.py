@@ -43,6 +43,10 @@ from typing import Iterator
 import pandas as pd
 from pyspark.sql import DataFrame
 
+# shared with the WARC scanner so both ingest paths emit identical
+# http_charset for identical headers
+from ..functions.decode import charset_of  # noqa: F401  (module API)
+
 FETCH_SCHEMA = (
     "url string, warc_ts timestamp, html binary, http_charset string, "
     "accept_language string, warc_record_id string, content_length string, "
@@ -57,18 +61,6 @@ def record_id_for(url: str) -> str:
     return (
         f"<urn:uuid:{h[0:8]}-{h[8:12]}-{h[12:16]}-{h[16:20]}-{h[20:32]}>"
     )
-
-
-def charset_of(content_type: str | None) -> str | None:
-    """``text/html; charset=ISO-8859-1`` → ``iso-8859-1`` (None when the
-    header or parameter is absent, matching the pages-table convention)."""
-    if not content_type:
-        return None
-    for part in content_type.split(";")[1:]:
-        k, _, v = part.strip().partition("=")
-        if k.lower() == "charset" and v:
-            return v.strip('"').strip("'").lower()
-    return None
 
 
 class FetchResult:

@@ -119,11 +119,21 @@ class IcebergStateBackend:
         if count:
             obs = Observation(f"{sub}-{k}")
             df = df.observe(obs, F.count(F.lit(1)).alias("n"))
-        # atomic per-round commit; re-running an uncommitted round
-        # replaces its orphan rows (dynamic partition overwrite)
+        # Replace-not-append for round k. An explicit partition DELETE
+        # first (metadata-only drop when nothing matches) — NOT a bare
+        # overwritePartitions(): a dynamic partition overwrite with zero
+        # input rows overwrites nothing, so a crashed round whose re-run
+        # produces an EMPTY surface (budget change, drained frontier)
+        # would silently keep the crashed attempt's orphan rows. The
+        # round's durability still comes from the manifest append
+        # (committed LAST); delete+append being two snapshots is fine —
+        # an uncommitted round is re-written wholesale on the next run.
+        self.spark.sql(
+            f"DELETE FROM {self.db}.{sub} WHERE round = {int(k)}"
+        )
         df.withColumn("round", F.lit(k).cast("int")).writeTo(
             f"{self.db}.{sub}"
-        ).overwritePartitions()
+        ).append()
         return int(obs.get["n"]) if obs is not None else None
 
     def read(self, k: int, sub: str) -> DataFrame:

@@ -35,6 +35,23 @@ from pyspark.sql.functions import pandas_udf
 _FALLBACK_DEFAULT = "iso-8859-1"
 
 
+def charset_of(content_type: str | None) -> str | None:
+    """``text/html; charset=ISO-8859-1`` → ``iso-8859-1`` (None when the
+    header or parameter is absent, matching the pages-table convention).
+    The ONE charset-of-Content-Type parser — every ingest path (HTTP
+    fetcher, WARC scanner) must produce the same ``http_charset`` for the
+    same header or the decode chain picks different codecs per path.
+    Key-exact (``xcharset=`` is not a charset) and strips both quote
+    styles, mirroring fastwarc's ``record.http_charset`` semantics."""
+    if not content_type:
+        return None
+    for part in content_type.split(";")[1:]:
+        k, _, v = part.strip().partition("=")
+        if k.lower() == "charset" and v:
+            return v.strip('"').strip("'").lower()
+    return None
+
+
 def decode_bytes(body: bytes | None, http_charset: str | None) -> str | None:
     """Pure function: decode one record body per the reference chain."""
     if body is None:

@@ -27,7 +27,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.functions import pandas_udf
 
-from . import langspec
+from . import langid_models, langspec
 
 _RESULT_TYPE = "lang: string, precision: double"
 
@@ -55,10 +55,17 @@ class ModelPerf:
             sec_acc = self.seconds[model]
             row_acc = self.rows[model]
 
-            def make(model=model, sec_acc=sec_acc, row_acc=row_acc):
+            # snapshot the real-library probe once (same contract as
+            # langid_models._make_udf): the instrumented pipeline must time
+            # the SAME models the uninstrumented one runs — real libs when
+            # importable, deterministic langspec otherwise
+            use_real = langspec.real_models_available()
+
+            def make(model=model, sec_acc=sec_acc, row_acc=row_acc,
+                     use_real=use_real):
                 def fn(text: pd.Series) -> pd.DataFrame:
                     t0 = time.process_time()
-                    res = langspec.predict_pandas(model, text)
+                    res = langid_models.predict_batch(model, text, use_real)
                     sec_acc.add(time.process_time() - t0)
                     row_acc.add(len(text))
                     return res

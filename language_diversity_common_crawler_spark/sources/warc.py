@@ -50,6 +50,10 @@ from datetime import datetime, timedelta, timezone
 
 import pandas as pd
 
+# the ONE Content-Type→charset parser, shared with the HTTP fetcher so
+# both ingest paths emit identical http_charset for identical headers
+from ..functions.decode import charset_of as _charset_of
+
 WARC_PAGES_SCHEMA = (
     "url string, warc_ts timestamp, html binary, http_charset string, "
     "accept_language string, warc_record_id string, content_length string, "
@@ -124,11 +128,6 @@ def _parse_headers(block: bytes) -> dict[str, str]:
     return out
 
 
-def _charset_of(content_type: str | None) -> str | None:
-    if not content_type:
-        return None
-    m = re.search(r"charset\s*=\s*\"?([^\s;\"]+)", content_type, re.I)
-    return m.group(1).lower() if m else None
 
 
 def iter_warc_records(data: bytes):
@@ -221,7 +220,11 @@ def _parse_warc_date(s: str | None):
         return None
     try:
         dt = datetime.fromisoformat(s.replace("Z", "+00:00"))
-        return dt.astimezone(timezone.utc).replace(tzinfo=None)
+        # keep tzinfo: a NAIVE datetime in a TimestampType column is
+        # reinterpreted in the session timezone (wrong instant on any
+        # non-UTC session); tz-aware UTC is zone-independent, matching
+        # the HTTP fetcher's warc_ts convention (fetch.py)
+        return dt.astimezone(timezone.utc)
     except ValueError:
         return None
 

@@ -463,7 +463,9 @@ def test_iceberg_backend_flagging(spark):
     conf = iceberg.iceberg_conf("c1", "s3a://wh/x")
     assert conf["spark.sql.catalog.c1"] == "org.apache.iceberg.spark.SparkCatalog"
     assert conf["spark.sql.catalog.c1.warehouse"] == "s3a://wh/x"
-    assert "extensions" in conf["spark.sql.extensions"].lower() or True
+    assert (conf["spark.sql.extensions"]
+            == "org.apache.iceberg.spark.extensions"
+               ".IcebergSparkSessionExtensions")
     # surface schemas cover every parquet-backend surface
     from language_diversity_common_crawler_spark.frontier.iceberg import (
         _SURFACE_SCHEMAS,

@@ -74,8 +74,11 @@ def _code_fingerprint() -> str:
     # let reps cache-hit filter_unseen's persisted probe output); v4 makes
     # the extract aggregate reference all three models' outputs (v3's agg
     # touched only df_lang, so Catalyst pruned the li/cld model UDFs and
-    # the extract row was a 1-model number)
-    h.update(b"job-v4")
+    # the extract row was a 1-model number); v5 re-persists the seed input
+    # after each clearCache (v3-v4's _reset_caches dropped the persist
+    # marker, so timed frontier reps recomputed seed SYNTHESIS — the exact
+    # contamination v2 removed, reintroduced through the cache reset)
+    h.update(b"job-v5")
     pkg = os.path.join(REPO, "language_diversity_common_crawler_spark")
     for rel in (
         "frontier/urlgen.py", "frontier/seen.py", "frontier/scheduler.py",
@@ -289,10 +292,15 @@ def child(cpus: int) -> None:
         CacheManager matches by logical plan — with a same-plan warm-up a
         timed rep would silently read the probe result from cache and the
         'frontier round' would measure only its tail. clearCache() also
-        evicts the seed input, so re-materialize it (the persist marker
-        survives on the DataFrame object)."""
+        evicts the seed input AND drops its persist marker (clearCache
+        unregisters the plan from the CacheManager; a later count() does
+        NOT re-cache — measured, same as bench.py's 93db7ba fix), so
+        re-persist + re-materialize the seeds here, outside the timing."""
+        from pyspark import StorageLevel
+
         spark.catalog.clearCache()
         for df in _SEED_CACHE.values():
+            df.persist(StorageLevel.MEMORY_AND_DISK)
             df.count()
 
     def _measure(name: str, fn, unit_count_fn, reset=None):

@@ -107,9 +107,13 @@ def main() -> None:
         # a crash mid-fetch leaves a partial dir without it and the round
         # is re-fetched on resume (the round's own manifest committed
         # earlier, so run_round alone would never revisit it)
-        from language_diversity_common_crawler_spark.frontier import fsio
+        from language_diversity_common_crawler_spark.frontier import (
+            crawl as _crawl,
+            fsio,
+        )
 
-        base = os.path.join(args.ckpt, "rounds", f"r={k:04d}", "pages")
+        # one source of the checkpoint directory contract (crawl._rdir)
+        base = _crawl._rdir(args.ckpt, k, "pages")
         return fsio.exists(spark, os.path.join(base, "_SUCCESS"))
 
     last = crawl.latest_round(spark, args.ckpt)
