@@ -141,10 +141,16 @@ def predict_pandas(model: str, text: pd.Series) -> pd.DataFrame:
     markers = MODEL_MARKERS[model]
     pad = _pad_series(text, strip_control=(model == "cld2"))
     n = len(pad)
+    pad_arr = pad.to_numpy()
     scores = np.zeros((n, len(LANGS)), dtype=np.int64)
     for j, lang in enumerate(LANGS):
         for m in markers[lang]:
-            scores[:, j] += pad.str.count(re.escape(m)).to_numpy(dtype=np.int64)
+            # markers are literal substrings: str.count (C fast path) is
+            # exactly pandas' regex count of re.escape(m) — both count
+            # non-overlapping occurrences — at ~2x the throughput
+            scores[:, j] += np.fromiter(
+                (s.count(m) for s in pad_arr), dtype=np.int64, count=n
+            )
 
     best = scores.max(axis=1)
     winner_idx = scores.argmax(axis=1)  # first max = alphabetical tie-break
