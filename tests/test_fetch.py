@@ -62,6 +62,23 @@ def test_charset_of():
     assert fetch.charset_of('text/html; charset="ISO-8859-1"') == "iso-8859-1"
     assert fetch.charset_of("text/html") is None
     assert fetch.charset_of(None) is None
+    # single-quoted values are unquoted, parameter key is exact — the two
+    # cases where the WARC scanner's old private regex diverged
+    assert fetch.charset_of("text/html; charset='utf-8'") == "utf-8"
+    assert fetch.charset_of("text/html; xcharset=latin-1") is None
+
+
+def test_charset_parser_shared_with_warc_scanner():
+    """Both ingest paths MUST run the identical Content-Type->charset
+    parser, or the decode chain picks different codecs per path for the
+    same header."""
+    from language_diversity_common_crawler_spark.functions.decode import (
+        charset_of,
+    )
+    from language_diversity_common_crawler_spark.sources import warc
+
+    assert fetch.charset_of is charset_of
+    assert warc._charset_of is charset_of
 
 
 def test_record_id_deterministic():
