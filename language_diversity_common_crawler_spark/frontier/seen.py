@@ -249,23 +249,21 @@ def probe_bloom_broadcast(
 
     ``dedupe_on``: in the cogroup variant dedup rides the probe's own
     shuffle; a map-only probe has no shuffle to ride, so dedup here is a
-    JVM hash aggregate BEFORE the probe — map-side partial aggregation
+    JVM hash aggregate AFTER the probe — the probe stays fused with the
+    upstream canonicalize/hash map stage, map-side partial aggregation
     collapses duplicates early, and ``min(struct(...))`` keeps the
     deterministic smallest row per key (the cogroup path keeps the same
     row: it sorts by dedupe_on plus every other column in schema order
-    and takes the first occurrence)."""
+    and takes the first occurrence). Shuffle-byte discipline: ``h1``/``h2``
+    are pure functions of ``dedupe_on`` (with_url_hashes contract — dedup
+    key IS the hashed column), so they are dropped before the exchange and
+    recomputed after it — 16 fewer bytes per row through the round's one
+    big shuffle; being group-constant they can never decide the struct-min
+    comparison, so the elected survivor row is unchanged."""
     spark = candidates.sparkSession
     bc = spark.sparkContext.broadcast(collect_bloom(bloom))
 
     cols = candidates.columns
-    if dedupe_on is not None:
-        others = [c for c in cols if c != dedupe_on]
-        candidates = (
-            candidates.groupBy(dedupe_on)
-            .agg(F.min(F.struct(*[F.col(c) for c in others])).alias("__rest"))
-            .select(dedupe_on, "__rest.*")
-            .select(*cols)
-        )
 
     out_schema = StructType(
         candidates.schema.fields + [StructField("maybe_seen", BooleanType(), False)]
@@ -295,7 +293,27 @@ def probe_bloom_broadcast(
             out = tbl.append_column("maybe_seen", pa.array(hit, type=pa.bool_()))
             yield from out.to_batches()
 
-    return candidates.mapInArrow(_probe_batches, out_schema)
+    flagged = candidates.mapInArrow(_probe_batches, out_schema)
+    if dedupe_on is None:
+        return flagged
+
+    hash_cols = [c for c in ("h1", "h2") if c in cols]
+    others = [
+        c for c in flagged.columns if c != dedupe_on and c not in hash_cols
+    ]
+    agged = (
+        flagged.drop(*hash_cols)
+        .groupBy(dedupe_on)
+        .agg(F.min(F.struct(*[F.col(c) for c in others])).alias("__rest"))
+        .select(dedupe_on, "__rest.*")
+    )
+    if hash_cols:
+        # identical recipe to with_url_hashes — group-constant, so exact
+        agged = agged.withColumn("h1", F.xxhash64(F.col(dedupe_on)))
+        agged = agged.withColumn(
+            "h2", F.xxhash64(F.col(dedupe_on), F.lit(1))
+        )
+    return agged.select(*cols, "maybe_seen")
 
 
 def probe_bloom(

@@ -58,7 +58,10 @@ def _gen_pages_once() -> None:
     spark.stop()
 
 
-STATE_DIR = "/tmp/scaling_state"
+# versioned: the prep-once guard only checks existence, so a state-SHAPE
+# change (v6: bucketed pre_seen table) must land in a fresh directory or
+# stale plain-parquet state from an older protocol would be measured
+STATE_DIR = "/tmp/scaling_state_v6"
 
 
 def _code_fingerprint() -> str:
@@ -77,8 +80,11 @@ def _code_fingerprint() -> str:
     # the extract row was a 1-model number); v5 re-persists the seed input
     # after each clearCache (v3-v4's _reset_caches dropped the persist
     # marker, so timed frontier reps recomputed seed SYNTHESIS — the exact
-    # contamination v2 removed, reintroduced through the cache reset)
-    h.update(b"job-v5")
+    # contamination v2 removed, reintroduced through the cache reset);
+    # v6 stores the pre-seen exact set as the url_canon-bucketed+sorted
+    # table crawl.py's compaction produces (production shape) instead of
+    # plain parquet, so the anti-join stops exchanging the big side
+    h.update(b"job-v6")
     pkg = os.path.join(REPO, "language_diversity_common_crawler_spark")
     for rel in (
         "frontier/urlgen.py", "frontier/seen.py", "frontier/scheduler.py",
@@ -160,12 +166,55 @@ def _prep_state_once(mult: int) -> None:
     spark = get_spark("scaling-prep", cpus=8)
     seeds = urlgen.with_canonical(_raw_seeds(spark, mult))
     pre = seeds.filter(F.col("seed_id") % 3 == 0).select("url_canon")
-    pre.write.mode("overwrite").parquet(f"{STATE_DIR}/pre_seen")
-    pre = spark.read.parquet(f"{STATE_DIR}/pre_seen")
+    # production shape: the exact seen set a real round anti-joins is the
+    # url_canon-bucketed+sorted compacted table (crawl.compact_seen), not
+    # plain parquet — bucketing keeps the 10^10-row side exchange-free.
+    # repartition by the bucket column first: bucket id and shuffle
+    # partition use the same murmur3 hash, so each task holds exactly one
+    # bucket and the table lands as PRE_SEEN_BUCKETS files, not tasks x
+    # buckets small files.
+    spark.sql(f"DROP TABLE IF EXISTS {PRE_SEEN_TABLE}")
+    (
+        pre.repartition(PRE_SEEN_BUCKETS, F.col("url_canon"))
+        .write.mode("overwrite")
+        .format("parquet")
+        .bucketBy(PRE_SEEN_BUCKETS, "url_canon")
+        .sortBy("url_canon")
+        .option("path", f"{STATE_DIR}/pre_seen")
+        .saveAsTable(PRE_SEEN_TABLE)
+    )
+    pre = spark.table(PRE_SEEN_TABLE)
     seen.build_bloom(
         seen.with_url_hashes(pre, n_parts=crawl.N_PARTS)
     ).write.mode("overwrite").parquet(f"{STATE_DIR}/bloom")
     spark.stop()
+
+
+PRE_SEEN_TABLE = "ldcc_bench_pre_seen"
+PRE_SEEN_BUCKETS = 32
+
+
+def _pre_seen(spark):
+    """The pre-built exact seen set, re-registered in this session's
+    catalog from its files (same idempotent-DDL pattern crawl.py's
+    read_seen_split uses on resume — the in-memory catalog of the prep
+    session is gone by the time a child measures)."""
+    if not spark.catalog.tableExists(PRE_SEEN_TABLE):
+        spark.sql(
+            f"CREATE TABLE {PRE_SEEN_TABLE} (url_canon STRING) "
+            "USING PARQUET CLUSTERED BY (url_canon) "
+            f"SORTED BY (url_canon) INTO {PRE_SEEN_BUCKETS} BUCKETS "
+            f"LOCATION '{STATE_DIR}/pre_seen'"
+        )
+    # merge hint: this table STANDS IN for the 10^10-row production seen
+    # set, which is never broadcastable — without the hint the planner
+    # sees a few MB of parquet and picks a broadcast hash join whose
+    # serial relation build would be measured instead of the scale plan
+    # (bucketed sort-merge, big side exchange-free)
+    t = spark.table(PRE_SEEN_TABLE)
+    if os.environ.get("SCALING_PRESEEN_HINT", "merge") == "merge":
+        t = t.hint("merge")
+    return t
 
 
 def _frontier_job(spark, mult: int):
@@ -188,7 +237,7 @@ def _frontier_job(spark, mult: int):
     seeds = urlgen.with_canonical(_cached_seeds(spark, mult)).select(
         "url_canon", "host"
     )
-    pre_seen = spark.read.parquet(f"{STATE_DIR}/pre_seen")
+    pre_seen = _pre_seen(spark)
     bloom = spark.read.parquet(f"{STATE_DIR}/bloom")
     cand = seen.with_url_hashes(seeds, n_parts=crawl.N_PARTS)
     fresh = seen.filter_unseen(
