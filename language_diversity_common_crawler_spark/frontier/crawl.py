@@ -351,7 +351,10 @@ def run_round(
     n_scheduled = st.write(sched, k, "scheduled", count=True)
     sched = st.read(k, "scheduled")
 
-    discovered = discover_children(sched)
+    # host is a pure function of url_canon — drop it before the unseen
+    # chain so the dedup exchange / anti-join / union move only the URL
+    # (filter_unseen's slim path), and re-attach it after with one regex
+    discovered = discover_children(sched).select("url_canon")
     cand = seen.with_url_hashes(discovered, n_parts=N_PARTS)
     # incremental bloom: the committed filter already covers all prior
     # rounds — never rebuilt from the (10^10-row) seen set
@@ -375,7 +378,12 @@ def run_round(
         new = new.join(deltas.select("url_canon"), "url_canon", "left_anti")
 
     n_new = st.write(
-        new.select("url_canon", "host", "part_id"), k, "seen_delta", count=True
+        new.select(
+            "url_canon",
+            urlgen.host_of_canon("url_canon").alias("host"),
+            "part_id",
+        ),
+        k, "seen_delta", count=True,
     )
     new_urls = st.read(k, "seen_delta")
 
@@ -520,15 +528,19 @@ def bench_round(
     the round."""
     if seeds_raw is None:
         n_seeds, seeds_raw = bench_seeds(spark, sf_dir, mult)
-    seeds = urlgen.with_canonical(seeds_raw).select(
-        "seed_id", "url_canon", "host"
-    )
+    # url-only projection: host is re-derived after the unseen chain
+    # (filter_unseen slim path — the dedup exchange carries just the URL)
+    seeds = urlgen.with_canonical(seeds_raw).select("url_canon")
 
     if state is None:
         state = bench_state(spark, sf_dir, mult, seeds_raw=seeds_raw)
     pre_seen, bloom = state
     cand = seen.with_url_hashes(seeds, n_parts=N_PARTS)
-    fresh = seen.filter_unseen(cand, pre_seen, bloom=bloom, dedupe=True)
+    fresh = seen.filter_unseen(
+        cand, pre_seen, bloom=bloom, dedupe=True
+    ).select(
+        "url_canon", urlgen.host_of_canon("url_canon").alias("host")
+    )
 
     nation = spark.read.parquet(f"{sf_dir}/nation.parquet")
     robots_bodies = nation.select(

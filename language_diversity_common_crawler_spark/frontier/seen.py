@@ -417,7 +417,14 @@ def filter_unseen(
     maybe-seen remainder is joined. Without a bloom, plain ``left_anti``.
     ``dedupe=True`` also drops duplicate candidate URLs (riding the probe's
     cogroup shuffle, or a map-side-combinable hash aggregate in broadcast
-    mode — one exchange either way).
+    mode — one exchange either way). When the candidate columns are EXACTLY
+    ``(url_col, h1, h2, part_id)`` — i.e. everything else was already
+    dropped and every remaining column is a pure function of the URL —
+    broadcast mode dedups BEFORE the probe on a slim (url, part_id)
+    projection, so the exchange carries no hash/struct payload at all and
+    the probe touches only distinct URLs. Callers with derivable companion
+    columns (host = host of url_canon) should drop them before this call
+    and recompute downstream (``urlgen.host_of_canon``).
 
     ``probe_mode``: ``"broadcast"`` collects + broadcasts the whole filter
     set and probes in a shuffle-free ``mapInArrow``; ``"cogroup"`` keeps
@@ -456,10 +463,36 @@ def filter_unseen(
             if total_bits is not None and total_bits // 8 <= broadcast_max_bytes
             else "cogroup"
         )
-    probe = probe_bloom_broadcast if mode == "broadcast" else probe_bloom
-    flagged = probe(
-        candidates, bloom, dedupe_on=url_col if dedupe else None
-    )
+    if (
+        mode == "broadcast"
+        and dedupe
+        and set(candidates.columns) == {url_col, "h1", "h2", "part_id"}
+    ):
+        # SLIM DEDUP-FIRST path: every non-key column is a pure function of
+        # the key (the with_url_hashes contract), so dedup can run BEFORE
+        # the probe on a (url, part_id) projection — the round's one big
+        # exchange then carries the URL string plus 4 bytes instead of the
+        # URL + host + a min(struct(...)) aggregation buffer, and the
+        # Python-boundary probe runs on the deduplicated (smaller) set.
+        # h1/h2 are recomputed after the exchange with the identical
+        # with_url_hashes recipe; part_id rides through (group-constant, a
+        # FIRST aggregate — recomputing it would need n_parts, which the
+        # probe does not know). Semantically identical to probe-then-dedup:
+        # maybe_seen is itself a pure function of the URL.
+        deduped = candidates.select(url_col, "part_id").dropDuplicates(
+            [url_col]
+        )
+        rehashed = deduped.withColumn(
+            "h1", F.xxhash64(F.col(url_col))
+        ).withColumn("h2", F.xxhash64(F.col(url_col), F.lit(1)))
+        flagged = probe_bloom_broadcast(rehashed, bloom).select(
+            *candidates.columns, "maybe_seen"
+        )
+    else:
+        probe = probe_bloom_broadcast if mode == "broadcast" else probe_bloom
+        flagged = probe(
+            candidates, bloom, dedupe_on=url_col if dedupe else None
+        )
     # the two branches below would otherwise re-execute the cogrouped
     # Python probe (and everything upstream) once each — persist the probe
     # output; the ContextCleaner unpersists it when the DataFrame is GC'd.

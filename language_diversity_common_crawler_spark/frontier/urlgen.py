@@ -124,6 +124,20 @@ def host_expr(canon_url: str, dialect: str) -> str:
     )
 
 
+def host_of_canon(canon_col: str = "url_canon") -> F.Column:
+    """``host`` recomputed from a CANONICAL url column — byte-identical to
+    the ``host`` column :func:`with_canonical` emits (asserted over the
+    adversarial corpus in tests/test_frontier.py) and to py_host/host_expr.
+
+    Why it exists: host is a pure function of url_canon, so the frontier's
+    unseen chain (probe → dedup exchange → anti-join → union) never needs
+    to CARRY it — filter_unseen's slim path moves only the URL string
+    through the round's one big shuffle and callers re-attach host after
+    with this one-regex map. At 10^10 URLs that is ~20 bytes/row removed
+    from every exchange in the chain."""
+    return F.expr(host_expr(canon_col, "spark"))
+
+
 def with_canonical(df: DataFrame, raw_col: str = "url_raw") -> DataFrame:
     """Spark hot path: add ``url_canon`` + ``host`` via STAGED projections.
 

@@ -227,6 +227,76 @@ def test_dedupe_survivor_row_matches_across_probe_paths(spark):
     assert all(v == ("parent0", 100) for v in via_bc.values()), via_bc
 
 
+def test_filter_unseen_slim_dedup_first_path(spark):
+    """When candidates carry EXACTLY (url, h1, h2, part_id), broadcast mode
+    dedups BEFORE the probe on a url-only projection. The result set,
+    dedup semantics and part_id values must be identical to the generic
+    probe-then-dedup path, and the pre-join plan must contain no
+    min(struct(...)) aggregate (the slim exchange carries no payload)."""
+    all_urls = spark.createDataFrame(
+        # duplicates on purpose: i % 120 repeats
+        [(f"https://h{i % 5}.ex/p/{i % 120}",) for i in range(300)],
+        ["url_canon"],
+    )
+    seen_urls = all_urls.filter(
+        F.xxhash64("url_canon") % 2 == 0
+    ).select("url_canon").distinct()
+    cand = seen.with_url_hashes(all_urls, n_parts=8)
+    assert set(cand.columns) == {"url_canon", "h1", "h2", "part_id"}
+    bloom = seen.build_bloom(seen.with_url_hashes(seen_urls, n_parts=8))
+
+    out = seen.filter_unseen(
+        cand, seen_urls, bloom=bloom, dedupe=True, probe_mode="broadcast"
+    )
+    rows = out.collect()
+    urls = [r["url_canon"] for r in rows]
+    expect = {
+        r["url_canon"]
+        for r in all_urls.distinct()
+        .join(seen_urls, "url_canon", "left_anti")
+        .collect()
+    }
+    assert set(urls) == expect
+    assert len(urls) == len(expect), "slim path must dedupe"
+    # part_id rides through the distinct and still matches the hash recipe
+    for r in rows:
+        assert r["part_id"] is not None
+    recomputed = {
+        r["url_canon"]: r["part_id"]
+        for r in seen.with_url_hashes(
+            spark.createDataFrame([(u,) for u in urls], ["url_canon"]),
+            n_parts=8,
+        ).collect()
+    }
+    assert {r["url_canon"]: r["part_id"] for r in rows} == recomputed
+    # the generic min(struct(__rest)) dedup aggregate must be absent
+    plan = out._jdf.queryExecution().optimizedPlan().toString()
+    assert "__rest" not in plan, plan
+    # cogroup mode on the same slim candidates still agrees
+    got_cg = {
+        r["url_canon"]
+        for r in seen.filter_unseen(
+            cand, seen_urls, bloom=bloom, dedupe=True, probe_mode="cogroup"
+        ).collect()
+    }
+    assert got_cg == expect
+
+
+def test_host_of_canon_matches_with_canonical(spark):
+    """urlgen.host_of_canon (the post-unseen-chain host recompute) must be
+    byte-identical to the host column with_canonical emits, over the
+    adversarial corpus — the slim frontier chain depends on it."""
+    rows = [(r,) for r in _ADVERSARIAL_RAWS] + [(None,)]
+    df = urlgen.with_canonical(spark.createDataFrame(rows, ["url_raw"]))
+    got = df.select(
+        "url_raw",
+        "host",
+        urlgen.host_of_canon("url_canon").alias("host2"),
+    ).collect()
+    for r in got:
+        assert r["host"] == r["host2"], r
+
+
 def test_filter_unseen_matches_plain_antijoin(spark):
     all_urls = spark.createDataFrame(
         [(f"https://h{i % 5}.ex/p/{i}", f"h{i % 5}.ex") for i in range(300)],

@@ -52,20 +52,27 @@ def _prefixes(spark):
         return sb._cached_seeds(spark, MULT)
 
     def canon():
-        return urlgen.with_canonical(seeds_input()).select("url_canon", "host")
+        return urlgen.with_canonical(seeds_input()).select("url_canon")
 
     def hashed():
         return seen.with_url_hashes(canon(), n_parts=crawl.N_PARTS)
 
-    def probed():
-        # map-only probe, no dedup
-        bloom = spark.read.parquet(f"{STATE_DIR}/bloom")
-        return seen.probe_bloom_broadcast(hashed(), bloom)
-
     def dedup():
-        # probe + the slim post-probe dedup agg (the round's big exchange)
+        # the round's big exchange: url-only distinct BEFORE the probe
+        # (filter_unseen slim path)
+        return hashed().select("url_canon", "part_id").dropDuplicates(
+            ["url_canon"]
+        )
+
+    def probed():
+        # map-only broadcast probe over the deduplicated URL set
+        from pyspark.sql import functions as FF
+
         bloom = spark.read.parquet(f"{STATE_DIR}/bloom")
-        return seen.probe_bloom_broadcast(hashed(), bloom, dedupe_on="url_canon")
+        rehashed = dedup().withColumn(
+            "h1", FF.xxhash64(FF.col("url_canon"))
+        ).withColumn("h2", FF.xxhash64(FF.col("url_canon"), FF.lit(1)))
+        return seen.probe_bloom_broadcast(rehashed, bloom)
 
     def unseen():
         pre_seen = sb._pre_seen(spark)
@@ -73,7 +80,9 @@ def _prefixes(spark):
         cand = hashed()
         return seen.filter_unseen(
             cand, pre_seen, bloom=bloom, dedupe=True
-        ).select("url_canon", "host")
+        ).select(
+            "url_canon", urlgen.host_of_canon("url_canon").alias("host")
+        )
 
     def robots():
         nation = spark.read.parquet(f"{sb.SF_DIR}/nation.parquet")
@@ -93,8 +102,8 @@ def _prefixes(spark):
         ("input", seeds_input),
         ("canon_map", canon),
         ("hash_map", hashed),
+        ("dedup_distinct", dedup),
         ("probe_bcast", probed),
-        ("dedup_agg", dedup),
         ("antijoin_union", unseen),
         ("robots_filter", robots),
         ("politeness", sched),

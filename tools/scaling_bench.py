@@ -83,8 +83,12 @@ def _code_fingerprint() -> str:
     # contamination v2 removed, reintroduced through the cache reset);
     # v6 stores the pre-seen exact set as the url_canon-bucketed+sorted
     # table crawl.py's compaction produces (production shape) instead of
-    # plain parquet, so the anti-join stops exchanging the big side
-    h.update(b"job-v6")
+    # plain parquet, so the anti-join stops exchanging the big side;
+    # v7 moves the round to the slim dedup-first chain: host is dropped
+    # before the unseen chain (recomputed from url_canon after it) and
+    # broadcast-mode dedup runs BEFORE the probe on a (url, part_id)
+    # projection — the round's big exchange carries only the URL string
+    h.update(b"job-v7")
     pkg = os.path.join(REPO, "language_diversity_common_crawler_spark")
     for rel in (
         "frontier/urlgen.py", "frontier/seen.py", "frontier/scheduler.py",
@@ -232,17 +236,20 @@ def _frontier_job(spark, mult: int):
     )
 
     # shuffle-volume discipline: the timed chain moves millions of rows
-    # through ~6 exchanges — carry ONLY (url_canon, host) plus the hash
-    # columns the probe itself needs, and drop the hashes again right after
+    # through its exchanges — carry ONLY url_canon (+ the hash columns the
+    # probe needs); host is a pure function of url_canon and is re-derived
+    # AFTER the unseen chain, so no exchange ever moves it
     seeds = urlgen.with_canonical(_cached_seeds(spark, mult)).select(
-        "url_canon", "host"
+        "url_canon"
     )
     pre_seen = _pre_seen(spark)
     bloom = spark.read.parquet(f"{STATE_DIR}/bloom")
     cand = seen.with_url_hashes(seeds, n_parts=crawl.N_PARTS)
     fresh = seen.filter_unseen(
         cand, pre_seen, bloom=bloom, dedupe=True
-    ).select("url_canon", "host")
+    ).select(
+        "url_canon", urlgen.host_of_canon("url_canon").alias("host")
+    )
 
     nation = spark.read.parquet(f"{SF_DIR}/nation.parquet")
     bodies = nation.select(
@@ -294,14 +301,14 @@ def _frontier_map_job(spark, mult: int):
 
     seeds = seen.with_url_hashes(
         urlgen.with_canonical(_cached_seeds(spark, mult)).select(
-            "url_canon", "host"
+            "url_canon"
         ),
         n_parts=64,
     )
     seeds.agg(
         F.sum(F.length("url_canon")),
         F.sum(F.col("h1") % 1000000),
-        F.count("host"),
+        F.count("part_id"),
     ).collect()
     return 150_000 * mult
 
