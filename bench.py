@@ -209,8 +209,11 @@ def main() -> None:
     frontier_urls_per_sec = round(n_seeds / dt, 1)
 
     # Extract throughput: the full decode -> boilerplate -> 3-model chain
-    # over a parquet pages table (24k pages at sf0.1).
-    n_extract = 24000 if "0.1" in SF_DIR else 2000
+    # over a parquet pages table. Sized to the parallelism (>=3.2k
+    # pages/core, >=100k at local[32]): at the raw sf0.1 table size (24k
+    # rows over 32 cores) fixed stage/Arrow overhead dominates the timing
+    # and the rows/sec number stops tracking engine throughput.
+    n_extract = max(24000 if "0.1" in SF_DIR else 2000, CPUS * 3200)
     n_rows_ex, dt_ex = _extract_over_parquet(spark, n_extract)
     timings["pages_extract_pipeline"] = round(dt_ex, 4)
     row_counts["pages_extract_pipeline"] = n_rows_ex
