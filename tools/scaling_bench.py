@@ -50,6 +50,8 @@ MAP_MULT = int(os.environ.get("SCALING_MAP_MULT", str(MULT * 4)))
 # directly in the paired ratio (measured: single-rep frontier rounds
 # ranged 0.08-3.3, best-of-3 rounds 0.70-0.88 in comparable windows)
 BEST_OF = int(os.environ.get("SCALING_BEST_OF", "3"))  # timed reps per job
+# accumulation file (paired per-round ratios + per-level bests, fingerprint-keyed)
+BEST_PATH = os.environ.get("SCALING_BEST_PATH", "/tmp/scaling_best.json")
 ROUNDS = int(os.environ.get("SCALING_ROUNDS", "3"))  # interleaved rounds; paired-median across them
 
 
@@ -500,7 +502,7 @@ def parent(levels: list[int], update_baseline: bool) -> None:
     # merge with same-code prior samples (per-job: only when the job's
     # input size is unchanged — per-sec and ratios at different unit
     # counts amortize fixed overhead differently and must not mix)
-    best_path = "/tmp/scaling_best.json"
+    best_path = BEST_PATH
     code_key = _code_fingerprint()
     paired: dict[str, list[float]] = {j: list(v)
                                       for j, v in this_rounds.items()}
@@ -577,7 +579,8 @@ def parent(levels: list[int], update_baseline: bool) -> None:
 
 
 def _write_baseline_section(summary: dict, lo: int, hi: int) -> None:
-    path = os.path.join(REPO, "BASELINE.md")
+    path = os.environ.get("SCALING_BASELINE_PATH",
+                          os.path.join(REPO, "BASELINE.md"))
     with open(path) as f:
         content = f.read()
     marker = "\n## Scaling (measured)\n"
@@ -631,7 +634,7 @@ def report_only(levels: list[int], update_baseline: bool) -> None:
     without running a new measurement (e.g. after a reporting change)."""
     import statistics
 
-    with open("/tmp/scaling_best.json") as f:
+    with open(BEST_PATH) as f:
         acc = json.load(f)
     lo, hi = min(levels), max(levels)
     results = {c: acc["levels"][str(c)] for c in levels}
