@@ -7,10 +7,13 @@ Design for 10^10 URLs (SURVEY.md §4.3):
   n_parts)``. Each partition owns an independent bloom filter over only its
   keys, stored as one ``binary`` row. At 1% fpp, 10^10 keys need ~12 GB of
   bitset total — partitioned over e.g. 4096 parts that is ~3 MB per task,
-  loaded only by the task probing that hash range (cogrouped
-  ``applyInArrow``: candidates and the filter slice meet on ``part_id``
-  without broadcasting the whole set, and rows cross the Python boundary
-  as Arrow buffers — no pandas conversion, no Python string objects).
+  loaded only by the task probing that hash range. The preferred probe
+  (:func:`probe_bloom_jvm`) re-encodes each slice as ``array<bigint>``
+  words and tests membership in pure whole-stage-codegen arithmetic —
+  broadcast-joined (shuffle-free) for filter sets within the broadcast
+  budget, hash-range shuffle-hash join beyond it, with ZERO rows crossing
+  the Python boundary. Arrow fallbacks (cogrouped ``applyInArrow`` /
+  broadcast ``mapInArrow``) remain for non-power-of-two geometries.
 - Membership math is double hashing (Kirsch-Mitzenmacher): bit index
   ``(h1 + i*h2) mod m`` for i in 0..k-1, fully vectorized in numpy over the
   Arrow batch — no per-row Python (input_hint).
@@ -39,6 +42,7 @@ from pyspark import StorageLevel
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.types import (
+    ArrayType,
     BinaryType,
     BooleanType,
     IntegerType,
@@ -229,6 +233,35 @@ def collect_bloom(bloom: DataFrame) -> dict[int, tuple[bytes, int, int]]:
     return out
 
 
+def _dedupe_min_struct(
+    flagged: DataFrame, dedupe_on: str, cols: list[str]
+) -> DataFrame:
+    """Post-probe dedup for the map/join probe paths (broadcast + jvm):
+    a JVM hash aggregate keeping the deterministic ``min(struct(...))``
+    row per key — the same survivor the cogroup path's full-row sort
+    keeps. ``h1``/``h2`` are pure functions of ``dedupe_on``
+    (with_url_hashes contract), so they are dropped before the exchange
+    and recomputed after it; being group-constant they can never decide
+    the struct-min comparison, so the elected survivor is unchanged."""
+    hash_cols = [c for c in ("h1", "h2") if c in cols]
+    others = [
+        c for c in flagged.columns if c != dedupe_on and c not in hash_cols
+    ]
+    agged = (
+        flagged.drop(*hash_cols)
+        .groupBy(dedupe_on)
+        .agg(F.min(F.struct(*[F.col(c) for c in others])).alias("__rest"))
+        .select(dedupe_on, "__rest.*")
+    )
+    if hash_cols:
+        # identical recipe to with_url_hashes — group-constant, so exact
+        agged = agged.withColumn("h1", F.xxhash64(F.col(dedupe_on)))
+        agged = agged.withColumn(
+            "h2", F.xxhash64(F.col(dedupe_on), F.lit(1))
+        )
+    return agged.select(*cols, "maybe_seen")
+
+
 def probe_bloom_broadcast(
     candidates: DataFrame,
     bloom: DataFrame,
@@ -296,24 +329,7 @@ def probe_bloom_broadcast(
     flagged = candidates.mapInArrow(_probe_batches, out_schema)
     if dedupe_on is None:
         return flagged
-
-    hash_cols = [c for c in ("h1", "h2") if c in cols]
-    others = [
-        c for c in flagged.columns if c != dedupe_on and c not in hash_cols
-    ]
-    agged = (
-        flagged.drop(*hash_cols)
-        .groupBy(dedupe_on)
-        .agg(F.min(F.struct(*[F.col(c) for c in others])).alias("__rest"))
-        .select(dedupe_on, "__rest.*")
-    )
-    if hash_cols:
-        # identical recipe to with_url_hashes — group-constant, so exact
-        agged = agged.withColumn("h1", F.xxhash64(F.col(dedupe_on)))
-        agged = agged.withColumn(
-            "h2", F.xxhash64(F.col(dedupe_on), F.lit(1))
-        )
-    return agged.select(*cols, "maybe_seen")
+    return _dedupe_min_struct(flagged, dedupe_on, cols)
 
 
 def probe_bloom(
@@ -401,6 +417,166 @@ def probe_bloom(
     )
 
 
+WORDS_SCHEMA = StructType(
+    [
+        StructField("part_id", IntegerType(), False),
+        StructField("words", ArrayType(LongType(), False), False),
+        StructField("n_bits", LongType(), False),
+        StructField("n_hashes", IntegerType(), False),
+    ]
+)
+
+
+def bloom_words(bloom: DataFrame) -> DataFrame:
+    """Per-partition bitsets re-encoded as ``array<bigint>`` words for the
+    JVM probe: ``words[j]`` is the little-endian int64 view of bytes
+    ``8j..8j+7`` of the bitset, so bit ``idx`` lives in word ``idx >> 6``
+    at in-word position ``idx & 63`` — exactly the layout numpy's
+    ``bits[idx >> 3] |= 1 << (idx & 7)`` writes. Multiple rows per part
+    (snapshot + delta) are OR-merged here, riding the same grouped
+    exchange — the jvm probe therefore never needs a separate
+    ``merge_bloom`` pass."""
+
+    def _conv(pdf: pd.DataFrame) -> pd.DataFrame:
+        if pdf["n_bits"].nunique() > 1 or pdf["n_hashes"].nunique() > 1:
+            raise ValueError(
+                "bloom_words: incompatible filter geometries in part "
+                f"{int(pdf['part_id'].iloc[0])}: n_bits={set(pdf['n_bits'])} "
+                f"n_hashes={set(pdf['n_hashes'])} — merging filters with "
+                "different geometry would create false negatives"
+            )
+        n_bits = int(pdf["n_bits"].iloc[0])
+        if n_bits % 64:
+            raise ValueError(
+                f"bloom_words: n_bits={n_bits} is not a multiple of 64 — "
+                "the word encoding requires whole int64 words"
+            )
+        arrs = [np.frombuffer(x, dtype=np.uint8) for x in pdf["bits"]]
+        merged = arrs[0].copy()
+        for x in arrs[1:]:
+            merged |= x
+        words = np.frombuffer(merged.tobytes(), dtype="<i8")
+        return pd.DataFrame(
+            {
+                "part_id": [int(pdf["part_id"].iloc[0])],
+                "words": [words],
+                "n_bits": [n_bits],
+                "n_hashes": [int(pdf["n_hashes"].iloc[0])],
+            }
+        )
+
+    return bloom.groupBy("part_id").applyInPandas(_conv, WORDS_SCHEMA)
+
+
+def _bloom_hit_expr(n_bits: int, n_hashes: int, words_col: str):
+    """Whole-stage-codegen membership test against a joined ``words``
+    column — the same double-hashing bits :func:`_probe_hashes` probes,
+    as pure JVM integer arithmetic (zero Python boundary).
+
+    ANSI-safe wraparound: numpy computes ``(h1 + i*h2) mod 2^64 mod m``
+    in uint64; for power-of-two ``m`` that equals
+    ``((h1 & (m-1)) + i*(h2 & (m-1))) & (m-1)`` with intermediates
+    ≤ (m-1)·k — no int64 overflow, so the expression is exact under
+    ANSI mode (Spark 4 default) where a raw ``h1 + i*h2`` would throw
+    ARITHMETIC_OVERFLOW. A missing partition row (NULL ``words``) probes
+    NULL through ``element_at`` and coalesces to false: definitely new."""
+    if n_bits & (n_bits - 1):
+        raise ValueError(
+            f"_bloom_hit_expr: n_bits={n_bits} must be a power of two — "
+            "uint64 modulo by a non-power-of-two cannot be reproduced "
+            "exactly in signed JVM arithmetic; use the cogroup probe"
+        )
+    mask = n_bits - 1
+    terms = []
+    for i in range(n_hashes):
+        idx = f"(((h1 & {mask}) + {i} * (h2 & {mask})) & {mask})"
+        word = (
+            f"element_at({words_col}, "
+            f"cast(shiftright({idx}, 6) as int) + 1)"
+        )
+        terms.append(
+            f"((shiftright({word}, cast(({idx} & 63) as int)) & 1) = 1)"
+        )
+    return F.coalesce(F.expr(" AND ".join(terms)), F.lit(False))
+
+
+def probe_bloom_jvm(
+    candidates: DataFrame,
+    bloom: DataFrame,
+    dedupe_on: str | None = None,
+    broadcast: bool | None = None,
+    broadcast_max_bytes: int = 256 << 20,
+    geometry: tuple[int, int, int] | None = None,
+) -> DataFrame:
+    """Fully JVM-side bloom probe: bitset slices re-encoded as
+    ``array<bigint>`` words (:func:`bloom_words`), joined to candidates on
+    ``part_id``, membership tested by :func:`_bloom_hit_expr` inside
+    whole-stage codegen. No Python/Arrow boundary in the probe itself —
+    BASELINE.md's stage diagnosis measured the Arrow cogroup probe as the
+    round's weakest-scaling stage (0.74: per-batch serialization is
+    bandwidth on the shared bus), and this path removes that boundary
+    entirely.
+
+    Join strategy is the scale dial: for filter sets within
+    ``broadcast_max_bytes`` the words side is broadcast — the probe fuses
+    into the upstream map stage, zero exchange, like
+    :func:`probe_bloom_broadcast` but without the Python stage. A
+    10^10-key set (~12 GB of bitset over e.g. 4096 parts) exceeds the
+    budget and takes a shuffle-hash join on ``part_id`` instead: the same
+    hash-range-aligned exchange the cogroup probe pays, but the probe
+    math stays in codegen and each task's hash map holds only its ~3 MB
+    slices. The 8 KB+ words arrays never reach a downstream operator —
+    the projection consumes them inside the join stage.
+
+    Requires single-geometry, power-of-two ``n_bits`` (a multiple of 64);
+    :func:`filter_unseen` auto-mode falls back to the Arrow paths
+    otherwise. ``geometry`` = precomputed ``(n_bits, n_hashes,
+    total_bits)`` to skip the metadata aggregate when the caller already
+    ran it."""
+    if geometry is None:
+        g = bloom.agg(
+            F.min("n_bits").alias("nb_min"),
+            F.max("n_bits").alias("nb_max"),
+            F.min("n_hashes").alias("nh_min"),
+            F.max("n_hashes").alias("nh_max"),
+            F.sum("n_bits").alias("total"),
+        ).collect()[0]
+        if g["total"] is None:
+            raise ValueError(
+                "probe_bloom_jvm: empty filter set — no geometry to probe "
+                "(callers with possibly-empty state use filter_unseen, "
+                "which falls back)"
+            )
+        if g["nb_min"] != g["nb_max"] or g["nh_min"] != g["nh_max"]:
+            raise ValueError(
+                "probe_bloom_jvm: mixed filter geometries "
+                f"(n_bits {g['nb_min']}..{g['nb_max']}, n_hashes "
+                f"{g['nh_min']}..{g['nh_max']}) — merge_bloom first"
+            )
+        geometry = (int(g["nb_min"]), int(g["nh_min"]), int(g["total"]))
+    n_bits, n_hashes, total_bits = geometry
+    if broadcast is None:
+        broadcast = total_bits // 8 <= broadcast_max_bytes
+
+    cols = candidates.columns
+    if "__bf_words" in cols:
+        raise ValueError("probe_bloom_jvm: candidate column __bf_words collides")
+    w = bloom_words(bloom).select(
+        "part_id", F.col("words").alias("__bf_words")
+    )
+    side = F.broadcast(w) if broadcast else w.hint("shuffle_hash")
+    flagged = (
+        candidates.join(side, on="part_id", how="left")
+        .withColumn(
+            "maybe_seen", _bloom_hit_expr(n_bits, n_hashes, "__bf_words")
+        )
+        .select(*cols, "maybe_seen")
+    )
+    if dedupe_on is None:
+        return flagged
+    return _dedupe_min_struct(flagged, dedupe_on, cols)
+
+
 def filter_unseen(
     candidates: DataFrame,
     seen_urls: DataFrame,
@@ -426,17 +602,22 @@ def filter_unseen(
     columns (host = host of url_canon) should drop them before this call
     and recompute downstream (``urlgen.host_of_canon``).
 
-    ``probe_mode``: ``"broadcast"`` collects + broadcasts the whole filter
+    ``probe_mode``: ``"jvm"`` (the preferred path) probes entirely in
+    whole-stage codegen via :func:`probe_bloom_jvm` — broadcast-joined and
+    shuffle-free within ``broadcast_max_bytes``, hash-range shuffle-hash
+    join beyond it; ``"broadcast"`` collects + broadcasts the whole filter
     set and probes in a shuffle-free ``mapInArrow``; ``"cogroup"`` keeps
-    the hash-range-aligned cogroup where each task loads only its slice;
-    ``"auto"`` (default) sizes the filter from its geometry rows and
-    broadcasts iff the total bitset fits ``broadcast_max_bytes``. For a
-    storage-backed bloom that size check is a column-pruned metadata scan
-    (bitsets unread); for a COMPUTED bloom (``build_bloom(...)`` passed
-    straight in) it executes the build — auto therefore persists the bloom
-    first so the probe reuses the result instead of building twice.
-    The default 256 MB budget covers ~2x10^8 keys at 1% fpp; a 10^10-key
-    frontier (~12 GB of bitset) always takes the cogroup path.
+    the hash-range-aligned Arrow cogroup where each task loads only its
+    slice; ``"auto"`` (default) reads the filter geometry and picks
+    ``jvm`` whenever the geometry supports it (single geometry,
+    power-of-two n_bits — true for every ``build_bloom`` default), else
+    sizes between broadcast and cogroup. The geometry check is a
+    column-pruned metadata scan for a storage-backed bloom; for a
+    COMPUTED bloom (``build_bloom(...)`` passed straight in) it executes
+    the build — auto/jvm therefore persist the bloom first so the probe
+    reuses the result instead of building twice. The default 256 MB
+    budget covers ~2x10^8 keys at 1% fpp; a 10^10-key frontier (~12 GB
+    of bitset) takes the shuffle-hash-join jvm probe.
     """
     if bloom is None:
         if dedupe:
@@ -444,27 +625,60 @@ def filter_unseen(
         return candidates.join(
             seen_urls.select(url_col), on=url_col, how="left_anti"
         )
-    if probe_mode not in ("auto", "broadcast", "cogroup"):
+    if probe_mode not in ("auto", "broadcast", "cogroup", "jvm"):
         raise ValueError(
-            f"probe_mode must be 'auto', 'broadcast' or 'cogroup', got "
-            f"{probe_mode!r} (a silent fallback would quietly discard the "
-            "plan shape the caller asked for)"
+            f"probe_mode must be 'auto', 'jvm', 'broadcast' or 'cogroup', "
+            f"got {probe_mode!r} (a silent fallback would quietly discard "
+            "the plan shape the caller asked for)"
         )
     mode = probe_mode
-    if mode == "auto":
-        # the size check executes the bloom plan: cheap column-pruned
+    geometry: tuple[int, int, int] | None = None
+    if mode in ("auto", "jvm"):
+        # the geometry check executes the bloom plan: cheap column-pruned
         # metadata scan for a storage-backed bloom, but a FULL build for a
         # computed one (build_bloom(...) passed straight in) — persist so
         # the probe below reuses that work instead of building twice
         bloom = bloom.persist(StorageLevel.MEMORY_AND_DISK)
-        total_bits = bloom.agg(F.sum("n_bits").alias("b")).collect()[0]["b"]
-        mode = (
-            "broadcast"
-            if total_bits is not None and total_bits // 8 <= broadcast_max_bytes
-            else "cogroup"
+        g = bloom.agg(
+            F.min("n_bits").alias("nb_min"),
+            F.max("n_bits").alias("nb_max"),
+            F.min("n_hashes").alias("nh_min"),
+            F.max("n_hashes").alias("nh_max"),
+            F.sum("n_bits").alias("total"),
+        ).collect()[0]
+        total_bits = g["total"]
+        jvm_ok = (
+            total_bits is not None
+            and g["nb_min"] == g["nb_max"]
+            and g["nh_min"] == g["nh_max"]
+            and int(g["nb_min"]) % 64 == 0
+            and int(g["nb_min"]) & (int(g["nb_min"]) - 1) == 0
         )
+        if jvm_ok:
+            geometry = (int(g["nb_min"]), int(g["nh_min"]), int(total_bits))
+        if mode == "jvm" and not jvm_ok:
+            raise ValueError(
+                "filter_unseen: probe_mode='jvm' needs a non-empty, "
+                "single-geometry filter set with power-of-two n_bits "
+                f"(multiple of 64); got n_bits {g['nb_min']}..{g['nb_max']}"
+                f", n_hashes {g['nh_min']}..{g['nh_max']} — use 'auto' to "
+                "fall back to the Arrow probe paths"
+            )
+        if mode == "auto":
+            if jvm_ok:
+                # the JVM probe wins at every filter size: broadcast-join
+                # (shuffle-free, codegen-fused) within the budget, hash-
+                # range shuffle-hash join beyond it — no Python boundary
+                mode = "jvm"
+            else:
+                mode = (
+                    "broadcast"
+                    if total_bits is not None
+                    and total_bits // 8 <= broadcast_max_bytes
+                    else "cogroup"
+                )
     if (
-        mode == "broadcast"
+        mode in ("broadcast", "jvm")
         and dedupe
         and set(candidates.columns) == {url_col, "h1", "h2", "part_id"}
     ):
@@ -485,8 +699,19 @@ def filter_unseen(
         rehashed = deduped.withColumn(
             "h1", F.xxhash64(F.col(url_col))
         ).withColumn("h2", F.xxhash64(F.col(url_col), F.lit(1)))
-        flagged = probe_bloom_broadcast(rehashed, bloom).select(
-            *candidates.columns, "maybe_seen"
+        if mode == "jvm":
+            flagged = probe_bloom_jvm(
+                rehashed, bloom,
+                broadcast_max_bytes=broadcast_max_bytes, geometry=geometry,
+            ).select(*candidates.columns, "maybe_seen")
+        else:
+            flagged = probe_bloom_broadcast(rehashed, bloom).select(
+                *candidates.columns, "maybe_seen"
+            )
+    elif mode == "jvm":
+        flagged = probe_bloom_jvm(
+            candidates, bloom, dedupe_on=url_col if dedupe else None,
+            broadcast_max_bytes=broadcast_max_bytes, geometry=geometry,
         )
     else:
         probe = probe_bloom_broadcast if mode == "broadcast" else probe_bloom

@@ -149,6 +149,137 @@ def test_broadcast_probe_plan_is_shuffle_free(spark):
     assert "Exchange" in cg_plan  # the slice-aligned path shuffles by design
 
 
+def test_probe_jvm_matches_cogroup(spark):
+    """The whole-stage-codegen probe must flag the IDENTICAL maybe_seen
+    set as the numpy cogroup probe (same bitsets, same double-hashing
+    math reproduced in ANSI-safe masked int64 arithmetic), in both its
+    broadcast-join and shuffle-hash-join variants, including hash ranges
+    with no filter row (NULL words → definitely new)."""
+    urls = spark.createDataFrame(
+        [(f"https://h{i % 10}.ex/p/{i % 400}",) for i in range(700)],
+        ["url_canon"],
+    )
+    hashed = seen.with_url_hashes(urls, n_parts=8)
+    bloom = seen.build_bloom(
+        seen.with_url_hashes(
+            urls.filter(F.xxhash64("url_canon") % 3 == 0), n_parts=8
+        ),
+        n_bits_per_part=1 << 16,
+    )
+    via_cg = {
+        (r["url_canon"], r["maybe_seen"])
+        for r in seen.probe_bloom(hashed, bloom, dedupe_on="url_canon").collect()
+    }
+    for bc in (True, False):
+        via_jvm = {
+            (r["url_canon"], r["maybe_seen"])
+            for r in seen.probe_bloom_jvm(
+                hashed, bloom, dedupe_on="url_canon", broadcast=bc
+            ).collect()
+        }
+        assert via_jvm == via_cg, f"broadcast={bc}"
+
+    # uncovered hash ranges must flag nothing (and not error): tiny filter
+    tiny = seen.build_bloom(
+        seen.with_url_hashes(urls.limit(1), n_parts=8), n_bits_per_part=1 << 16
+    )
+    covered = {r["part_id"] for r in tiny.select("part_id").collect()}
+    out = seen.probe_bloom_jvm(hashed, tiny).collect()
+    uncovered = [r for r in out if r["part_id"] not in covered]
+    assert uncovered, "fixture must leave some hash ranges without a filter"
+    assert all(not r["maybe_seen"] for r in uncovered)
+
+
+def test_probe_jvm_merges_snapshot_plus_delta(spark):
+    """bloom_words OR-merges multiple filter rows per part in its own
+    grouped exchange, so the jvm probe over an UNMERGED snapshot+delta
+    equals the cogroup probe over merge_bloom(snapshot, delta) — and a
+    left join on part_id never duplicates candidate rows."""
+    urls = spark.createDataFrame(
+        [(f"https://h{i % 6}.ex/p/{i}",) for i in range(400)], ["url_canon"]
+    )
+    hashed = seen.with_url_hashes(urls, n_parts=8)
+    snap = seen.build_bloom(
+        seen.with_url_hashes(
+            urls.filter(F.xxhash64("url_canon") % 3 == 0), n_parts=8
+        ),
+        n_bits_per_part=1 << 16,
+    )
+    delta = seen.build_bloom(
+        seen.with_url_hashes(
+            urls.filter(F.xxhash64("url_canon") % 3 == 1), n_parts=8
+        ),
+        n_bits_per_part=1 << 16,
+    )
+    merged_cg = {
+        (r["url_canon"], r["maybe_seen"])
+        for r in seen.probe_bloom(hashed, seen.merge_bloom(snap, delta)).collect()
+    }
+    out = seen.probe_bloom_jvm(hashed, snap.unionByName(delta)).collect()
+    assert len(out) == 400, "left join must not duplicate candidates"
+    assert {(r["url_canon"], r["maybe_seen"]) for r in out} == merged_cg
+
+
+def test_probe_jvm_plan_is_codegen_only(spark):
+    """The jvm probe's contract: ZERO Python/Arrow nodes on the candidate
+    path. Broadcast variant = BroadcastHashJoin fused with the upstream
+    map (no shuffle of candidates); beyond the broadcast budget =
+    ShuffledHashJoin on part_id, never a SortMergeJoin (a sort of the
+    10^10-row candidate side would dwarf the probe)."""
+    urls = spark.range(2000).select(
+        F.concat(F.lit("https://h"), (F.col("id") % 7).cast("string"),
+                 F.lit(".ex/p/"), F.col("id").cast("string")).alias("url_canon")
+    )
+    hashed = seen.with_url_hashes(urls, n_parts=8)
+    bloom = seen.build_bloom(
+        seen.with_url_hashes(urls.limit(500), n_parts=8),
+        n_bits_per_part=1 << 16,
+    )
+    for bc, join_node in ((True, "BroadcastHashJoin"), (False, "ShuffledHashJoin")):
+        probe = seen.probe_bloom_jvm(hashed, bloom, broadcast=bc)
+        plan = probe._jdf.queryExecution().executedPlan().toString()
+        assert join_node in plan, plan
+        assert "SortMergeJoin" not in plan, plan
+        # the only Python stage allowed is bloom_words' 8-row conversion
+        # (FlatMapGroupsInPandas on the FILTER side); the candidate side
+        # must never cross the boundary
+        for bad in ("FlatMapCoGroupsInArrow", "MapInArrow", "ArrowEval",
+                    "BatchEval"):
+            assert bad not in plan, (bad, plan)
+        assert probe.count() == 2000
+
+
+def test_probe_jvm_geometry_guards(spark):
+    """Non-power-of-two n_bits cannot reproduce uint64 modulo in signed
+    JVM arithmetic: explicit jvm mode must refuse loudly, and auto must
+    fall back to an Arrow path and still return the exact unseen set."""
+    all_urls = spark.createDataFrame(
+        [(f"https://h{i % 5}.ex/p/{i}",) for i in range(300)], ["url_canon"]
+    )
+    seen_urls = all_urls.filter(
+        F.xxhash64("url_canon") % 2 == 0
+    ).select("url_canon")
+    cand = seen.with_url_hashes(all_urls, n_parts=8)
+    odd_bloom = seen.build_bloom(
+        seen.with_url_hashes(seen_urls, n_parts=8), n_bits_per_part=96_000
+    )
+    with pytest.raises(ValueError, match="power-of-two"):
+        seen.filter_unseen(
+            cand, seen_urls, bloom=odd_bloom, probe_mode="jvm"
+        )
+    expect = {
+        r["url_canon"]
+        for r in all_urls.join(seen_urls, "url_canon", "left_anti").collect()
+    }
+    got = {
+        r["url_canon"]
+        for r in seen.filter_unseen(
+            cand, seen_urls, bloom=odd_bloom, probe_mode="auto"
+        ).collect()
+    }
+    assert got == expect
+
+
 def test_filter_unseen_probe_modes_agree(spark):
     """filter_unseen must return the exact unseen set under every probe
     strategy (auto picks broadcast here — the filter is tiny)."""
@@ -163,7 +294,7 @@ def test_filter_unseen_probe_modes_agree(spark):
         r["url_canon"]
         for r in all_urls.join(seen_urls, "url_canon", "left_anti").collect()
     }
-    for mode in ("auto", "broadcast", "cogroup"):
+    for mode in ("auto", "jvm", "broadcast", "cogroup"):
         got = {
             r["url_canon"]
             for r in seen.filter_unseen(
@@ -222,7 +353,9 @@ def test_dedupe_survivor_row_matches_across_probe_paths(spark):
     }
     via_bc = pick(seen.probe_bloom_broadcast(cand, bloom, dedupe_on="url_canon"))
     via_cg = pick(seen.probe_bloom(cand, bloom, dedupe_on="url_canon"))
+    via_jvm = pick(seen.probe_bloom_jvm(cand, bloom, dedupe_on="url_canon"))
     assert via_bc == via_cg
+    assert via_jvm == via_cg
     # the survivor is the minimal (parent, priority) tuple, not arrival order
     assert all(v == ("parent0", 100) for v in via_bc.values()), via_bc
 
