@@ -295,6 +295,9 @@ def init_crawl(spark: SparkSession, seeds: DataFrame, ckpt) -> None:
     hashed = seen.with_url_hashes(st.read(0, "frontier"), n_parts=N_PARTS)
     st.write(hashed.select("url_canon", "host", "part_id"), 0, "seen_delta")
     st.write(seen.build_bloom(hashed), 0, "bloom")
+    # probe-form state: pay the words conversion once at commit so every
+    # later probe of this snapshot skips it (seen.probe_bloom_jvm)
+    st.write(seen.bloom_words(st.read(0, "bloom")), 0, "bloom_words")
     st.write_manifest(
         0, {"round": 0, "n_frontier": n, "n_scheduled": 0, "n_new": n}
     )
@@ -358,22 +361,29 @@ def run_round(
     cand = seen.with_url_hashes(discovered, n_parts=N_PARTS)
     # incremental bloom: the committed filter already covers all prior
     # rounds — never rebuilt from the (10^10-row) seen set
-    bloom = None
+    bloom = None          # bits form: merged into this round's commit
+    probe_filter = None   # words form when committed, else the bits form
     if use_bloom:
         if st.exists(prev, "bloom"):
             bloom = st.read(prev, "bloom")
+            probe_filter = (
+                st.read(prev, "bloom_words")
+                if st.exists(prev, "bloom_words")
+                else bloom
+            )
         else:
             # fallback rebuild — persist so filter_unseen's auto-mode
             # metadata read + the probe don't each re-scan the seen set
             bloom = seen.build_bloom(
                 seen.with_url_hashes(_full_seen(), n_parts=N_PARTS)
             ).persist(StorageLevel.MEMORY_AND_DISK)
+            probe_filter = bloom
     # exact check: bucketed compacted table first (exchange-free big side),
     # then the small post-compaction deltas (AQE broadcasts them). The
     # committed bloom covers BOTH, so a URL seen only in a delta still
     # flags maybe_seen and is caught by the second anti-join.
     exact_base = compacted if compacted is not None else deltas
-    new = seen.filter_unseen(cand, exact_base, bloom=bloom, dedupe=True)
+    new = seen.filter_unseen(cand, exact_base, bloom=probe_filter, dedupe=True)
     if compacted is not None and deltas is not None:
         new = new.join(deltas.select("url_canon"), "url_canon", "left_anti")
 
@@ -392,6 +402,9 @@ def run_round(
             seen.with_url_hashes(new_urls.select("url_canon"), n_parts=N_PARTS)
         )
         st.write(seen.merge_bloom(bloom, delta_bloom), k, "bloom")
+        # probe-form state for the NEXT round's filter_unseen (see
+        # init_crawl) — one conversion pass here instead of one per probe
+        st.write(seen.bloom_words(st.read(k, "bloom")), k, "bloom_words")
 
     # per-partition lineage metrics for this round (scale observability:
     # one row per hash partition, not per URL), plus the committed bloom's
@@ -500,8 +513,10 @@ def bench_state(spark: SparkSession, sf_dir: str, mult: int = 1,
         .select("url_canon")
         .persist(StorageLevel.MEMORY_AND_DISK)
     )
-    bloom = seen.build_bloom(
-        seen.with_url_hashes(pre_seen, n_parts=N_PARTS)
+    # words (probe-form) state, as a crawl commit writes it — the timed
+    # round probes this directly (seen.probe_bloom_jvm), no conversion
+    bloom = seen.bloom_words(
+        seen.build_bloom(seen.with_url_hashes(pre_seen, n_parts=N_PARTS))
     ).persist(StorageLevel.MEMORY_AND_DISK)
     pre_seen.count()
     bloom.count()

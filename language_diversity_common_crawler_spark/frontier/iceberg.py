@@ -44,6 +44,10 @@ _SURFACE_SCHEMAS = {
     "seen_delta": "url_canon STRING, host STRING, part_id INT",
     "bloom": ("part_id INT, bits BINARY, n_bits BIGINT, n_hashes INT, "
               "n_keys BIGINT"),
+    # probe-form filter state (seen.WORDS_SCHEMA): converted once at
+    # commit so every later probe skips the bits->words pass
+    "bloom_words": ("part_id INT, words ARRAY<BIGINT>, n_bits BIGINT, "
+                    "n_hashes INT"),
     "metrics": ("part_id INT, n_new BIGINT, bloom_keys BIGINT, "
                 "fill_ratio DOUBLE, est_fpp DOUBLE"),
 }

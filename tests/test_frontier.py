@@ -314,6 +314,40 @@ def test_filter_unseen_probe_modes_agree(spark):
     assert got == expect
 
 
+def test_filter_unseen_words_form_state(spark):
+    """A pre-converted words-form filter (what a crawl commit writes as
+    bloom_words) must probe to the same exact unseen set as the binary
+    form, and must refuse the Arrow-only probe modes loudly."""
+    all_urls = spark.createDataFrame(
+        [(f"https://h{i % 5}.ex/p/{i % 120}",) for i in range(300)],
+        ["url_canon"],
+    )
+    seen_urls = all_urls.filter(
+        F.xxhash64("url_canon") % 2 == 0
+    ).select("url_canon").distinct()
+    cand = seen.with_url_hashes(all_urls, n_parts=8)
+    bloom = seen.build_bloom(seen.with_url_hashes(seen_urls, n_parts=8))
+    words = seen.bloom_words(bloom)
+    expect = {
+        r["url_canon"]
+        for r in all_urls.distinct()
+        .join(seen_urls, "url_canon", "left_anti")
+        .collect()
+    }
+    for mode in ("auto", "jvm"):
+        got = {
+            r["url_canon"]
+            for r in seen.filter_unseen(
+                cand, seen_urls, bloom=words, dedupe=True, probe_mode=mode
+            ).collect()
+        }
+        assert got == expect, mode
+    with pytest.raises(ValueError, match="binary filter form"):
+        seen.filter_unseen(
+            cand, seen_urls, bloom=words, probe_mode="cogroup"
+        )
+
+
 def test_filter_unseen_rejects_unknown_probe_mode(spark):
     urls = spark.createDataFrame(
         [("https://h0.ex/p/1", "h0.ex")], ["url_canon", "host"]
@@ -675,7 +709,8 @@ def test_iceberg_backend_flagging(spark):
     )
 
     assert set(_SURFACE_SCHEMAS) == {
-        "frontier", "scheduled", "seen_delta", "bloom", "metrics"
+        "frontier", "scheduled", "seen_delta", "bloom", "bloom_words",
+        "metrics",
     }
 
 

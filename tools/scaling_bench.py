@@ -38,12 +38,21 @@ sys.path.insert(0, REPO)
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 PAGES_PATH = "/tmp/scaling_pages_parquet"
 N_PAGES = 300000
-MULT = 20  # seed-URL replication factor (orders sf0.1 x20 = 3M URLs)
+# seed-URL replication factor (orders sf0.1 x40 = 6M URLs). Sized so the
+# 8-core round is ~15s of mostly WORK: with the whole-stage-codegen jvm
+# probe the round's per-URL cost halved, and at 3M units the ~1.2s of
+# fixed per-round cost (filter geometry read, broadcast build, stage
+# barriers) alone capped the measurable efficiency near 0.77 — the same
+# overhead-vs-work sizing already applied to the map job and the extract
+# corpus.
+MULT = int(os.environ.get("SCALING_MULT", "40"))
 # The map stage is pure codegen compute — at 3M units it finishes in <2s on
 # 8 cores, so ~0.4s of fixed job/stage overhead alone caps its measurable
 # efficiency near 0.8 even when the engine scales perfectly. Time it on a
-# 4x bigger input (12M URLs) so the measured window is work, not overhead.
-MAP_MULT = int(os.environ.get("SCALING_MAP_MULT", str(MULT * 4)))
+# bigger input (12M URLs, converged at n=15 rounds) so the measured window
+# is work, not overhead — held at 12M independent of MULT so the map
+# accumulation is not discarded by frontier resizes.
+MAP_MULT = int(os.environ.get("SCALING_MAP_MULT", "80"))
 # 3 timed reps per job per child, min taken: a fresh JVM shows ~1.5-1.8x
 # rep-to-rep wall variance on this job mix even on an idle box (GC timing,
 # JIT state, page cache), and with a single rep that variance lands
@@ -73,7 +82,7 @@ def _gen_pages_once() -> None:
 # versioned: the prep-once guard only checks existence, so a state-SHAPE
 # change (v6: bucketed pre_seen table) must land in a fresh directory or
 # stale plain-parquet state from an older protocol would be measured
-STATE_DIR = "/tmp/scaling_state_v6"
+STATE_DIR = "/tmp/scaling_state_v8"
 
 
 def _code_fingerprint() -> str:
@@ -99,8 +108,11 @@ def _code_fingerprint() -> str:
     # v7 moves the round to the slim dedup-first chain: host is dropped
     # before the unseen chain (recomputed from url_canon after it) and
     # broadcast-mode dedup runs BEFORE the probe on a (url, part_id)
-    # projection — the round's big exchange carries only the URL string
-    h.update(b"job-v7")
+    # projection — the round's big exchange carries only the URL string;
+    # v8 probes the committed words-form filter state (STATE_DIR/
+    # bloom_words, what crawl.run_round now reads) through the
+    # whole-stage-codegen jvm probe instead of the Arrow paths
+    h.update(b"job-v8")
     pkg = os.path.join(REPO, "language_diversity_common_crawler_spark")
     for rel in (
         "frontier/urlgen.py", "frontier/seen.py", "frontier/scheduler.py",
@@ -203,6 +215,11 @@ def _prep_state_once(mult: int) -> None:
     seen.build_bloom(
         seen.with_url_hashes(pre, n_parts=crawl.N_PARTS)
     ).write.mode("overwrite").parquet(f"{STATE_DIR}/bloom")
+    # probe-form (words) state, same as a crawl commit writes (crawl.py
+    # run_round) — the timed round reads THIS, as a real round does
+    seen.bloom_words(
+        spark.read.parquet(f"{STATE_DIR}/bloom")
+    ).write.mode("overwrite").parquet(f"{STATE_DIR}/bloom_words")
     spark.stop()
 
 
@@ -255,7 +272,7 @@ def _frontier_job(spark, mult: int):
         "url_canon"
     )
     pre_seen = _pre_seen(spark)
-    bloom = spark.read.parquet(f"{STATE_DIR}/bloom")
+    bloom = spark.read.parquet(f"{STATE_DIR}/bloom_words")
     cand = seen.with_url_hashes(seeds, n_parts=crawl.N_PARTS)
     fresh = seen.filter_unseen(
         cand, pre_seen, bloom=bloom, dedupe=True
