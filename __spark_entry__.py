@@ -26,6 +26,7 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 from language_diversity_common_crawler_spark.functions import (  # noqa: E402
     dedup,
     langspec,
+    quality_rules,
     sampling,
     similarity,
     text_analysis,
@@ -307,6 +308,31 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return text_analysis.winnow_fingerprints(_docs_par(spark, sf_dir))
 
     q["winnow_fingerprints"] = winnow_fingerprints
+
+    def gopher_quality(spark, sf_dir):
+        """Gopher-style rule filter (Rae et al. 2021 App. A): per-doc
+        signals + per-rule flags + overall gate, all whole-stage-codegen
+        JVM expressions (shuffle-free linear scan)."""
+        tune_session(spark)
+        return quality_rules.with_gopher_quality(
+            _docs_par(spark, sf_dir)
+        ).select(
+            "doc_id", "n_words", "mean_word_len", "alpha_word_frac",
+            "dup_word_frac", "symbol_word_ratio", "stopword_hits",
+            "ellipsis_line_frac", "bullet_line_frac",
+            "words_ok", "word_len_ok", "symbol_ok", "ellipsis_ok",
+            "bullet_ok", "alpha_ok", "stopword_ok", "gopher_pass",
+        )
+
+    q["gopher_quality"] = gopher_quality
+
+    def repetition_2gram(spark, sf_dir):
+        """Most-common-2-gram share per document (Gopher repetition
+        signal); map-side-combinable double aggregation."""
+        tune_session(spark)
+        return quality_rules.top_2gram_stats(_docs_par(spark, sf_dir))
+
+    q["repetition_2gram"] = repetition_2gram
 
     def winnow_near_dup_pairs(spark, sf_dir):
         """MOSS detection join: pairs sharing >= 2 winnowing fingerprints
@@ -782,6 +808,9 @@ FROM uniq GROUP BY lang
     o["token_quality_stats"] = f"SELECT doc_id,\n       {cols}\nFROM documents"
 
     o["winnow_fingerprints"] = text_analysis.sql_winnow_fingerprints("documents")
+
+    o["gopher_quality"] = quality_rules.sql_gopher_quality("documents")
+    o["repetition_2gram"] = quality_rules.sql_top_2gram_stats("documents")
 
     o["winnow_near_dup_pairs"] = dedup.sql_winnow_near_dup_pairs("documents")
 
