@@ -98,10 +98,25 @@ _UDF = None
 
 
 def decode_udf(html: Column | str, charset: Column | str) -> Column:
-    """Arrow-batched decode column (UDF created lazily — needs a session)."""
+    """Arrow-batched decode column (UDF created lazily — needs a session).
+
+    Marked ``asNondeterministic()`` as an optimizer fence, NOT because the
+    function is impure (it is a pure map): a deterministic decode lets
+    predicate pushdown clone the UDF below the pipeline's F1
+    ``isNotNull`` filter, so every surviving row was decoded TWICE (one
+    ArrowEvalPython for the filter, a second re-evaluation in the
+    html2text/model chain) and the raw ``html`` bytes — the widest column
+    in the table — crossed the Arrow boundary twice. The flag stops both
+    CollapseProject inlining and filter pushdown through the projection:
+    decode runs once in its own stage, the early drop stays directly
+    above it, and the downstream chain references the materialized
+    column (measured 1.09x end-to-end extract at local[8] over 102k
+    pages; the saved html transfer matters more at memory-bandwidth-bound
+    scale). Cost: Catalyst will not prune an unused decode column — every
+    current caller consumes it."""
     global _UDF
     if _UDF is None:
-        _UDF = pandas_udf("string")(_decode_batch)
+        _UDF = pandas_udf("string")(_decode_batch).asNondeterministic()
     h = F.col(html) if isinstance(html, str) else html
     c = F.col(charset) if isinstance(charset, str) else charset
     return _UDF(h, c)

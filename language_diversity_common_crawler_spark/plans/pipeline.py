@@ -20,6 +20,11 @@ Scale notes: decode+html2text UDFs are the dominant cost and are pure map
 work — zero shuffle; the histogram/stats aggregations shuffle only
 |languages| × |models| rows after map-side partial agg. `segment` is the
 partition column, so per-segment runs are partition-pruned scans.
+decode_udf is flagged non-deterministic purely as an optimizer fence so
+the F1 filter does not duplicate the decode below itself (see
+functions/decode.py docstring): the plan is ArrowEvalPython[decode] →
+Filter → ArrowEvalPython[html2text + 3 models], decode exactly once per
+row and the two Python worker pools overlapping across batches.
 
 Measured negative result (keep the chain UNFUSED): a variant fusing
 decode → boilerplate → all 3 models into ONE pandas UDF (html in once,

@@ -128,3 +128,19 @@ def test_relational_headliners_push_filters(spark, query):
         "PushedFilters: [" in s and "PushedFilters: []" not in s
         for s in scans
     ), "\n\n".join(scans)
+
+
+def test_extract_decodes_exactly_once(spark):
+    """The F1 drop filter must not duplicate the decode UDF below itself:
+    the compiled extract plan carries exactly ONE _decode_batch call (its
+    own ArrowEvalPython stage, filter directly above), with html2text and
+    the three models in a second stage referencing the materialized
+    column — decode once per row, html through Arrow once. Guarded by
+    decode_udf's asNondeterministic optimizer fence; this pins it."""
+    df = extract_pipeline(pages.pages_df(spark, 50, seed=3, n_partitions=2))
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("_decode_batch(") == 1
+    assert plan.count("+- ArrowEvalPython") == 2
+    # the early drop survives: a Filter sits between the two UDF stages
+    decode_pos = plan.rindex("ArrowEvalPython")
+    assert "Filter isnotnull" in plan[:decode_pos]
