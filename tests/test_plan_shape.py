@@ -144,3 +144,50 @@ def test_extract_decodes_exactly_once(spark):
     # the early drop survives: a Filter sits between the two UDF stages
     decode_pos = plan.rindex("ArrowEvalPython")
     assert "Filter isnotnull" in plan[:decode_pos]
+
+
+def test_no_query_duplicates_model_udf_evaluation(spark):
+    """No queries() plan may evaluate a lang-model / extract pandas UDF
+    more than once: predicate pushdown cloning a UDF below a filter, or a
+    union re-planning its source per branch, silently doubles the most
+    expensive work at 100 TB (both happened: decode under the F1 filter,
+    detect_fast under the crosstab's two-branch union). Counts TOP-LEVEL
+    entries of each ArrowEvalPython node's expression list — nested
+    chained references print the name again without re-evaluating."""
+    import collections
+    import re
+
+    import __spark_entry__ as entrymod
+
+    udfs = ("_decode_batch", "_html2text_batch", "detect_fast_identify",
+            "langid_identify", "cld2_identify")
+
+    def top_level_entries(bracket: str) -> list[str]:
+        out, depth, cur = [], 0, []
+        for ch in bracket:
+            if ch in "([":
+                depth += 1
+            elif ch in ")]":
+                depth -= 1
+            if ch == "," and depth == 0:
+                out.append("".join(cur))
+                cur = []
+            else:
+                cur.append(ch)
+        if cur:
+            out.append("".join(cur))
+        return out
+
+    offenders = {}
+    for name, fn in entrymod.queries().items():
+        plan = fn(spark, SF_DIR)._jdf.queryExecution().executedPlan().toString()
+        evals = collections.Counter()
+        for m in re.finditer(r"ArrowEvalPython \[(.*?)\], \[pythonUDF", plan):
+            for entry in top_level_entries(m.group(1)):
+                head = entry.split("(")[0].strip()
+                if head in udfs:
+                    evals[head] += 1
+        dups = {k: v for k, v in evals.items() if v > 1}
+        if dups:
+            offenders[name] = dups
+    assert not offenders, f"duplicated UDF evaluation: {offenders}"
