@@ -41,6 +41,7 @@ from language_diversity_common_crawler_spark.functions.langid_models import (  #
 )
 from language_diversity_common_crawler_spark.operators import (  # noqa: E402
     crosstab,
+    diversity,
     histogram,
     relational,
     stats,
@@ -148,6 +149,21 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
 
     q["fixed_lang_crosstab"] = fixed_lang_crosstab
+
+    def lang_diversity_index(spark, sf_dir):
+        tune_session(spark)
+        long_df = histogram.model_long_form(_docs_preds(spark, sf_dir))
+        return diversity.diversity_metrics(long_df, "lang", ["model"])
+
+    q["lang_diversity_index"] = lang_diversity_index
+
+    def source_lang_diversity(spark, sf_dir):
+        tune_session(spark)
+        return diversity.diversity_metrics(
+            _docs(spark, sf_dir), "lang", ["source"]
+        )
+
+    q["source_lang_diversity"] = source_lang_diversity
 
     def hist_chunks(spark, sf_dir):
         tune_session(spark)
@@ -705,6 +721,20 @@ def oracle_sql() -> dict[str, str]:
     o["unknown_stats"] = stats.sql_unknown_stats(_PREDS_SQL)
     o["fixed_lang_crosstab"] = crosstab.sql_fixed_lang_crosstab(
         _PREDS_SQL, "detect_fast", "de"
+    )
+    long_form_sql = (
+        f"WITH preds AS ({_PREDS_SQL})\n"
+        + " UNION ALL ".join(
+            f"SELECT '{m}' AS model, {langspec.MODEL_PREFIX[m]}_lang AS lang "
+            f"FROM preds"
+            for m in langspec.MODELS
+        )
+    )
+    o["lang_diversity_index"] = diversity.sql_diversity_metrics(
+        long_form_sql, "lang", ["model"]
+    )
+    o["source_lang_diversity"] = diversity.sql_diversity_metrics(
+        "SELECT source, lang FROM documents", "lang", ["source"]
     )
     o["hist_chunks"] = (
         f"WITH h AS ({histogram.sql_language_histogram(_PREDS_SQL)})\n"

@@ -1,0 +1,86 @@
+"""Language-diversity indices: hand-computed values + grouping semantics."""
+
+from __future__ import annotations
+
+from language_diversity_common_crawler_spark.operators import diversity
+
+
+def _rows(spark, data):
+    return spark.createDataFrame(data, "source string, lang string")
+
+
+def test_uniform_distribution(spark):
+    # 4 languages x 2 docs each: H = log2(4) = 2 bits, Simpson = 1 - 4/16.
+    data = [("a", lang) for lang in ["en", "de", "fr", "ru"] for _ in range(2)]
+    out = diversity.diversity_metrics(
+        _rows(spark, data), "lang", ["source"]
+    ).collect()
+    assert len(out) == 1
+    r = out[0]
+    assert (r.n_langs, r.total_docs) == (4, 8)
+    assert r.shannon_milli == 2000
+    assert r.simpson_milli == 750
+
+
+def test_single_language_is_zero_diversity(spark):
+    out = diversity.diversity_metrics(
+        _rows(spark, [("a", "en")] * 5), "lang", ["source"]
+    ).collect()
+    r = out[0]
+    assert (r.n_langs, r.total_docs) == (1, 5)
+    assert r.shannon_milli == 0
+    assert r.simpson_milli == 0
+
+
+def test_skewed_distribution_hand_computed(spark):
+    # counts (3, 1): H = -(0.75*log2(0.75) + 0.25*log2(0.25)) = 0.8113 bits;
+    # per-term milli quantization gives round((2 - 4.755/4) * 1000) = 811.
+    # Simpson = 1 - (9 + 1)/16 = 0.375.
+    data = [("a", "en")] * 3 + [("a", "de")]
+    r = diversity.diversity_metrics(
+        _rows(spark, data), "lang", ["source"]
+    ).collect()[0]
+    assert r.shannon_milli == 811
+    assert r.simpson_milli == 375
+
+
+def test_groups_are_independent(spark):
+    data = [("a", "en"), ("a", "de"), ("b", "en"), ("b", "en")]
+    out = {
+        r.source: r
+        for r in diversity.diversity_metrics(
+            _rows(spark, data), "lang", ["source"]
+        ).collect()
+    }
+    assert out["a"].shannon_milli == 1000  # 50/50 split = 1 bit
+    assert out["a"].simpson_milli == 500
+    assert out["b"].shannon_milli == 0
+    assert out["b"].n_langs == 1
+
+
+def test_sql_twin_matches_spark(spark):
+    """The DuckDB dialect twin produces identical quantized values."""
+    import duckdb
+
+    data = (
+        [("a", "en")] * 7 + [("a", "de")] * 2 + [("a", "fr")]
+        + [("b", "ru")] * 3 + [("b", "en")]
+    )
+    spark_rows = {
+        (r.source,): (r.n_langs, r.total_docs, r.shannon_milli, r.simpson_milli)
+        for r in diversity.diversity_metrics(
+            _rows(spark, data), "lang", ["source"]
+        ).collect()
+    }
+    con = duckdb.connect()
+    con.execute(
+        "CREATE TABLE docs (source VARCHAR, lang VARCHAR)"
+    )
+    con.executemany("INSERT INTO docs VALUES (?, ?)", data)
+    sql = diversity.sql_diversity_metrics(
+        "SELECT source, lang FROM docs", "lang", ["source"]
+    )
+    duck_rows = {
+        (r[0],): tuple(r[1:]) for r in con.execute(sql).fetchall()
+    }
+    assert spark_rows == duck_rows
