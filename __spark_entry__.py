@@ -165,6 +165,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["source_lang_diversity"] = source_lang_diversity
 
+    def source_lang_kl(spark, sf_dir):
+        tune_session(spark)
+        return diversity.lang_kl_from_global(
+            _docs(spark, sf_dir), "lang", "source"
+        )
+
+    q["source_lang_kl"] = source_lang_kl
+
     def hist_chunks(spark, sf_dir):
         tune_session(spark)
         h = histogram.language_histogram(_docs_preds(spark, sf_dir))
@@ -735,6 +743,9 @@ def oracle_sql() -> dict[str, str]:
     )
     o["source_lang_diversity"] = diversity.sql_diversity_metrics(
         "SELECT source, lang FROM documents", "lang", ["source"]
+    )
+    o["source_lang_kl"] = diversity.sql_lang_kl_from_global(
+        "SELECT source, lang FROM documents", "lang", "source"
     )
     o["hist_chunks"] = (
         f"WITH h AS ({histogram.sql_language_histogram(_PREDS_SQL)})\n"

@@ -84,6 +84,97 @@ def diversity_metrics(
     )
 
 
+def lang_kl_from_global(
+    df: DataFrame, lang_col: str, group_col: str
+) -> DataFrame:
+    """Per-group KL divergence (milli-bits) of the group's language
+    distribution from the whole corpus's — the skew/drift detector: a
+    source whose language mix diverges from the corpus pops to the top.
+
+    Plan: one hash aggregation to (group, lang) counts, then window
+    functions over that tiny relation (|groups| x |languages| rows — the
+    unpartitioned window is over aggregated data, never raw rows), then a
+    final |groups|-row aggregation. KL terms are quantized to exact
+    BIGINTs per (group, lang) before summation, same determinism argument
+    as :func:`diversity_metrics`; the log argument is computed in doubles
+    with an identical expression shape in both dialects (bigint products
+    would overflow at ~1e10-doc corpora)."""
+    from pyspark.sql.window import Window
+
+    counts = (
+        df.groupBy(F.col(group_col), F.col(lang_col).alias("lang"))
+        .agg(F.count(F.lit(1)).cast("bigint").alias("cnt"))
+    )
+    w_grp = Window.partitionBy(group_col)
+    w_lang = Window.partitionBy("lang")
+    w_all = Window.partitionBy()
+    ratio = (
+        F.col("cnt").cast("double") * F.col("grand").cast("double")
+    ) / (F.col("t").cast("double") * F.col("gcnt").cast("double"))
+    term_milli = F.round(
+        F.col("cnt").cast("double") * F.log2(ratio) * F.lit(_TERM_SCALE)
+    ).cast("bigint")
+    enriched = (
+        counts.withColumn("t", F.sum("cnt").over(w_grp))
+        .withColumn("gcnt", F.sum("cnt").over(w_lang))
+        .withColumn("grand", F.sum("cnt").over(w_all))
+        .withColumn("term_milli", term_milli)
+    )
+    return (
+        enriched.groupBy(group_col)
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_langs"),
+            F.sum("cnt").cast("bigint").alias("total_docs"),
+            F.sum("term_milli").cast("bigint").alias("_skl"),
+        )
+        .select(
+            group_col,
+            "n_langs",
+            "total_docs",
+            F.round(
+                F.col("_skl").cast("double") / F.col("total_docs").cast("double")
+            ).cast("bigint").alias("kl_milli"),
+        )
+    )
+
+
+def sql_lang_kl_from_global(
+    base_select: str, lang_col: str, group_col: str
+) -> str:
+    """DuckDB twin of :func:`lang_kl_from_global` (identical expression
+    shapes so the quantized terms match bit-for-bit)."""
+    scale = f"{_TERM_SCALE:.1f}"
+    return (
+        f"WITH base AS ({base_select}),\n"
+        f"counts AS (\n"
+        f"  SELECT {group_col}, {lang_col} AS lang,\n"
+        f"         CAST(count(*) AS BIGINT) AS cnt\n"
+        f"  FROM base GROUP BY {group_col}, {lang_col}\n"
+        f"),\n"
+        f"enriched AS (\n"
+        f"  SELECT {group_col}, cnt,\n"
+        f"         sum(cnt) OVER (PARTITION BY {group_col}) AS t,\n"
+        f"         sum(cnt) OVER (PARTITION BY lang) AS gcnt,\n"
+        f"         sum(cnt) OVER () AS grand\n"
+        f"  FROM counts\n"
+        f"),\n"
+        f"terms AS (\n"
+        f"  SELECT {group_col}, cnt,\n"
+        f"         CAST(round(CAST(cnt AS DOUBLE) * log2(\n"
+        f"           (CAST(cnt AS DOUBLE) * CAST(grand AS DOUBLE)) /\n"
+        f"           (CAST(t AS DOUBLE) * CAST(gcnt AS DOUBLE))\n"
+        f"         ) * {scale}) AS BIGINT) AS term_milli\n"
+        f"  FROM enriched\n"
+        f")\n"
+        f"SELECT {group_col},\n"
+        f"       CAST(count(*) AS BIGINT) AS n_langs,\n"
+        f"       CAST(sum(cnt) AS BIGINT) AS total_docs,\n"
+        f"       CAST(round(CAST(sum(term_milli) AS DOUBLE) /\n"
+        f"            CAST(sum(cnt) AS DOUBLE)) AS BIGINT) AS kl_milli\n"
+        f"FROM terms GROUP BY {group_col}"
+    )
+
+
 def sql_diversity_metrics(
     base_select: str, lang_col: str, group_cols: Sequence[str]
 ) -> str:

@@ -58,6 +58,56 @@ def test_groups_are_independent(spark):
     assert out["b"].n_langs == 1
 
 
+def test_kl_zero_when_group_matches_corpus(spark):
+    # Two sources with the identical language mix: KL from global = 0.
+    mix = ["en", "en", "de"]
+    data = [("a", lang) for lang in mix] + [("b", lang) for lang in mix]
+    out = {
+        r.source: r.kl_milli
+        for r in diversity.lang_kl_from_global(
+            _rows(spark, data), "lang", "source"
+        ).collect()
+    }
+    assert out == {"a": 0, "b": 0}
+
+
+def test_kl_hand_computed_disjoint_sources(spark):
+    # a = all-en, b = all-de, equal sizes: global is 50/50, each source's
+    # KL = log2(1/0.5) = 1 bit = 1000 milli.
+    data = [("a", "en")] * 4 + [("b", "de")] * 4
+    out = {
+        r.source: (r.n_langs, r.total_docs, r.kl_milli)
+        for r in diversity.lang_kl_from_global(
+            _rows(spark, data), "lang", "source"
+        ).collect()
+    }
+    assert out == {"a": (1, 4, 1000), "b": (1, 4, 1000)}
+
+
+def test_kl_sql_twin_matches_spark(spark):
+    import duckdb
+
+    data = (
+        [("a", "en")] * 7 + [("a", "de")] * 2 + [("a", "fr")]
+        + [("b", "ru")] * 3 + [("b", "en")] * 5
+        + [("c", "en")] * 4 + [("c", "de")] * 4
+    )
+    spark_rows = {
+        r.source: (r.n_langs, r.total_docs, r.kl_milli)
+        for r in diversity.lang_kl_from_global(
+            _rows(spark, data), "lang", "source"
+        ).collect()
+    }
+    con = duckdb.connect()
+    con.execute("CREATE TABLE docs (source VARCHAR, lang VARCHAR)")
+    con.executemany("INSERT INTO docs VALUES (?, ?)", data)
+    sql = diversity.sql_lang_kl_from_global(
+        "SELECT source, lang FROM docs", "lang", "source"
+    )
+    duck_rows = {r[0]: tuple(r[1:]) for r in con.execute(sql).fetchall()}
+    assert spark_rows == duck_rows
+
+
 def test_sql_twin_matches_spark(spark):
     """The DuckDB dialect twin produces identical quantized values."""
     import duckdb
