@@ -403,6 +403,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["lang_stratified_sample"] = lang_stratified_sample
 
+    def temperature_rebalanced_sample(spark, sf_dir):
+        """mC4/XLM-R-style temperature mix: per-language keep-rates
+        (c_min/c_l)^(1-alpha) computed from the corpus, broadcast-joined,
+        applied via the deterministic salted-hash draw."""
+        tune_session(spark)
+        return sampling.temperature_rebalanced_sample(_docs(spark, sf_dir))
+
+    q["temperature_rebalanced_sample"] = temperature_rebalanced_sample
+
     def simhash_fingerprints(spark, sf_dir):
         tune_session(spark)
         return text_analysis.simhash60(_docs_par(spark, sf_dir)).select(
@@ -834,6 +843,9 @@ FROM uniq GROUP BY lang
         text_analysis.quality_exprs("text", "duckdb")["quality_score"]
     )
     o["lang_stratified_sample"] = sampling.sql_lang_stratified_sample()
+    o["temperature_rebalanced_sample"] = (
+        sampling.sql_temperature_rebalanced_sample()
+    )
 
     o["top_customers"] = relational.SQL_TOP_CUSTOMERS
     o["nation_region_rollup"] = relational.SQL_NATION_REGION_ROLLUP

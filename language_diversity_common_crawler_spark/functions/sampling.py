@@ -185,3 +185,82 @@ def sql_lang_stratified_sample(
         f"SELECT CAST(doc_id AS BIGINT) AS doc_id, lang, "
         f"{bucket} AS strat_bucket\nFROM {table}\nWHERE {keep}"
     )
+
+
+# ---------------------------------------------------------------------------
+# temperature-rebalanced multilingual mix (mC4 / XLM-R style)
+# ---------------------------------------------------------------------------
+
+# Canonical multilingual-sampling temperature: target mix proportional to
+# p_lang^alpha. Keep-rate derivation: to move the mix from p_l to
+# p_l^alpha (renormalized) while retaining ALL of the rarest language,
+# keep_rate_l = (c_min / c_l)^(1 - alpha) — the dominant languages are
+# downsampled, the tail kept in full.
+TEMPERATURE_ALPHA = 0.7
+
+
+def temperature_rebalanced_sample(
+    df: DataFrame, alpha: float = TEMPERATURE_ALPHA
+) -> DataFrame:
+    """Deterministic temperature-``alpha`` language rebalance of ``df``.
+
+    The per-language keep-rates are computed FROM the corpus (one tiny
+    hash aggregation to |languages| rows + an unpartitioned min over that
+    aggregated relation), broadcast-joined back, and applied with the same
+    salted-md5 Bernoulli draw as :func:`lang_stratified_sample` — so the
+    corpus itself never shuffles: scan → broadcast-hash-join → codegen
+    filter. Reproducible row-for-row across engines, runs and cluster
+    sizes (no ``rand()``); the exponent literal is repr-shared with the
+    oracle so both engines parse the identical double."""
+    counts = df.groupBy("lang").agg(
+        F.count(F.lit(1)).cast("bigint").alias("cnt")
+    )
+    w_all = Window.partitionBy()
+    rates = (
+        counts.withColumn("min_cnt", F.min("cnt").over(w_all))
+        .select(
+            "lang",
+            F.round(
+                F.lit(float(_STRAT_MOD))
+                * F.pow(
+                    F.col("min_cnt").cast("double") / F.col("cnt").cast("double"),
+                    F.lit(1.0 - alpha),
+                )
+            ).cast("int").alias("rate_bp"),
+        )
+    )
+    bucket, _ = strat_keep_sql("spark", {}, 0)
+    return (
+        df.join(F.broadcast(rates), "lang")
+        .withColumn("strat_bucket", F.expr(bucket))
+        .filter(F.col("strat_bucket") < F.col("rate_bp"))
+        .select(
+            F.col("doc_id").cast("bigint").alias("doc_id"),
+            "lang",
+            "rate_bp",
+            "strat_bucket",
+        )
+    )
+
+
+def sql_temperature_rebalanced_sample(
+    alpha: float = TEMPERATURE_ALPHA, table: str = "documents"
+) -> str:
+    """DuckDB oracle for :func:`temperature_rebalanced_sample`."""
+    bucket, _ = strat_keep_sql("duckdb", {}, 0, doc_id="d.doc_id")
+    exp_lit = repr(1.0 - alpha)
+    return f"""
+WITH counts AS (
+  SELECT lang, CAST(count(*) AS BIGINT) AS cnt FROM {table} GROUP BY lang
+), rates AS (
+  SELECT lang,
+         CAST(round({float(_STRAT_MOD)!r} * power(
+           CAST(min(cnt) OVER () AS DOUBLE) / CAST(cnt AS DOUBLE), {exp_lit}
+         )) AS INT) AS rate_bp
+  FROM counts
+)
+SELECT CAST(d.doc_id AS BIGINT) AS doc_id, d.lang, r.rate_bp,
+       {bucket} AS strat_bucket
+FROM {table} d JOIN rates r ON d.lang = r.lang
+WHERE ({bucket}) < r.rate_bp
+"""

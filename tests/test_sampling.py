@@ -110,3 +110,49 @@ def test_stratified_sample_empty_overrides(spark):
         f"read_parquet('{SF_DIR}/documents.parquet')"
     )
     assert con.execute(f"SELECT count(*) FROM ({sql})").fetchone()[0] == n_kept
+
+
+def test_temperature_rebalance_keeps_rarest_language_fully(spark):
+    """The rarest language gets rate_bp = 10000 (every doc kept); every
+    other language's rate strictly interpolates toward it."""
+    docs = _docs(spark)
+    totals = {r["lang"]: r["n"] for r in
+              docs.groupBy("lang").agg(F.count("*").alias("n")).collect()}
+    rarest = min(totals, key=lambda k: (totals[k], k))
+    out = sampling.temperature_rebalanced_sample(docs)
+    rates = {r["lang"]: r["rate_bp"] for r in
+             out.select("lang", "rate_bp").distinct().collect()}
+    kept = {r["lang"]: r["n"] for r in
+            out.groupBy("lang").agg(F.count("*").alias("n")).collect()}
+    assert rates[rarest] == 10_000
+    assert kept[rarest] == totals[rarest]
+    for lang, n in totals.items():
+        if lang == rarest or n == totals[rarest]:
+            continue
+        assert rates[lang] < 10_000, (lang, rates[lang])
+        # keep-rate formula: (c_min / c_l)^(1-alpha)
+        import math
+        expected = round(
+            10_000 * (totals[rarest] / n) ** (1 - sampling.TEMPERATURE_ALPHA)
+        )
+        assert abs(rates[lang] - expected) <= 1, (lang, rates[lang], expected)
+
+
+def test_temperature_alpha_one_is_identity_mix(spark):
+    """alpha = 1 means 'keep the natural mix': every rate is 10000 and
+    every row survives the draw."""
+    docs = _docs(spark)
+    out = sampling.temperature_rebalanced_sample(docs, alpha=1.0)
+    assert out.count() == docs.count()
+    assert out.select("rate_bp").distinct().collect()[0][0] == 10_000
+
+
+def test_temperature_rebalance_corpus_side_is_shuffle_free(spark):
+    """The corpus must reach the filter through a broadcast join — the
+    only exchange in the plan may be the tiny per-language count agg and
+    the broadcast itself, never a hash-partition of the documents scan."""
+    plan = (
+        sampling.temperature_rebalanced_sample(_docs(spark))
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "BroadcastHashJoin" in plan or "BroadcastNestedLoopJoin" in plan
