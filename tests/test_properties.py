@@ -203,3 +203,56 @@ def test_robots_multi_ua_header_and_preamble():
     )
     dis, _ = parse_robots_txt(body, user_agent="mybot")
     assert dis == ["/one/", "/two/"]
+
+
+# ---------------------------------------------------------------------------
+# diversity-index quantization: DuckDB twin == pure-Python reference
+# ---------------------------------------------------------------------------
+
+@given(
+    st.lists(
+        st.tuples(st.sampled_from("abcdefgh"), st.integers(1, 500)),
+        min_size=1, max_size=8, unique_by=lambda t: t[0],
+    )
+)
+@settings(max_examples=40, deadline=None)
+def test_diversity_sql_twin_matches_python_reference(lang_counts):
+    """For ANY language count multiset the DuckDB dialect twin reproduces
+    the per-term-quantized Shannon/Simpson exactly as a plain-Python
+    implementation of the documented formula — the cross-engine
+    determinism claim operators/diversity.py makes, fuzzed."""
+    import math
+
+    import duckdb
+
+    from language_diversity_common_crawler_spark.operators import diversity
+
+    def round_half_away(x):
+        # DuckDB round() and Spark round() are HALF_UP (away from zero for
+        # the nonnegative values here); Python's round() is banker's.
+        return math.floor(x + 0.5)
+
+    total = sum(c for _, c in lang_counts)
+    slc_milli = sum(
+        round_half_away(c * math.log2(c) * 1000.0) for _, c in lang_counts
+    )
+    sc2 = sum(c * c for _, c in lang_counts)
+    exp_shannon = round_half_away(
+        (math.log2(total) - (slc_milli / 1000.0) / total) * 1000.0
+    )
+    exp_simpson = round_half_away((1.0 - sc2 / (total * total)) * 1000.0)
+
+    con = duckdb.connect()
+    con.execute("CREATE TABLE docs (source VARCHAR, lang VARCHAR)")
+    con.executemany(
+        "INSERT INTO docs VALUES ('s', ?)",
+        [(lang,) for lang, c in lang_counts for _ in range(c)],
+    )
+    sql = diversity.sql_diversity_metrics(
+        "SELECT source, lang FROM docs", "lang", ["source"]
+    )
+    row = con.execute(sql).fetchone()
+    assert row[1] == len(lang_counts)
+    assert row[2] == total
+    assert row[3] == exp_shannon
+    assert row[4] == exp_simpson
