@@ -412,6 +412,19 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["temperature_rebalanced_sample"] = temperature_rebalanced_sample
 
+    def document_chunks(spark, sf_dir):
+        """Overlapping fixed-width context windows per document —
+        shuffle-free posexplode(sequence) + substring projection. The
+        gate runs a window sized to the synthetic docs (avg ~300 chars)
+        so multi-chunk overlap and short-tail semantics are exercised;
+        production defaults are CHUNK_WIDTH/CHUNK_STRIDE."""
+        tune_session(spark)
+        return text_analysis.document_chunks(
+            _docs_par(spark, sf_dir), width=160, stride=120
+        )
+
+    q["document_chunks"] = document_chunks
+
     def simhash_fingerprints(spark, sf_dir):
         tune_session(spark)
         return text_analysis.simhash60(_docs_par(spark, sf_dir)).select(
@@ -845,6 +858,9 @@ FROM uniq GROUP BY lang
     o["lang_stratified_sample"] = sampling.sql_lang_stratified_sample()
     o["temperature_rebalanced_sample"] = (
         sampling.sql_temperature_rebalanced_sample()
+    )
+    o["document_chunks"] = text_analysis.sql_document_chunks(
+        width=160, stride=120
     )
 
     o["top_customers"] = relational.SQL_TOP_CUSTOMERS

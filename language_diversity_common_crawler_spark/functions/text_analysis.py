@@ -307,3 +307,78 @@ WITH n AS (SELECT {id_col}, lower({norm}) AS __norm FROM {table}),
 h AS (SELECT {id_col}, {hashes} AS __wh FROM n)
 SELECT {id_col}, unnest({sel}) AS fp FROM h
 """
+
+
+# ---------------------------------------------------------------------------
+# fixed-window document chunking (context-window packing prep)
+# ---------------------------------------------------------------------------
+
+# Defaults sized for ~512-token contexts at the corpus's ~4 chars/token,
+# with 25% overlap so no span is split across a chunk boundary unseen.
+CHUNK_WIDTH = 2048
+CHUNK_STRIDE = 1536
+
+
+def document_chunks(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    width: int = CHUNK_WIDTH,
+    stride: int = CHUNK_STRIDE,
+) -> DataFrame:
+    """Split each document into overlapping fixed-width character windows
+    — the preprocessing step that turns variable-length documents into
+    training-context-sized rows (token-exact packing happens after
+    tokenization; character windows with overlap are the standard
+    distributed approximation since the tokenizer runs downstream).
+
+    Plan shape: a single codegen ``Generate`` (posexplode of a
+    ``sequence()`` of window starts) + ``substring`` projection —
+    shuffle-free, linear in input bytes, composes with any upstream
+    operator without an exchange. A document shorter than ``width``
+    yields exactly one chunk; the final chunk of a longer document is
+    the (possibly short) tail, matching the oracle twin exactly.
+    """
+    ln = F.length(F.col(text_col))
+    starts = F.sequence(
+        F.lit(0), F.greatest(ln - F.lit(1), F.lit(0)), F.lit(stride)
+    )
+    return (
+        df.filter(F.col(text_col).isNotNull())
+        .select(
+            F.col(id_col),
+            F.col(text_col),
+            F.posexplode(starts).alias("chunk_idx", "__pos"),
+        )
+        .select(
+            F.col(id_col),
+            F.col("chunk_idx").cast("int").alias("chunk_idx"),
+            F.expr(f"substring({text_col}, __pos + 1, {width})").alias(
+                "chunk_text"
+            ),
+        )
+        .withColumn("chunk_len", F.length("chunk_text").cast("int"))
+    )
+
+
+def sql_document_chunks(
+    table: str = "documents",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    width: int = CHUNK_WIDTH,
+    stride: int = CHUNK_STRIDE,
+) -> str:
+    """DuckDB twin of :func:`document_chunks` (range() excludes its stop,
+    so the bound is greatest(len-1,0)+1 — the same start set Spark's
+    inclusive sequence() generates)."""
+    return f"""
+SELECT d.{id_col},
+       CAST(t.pos // {stride} AS INT) AS chunk_idx,
+       substring(d.{text_col}, CAST(t.pos + 1 AS INT), {width}) AS chunk_text,
+       CAST(length(substring(d.{text_col}, CAST(t.pos + 1 AS INT), {width}))
+            AS INT) AS chunk_len
+FROM {table} d,
+     UNNEST(range(0, greatest(length(d.{text_col}) - 1, 0) + 1, {stride}))
+       AS t(pos)
+WHERE d.{text_col} IS NOT NULL
+"""

@@ -143,3 +143,64 @@ def test_winnow_three_way_parity_on_random_corpus(spark, duck):
     want = {i: _py_winnow(t) for i, t in rows if _py_winnow(t)}
     assert got_spark == want
     assert got_duck == want
+
+
+def test_document_chunks_overlap_and_tail(spark):
+    from language_diversity_common_crawler_spark.functions.text_analysis import (
+        document_chunks,
+    )
+
+    df = spark.createDataFrame(
+        [(1, "abcdefghijklmnop"), (2, "xy"), (3, None)],
+        "doc_id bigint, text string",
+    )
+    rows = sorted(
+        document_chunks(df, width=8, stride=6).collect(),
+        key=lambda r: (r.doc_id, r.chunk_idx),
+    )
+    got = [(r.doc_id, r.chunk_idx, r.chunk_text, r.chunk_len) for r in rows]
+    assert got == [
+        (1, 0, "abcdefgh", 8),
+        (1, 1, "ghijklmn", 8),   # starts at 6: one-char overlap window
+        (1, 2, "mnop", 4),       # short tail kept
+        (2, 0, "xy", 2),         # doc shorter than width: one chunk
+    ]                            # NULL text dropped
+
+
+def test_document_chunks_reconstruct_coverage(spark):
+    """Every character position of every document is covered by at least
+    one chunk (stride <= width guarantees no gaps)."""
+    from pyspark.sql import functions as F
+
+    from language_diversity_common_crawler_spark.functions.text_analysis import (
+        document_chunks,
+    )
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    joined = (
+        document_chunks(docs, width=100, stride=75)
+        .groupBy("doc_id")
+        .agg(
+            F.sum("chunk_len").alias("covered_with_overlap"),
+            F.max(F.col("chunk_idx") * 75 + F.col("chunk_len")).alias("max_end"),
+        )
+        .join(docs.select("doc_id", F.length("text").alias("n")), "doc_id")
+        .collect()
+    )
+    assert joined
+    for r in joined:
+        assert r.max_end == r.n, (r.doc_id, r.max_end, r.n)
+        assert r.covered_with_overlap >= r.n
+
+
+def test_document_chunks_is_shuffle_free(spark):
+    from language_diversity_common_crawler_spark.functions.text_analysis import (
+        document_chunks,
+    )
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    plan = (
+        document_chunks(docs)._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "Exchange" not in plan
+    assert "Generate" in plan
