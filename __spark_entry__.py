@@ -425,6 +425,37 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["document_chunks"] = document_chunks
 
+    def corpus_token_budget(spark, sf_dir):
+        """Per-language token budget — docs, exact BPE-split token total,
+        and share of the corpus in basis points: THE report a multilingual
+        training mix is steered by. One groupBy(lang) with map-side
+        combine, then a window over the |languages|-row aggregate."""
+        tune_session(spark)
+        exprs = text_analysis.token_stats_exprs("text", "spark")
+        per = _docs_par(spark, sf_dir).select(
+            "lang", F.expr(exprs["n_bpe_tokens"]).alias("toks")
+        )
+        agg = per.groupBy("lang").agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.sum("toks").cast("bigint").alias("total_tokens"),
+        )
+        w_all = Window.partitionBy()
+        return (
+            agg.withColumn("grand", F.sum("total_tokens").over(w_all))
+            .select(
+                "lang",
+                "n_docs",
+                "total_tokens",
+                F.round(
+                    F.col("total_tokens").cast("double")
+                    * F.lit(10000.0)
+                    / F.col("grand").cast("double")
+                ).cast("int").alias("share_bp"),
+            )
+        )
+
+    q["corpus_token_budget"] = corpus_token_budget
+
     def simhash_fingerprints(spark, sf_dir):
         tune_session(spark)
         return text_analysis.simhash60(_docs_par(spark, sf_dir)).select(
@@ -862,6 +893,22 @@ FROM uniq GROUP BY lang
     o["document_chunks"] = text_analysis.sql_document_chunks(
         width=160, stride=120
     )
+    duck_tokens = text_analysis.token_stats_exprs("text", "duckdb")[
+        "n_bpe_tokens"
+    ]
+    o["corpus_token_budget"] = f"""
+WITH per AS (
+  SELECT lang, {duck_tokens} AS toks FROM documents
+), agg AS (
+  SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
+         CAST(sum(toks) AS BIGINT) AS total_tokens
+  FROM per GROUP BY lang
+)
+SELECT lang, n_docs, total_tokens,
+       CAST(round(CAST(total_tokens AS DOUBLE) * 10000.0 /
+            CAST(sum(total_tokens) OVER () AS DOUBLE)) AS INT) AS share_bp
+FROM agg
+"""
 
     o["top_customers"] = relational.SQL_TOP_CUSTOMERS
     o["nation_region_rollup"] = relational.SQL_NATION_REGION_ROLLUP
