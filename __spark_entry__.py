@@ -499,6 +499,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["minhash_jaccard_verified"] = minhash_jaccard_verified
 
+    def minhash_dedup_survivors(spark, sf_dir):
+        """Full dedup chain verdict: signatures → LSH → Jaccard-verified
+        pairs → greedy min-id survivor per doc."""
+        tune_session(spark)
+        docs = _docs_par(spark, sf_dir)
+        pairs = dedup.lsh_candidate_pairs(dedup.minhash_signatures(docs))
+        verified = dedup.jaccard_verified_pairs(docs, pairs, min_jaccard_bp=2000)
+        return dedup.minhash_dedup_survivors(docs, verified)
+
+    q["minhash_dedup_survivors"] = minhash_dedup_survivors
+
     def minhash_lsh_pairs_16x8(spark, sf_dir):
         """Production LSH preset (16 hashes / 8 bands): steeper S-curve,
         candidate threshold ~0.35 Jaccard. Same plan shape as the 8/4
@@ -958,6 +969,14 @@ FROM agg
     o["minhash_jaccard_verified"] = dedup.sql_jaccard_verified_pairs(
         dedup.sql_lsh_candidate_pairs(dedup.sql_minhash_signatures("documents")),
         min_jaccard_bp=2000,
+    )
+    o["minhash_dedup_survivors"] = dedup.sql_minhash_dedup_survivors(
+        dedup.sql_jaccard_verified_pairs(
+            dedup.sql_lsh_candidate_pairs(
+                dedup.sql_minhash_signatures("documents")
+            ),
+            min_jaccard_bp=2000,
+        )
     )
     o["simhash_near_dup"] = dedup.sql_simhash_near_dup_pairs(
         f"SELECT doc_id, {text_analysis.simhash60_exprs('text', 'duckdb')} "

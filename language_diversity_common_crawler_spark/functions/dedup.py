@@ -291,6 +291,55 @@ def jaccard_verified_pairs(
     )
 
 
+def minhash_dedup_survivors(
+    docs: DataFrame, verified_pairs: DataFrame, id_col: str = "doc_id"
+) -> DataFrame:
+    """Survivor selection over verified MinHash pairs — one row per doc
+    with a keep/drop verdict, completing the dedup chain (signatures →
+    LSH candidates → Jaccard verification → THIS). Same greedy min-id
+    rule as ``similarity.cosine_dedup``: a doc is dropped when any
+    lower-id doc is a verified near-duplicate of it; ``dup_of`` is the
+    smallest such neighbor (NULL for kept rows). Deterministic and
+    order-independent (min/max aggregates); exact transitive closure
+    would need an iterative join loop. Plan: one groupBy over the tiny
+    verified-pair list, then a hash join back to the corpus on the id."""
+    dup = verified_pairs.groupBy(F.col("b").alias(id_col)).agg(
+        F.min("a").alias("dup_of"),
+        F.max("jaccard_bp").cast("bigint").alias("max_jaccard_bp"),
+        F.count(F.lit(1)).cast("bigint").alias("n_dups"),
+    )
+    return (
+        docs.select(id_col)
+        .join(dup, id_col, "left")
+        .select(
+            id_col,
+            F.col("dup_of").isNull().alias("kept"),
+            "dup_of",
+            "max_jaccard_bp",
+            F.coalesce("n_dups", F.lit(0)).cast("bigint").alias("n_dups"),
+        )
+    )
+
+
+def sql_minhash_dedup_survivors(
+    verified_select: str, table: str = "documents", id_col: str = "doc_id"
+) -> str:
+    """DuckDB twin of :func:`minhash_dedup_survivors`."""
+    return f"""
+WITH verified AS ({verified_select}),
+dup AS (
+  SELECT b AS {id_col}, min(a) AS dup_of,
+         CAST(max(jaccard_bp) AS BIGINT) AS max_jaccard_bp,
+         CAST(count(*) AS BIGINT) AS n_dups
+  FROM verified GROUP BY b
+)
+SELECT d.{id_col}, (dup.dup_of IS NULL) AS kept, dup.dup_of,
+       dup.max_jaccard_bp,
+       CAST(coalesce(dup.n_dups, 0) AS BIGINT) AS n_dups
+FROM {table} d LEFT JOIN dup ON dup.{id_col} = d.{id_col}
+"""
+
+
 def sql_jaccard_verified_pairs(
     pairs_select: str,
     min_jaccard_bp: int = 5000,
