@@ -103,3 +103,37 @@ def test_none_control_rounds_are_skipped_in_normalization(
     out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
     assert out["scaling_efficiency"]["frontier"] == 0.75  # med(1.0, 0.5)
     assert out["scaling_efficiency_vs_control"]["frontier"] == 0.5  # 0.5/1.0
+
+
+def test_plan_audit_summarize_counts():
+    """tools/plan_audit.py's plan parser: node counting + pushed-filter
+    detection over a representative plan fragment."""
+    import importlib.util
+    import os
+
+    spec = importlib.util.spec_from_file_location(
+        "plan_audit",
+        os.path.join(os.path.dirname(__file__), "..", "tools", "plan_audit.py"),
+    )
+    pa = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(pa)
+
+    plan = """
+AdaptiveSparkPlan
++- Exchange hashpartitioning(lang#1, 32)
+   +- *(2) HashAggregate
+      +- Generate posexplode(starts#3)
+         +- ArrowEvalPython [_decode_batch(html#0)], [pythonUDF0#9]
+            +- BroadcastHashJoin [id#4], [id#5]
+               +- Exchange SinglePartition
+                  +- Scan parquet PushedFilters: [IsNotNull(doc_id)]
+"""
+    r = pa.summarize(plan)
+    assert r["exchanges"] == 1
+    assert r["single_part_exchanges"] == 1
+    assert r["arrow_udfs"] == 1
+    assert r["bcast_joins"] == 1
+    assert r["generates"] == 1
+    assert r["codegen"] == 1
+    assert r["pushed_filters"] is True
+    assert pa.summarize("Scan parquet PushedFilters: []")["pushed_filters"] is False
