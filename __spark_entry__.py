@@ -456,6 +456,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["corpus_token_budget"] = corpus_token_budget
 
+    def lang_length_percentiles(spark, sf_dir):
+        """Exact per-language length-distribution report (p25/50/75/95);
+        approx_percentile is the documented drop-in at full corpus scale."""
+        tune_session(spark)
+        return stats.length_percentiles(_docs(spark, sf_dir))
+
+    q["lang_length_percentiles"] = lang_length_percentiles
+
     def simhash_fingerprints(spark, sf_dir):
         tune_session(spark)
         return text_analysis.simhash60(_docs_par(spark, sf_dir)).select(
@@ -970,6 +978,7 @@ FROM agg
         dedup.sql_lsh_candidate_pairs(dedup.sql_minhash_signatures("documents")),
         min_jaccard_bp=2000,
     )
+    o["lang_length_percentiles"] = stats.sql_length_percentiles()
     o["minhash_dedup_survivors"] = dedup.sql_minhash_dedup_survivors(
         dedup.sql_jaccard_verified_pairs(
             dedup.sql_lsh_candidate_pairs(

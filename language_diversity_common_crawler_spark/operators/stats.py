@@ -146,3 +146,43 @@ def sql_unknown_stats(preds_select: str) -> str:
         f"c AS (SELECT {base} FROM preds)\n"
         f"SELECT *,\n       {pct}\nFROM c"
     )
+
+
+def length_percentiles(
+    df: DataFrame, value_col: str = "n_chars", group_col: str = "lang",
+    probs: tuple[float, ...] = (0.25, 0.5, 0.75, 0.95),
+) -> DataFrame:
+    """Per-group EXACT discrete percentiles of ``value_col`` — the
+    length-distribution report a corpus-quality pass reads per language.
+
+    ``percentile_disc`` picks an actual element (first value whose
+    cumulative fraction >= p), which Spark and DuckDB implement
+    identically — so the output is integer-exact for the oracle gate.
+    Exact percentiles sort each group: correct up to ~10^8 rows/group; at
+    full corpus scale swap in ``approx_percentile`` (same call shape, no
+    oracle) — the one-line substitution is the documented scale dial."""
+    aggs = [F.count(F.lit(1)).cast("bigint").alias("n_docs")]
+    for p in probs:
+        aggs.append(
+            F.expr(
+                f"percentile_disc({p!r}) WITHIN GROUP (ORDER BY {value_col})"
+            ).cast("bigint").alias(f"p{int(p * 100)}")
+        )
+    return df.groupBy(group_col).agg(*aggs)
+
+
+def sql_length_percentiles(
+    table: str = "documents", value_col: str = "n_chars",
+    group_col: str = "lang",
+    probs: tuple[float, ...] = (0.25, 0.5, 0.75, 0.95),
+) -> str:
+    """DuckDB twin of :func:`length_percentiles` (quantile_disc is
+    DuckDB's spelling of percentile_disc)."""
+    cols = ["CAST(count(*) AS BIGINT) AS n_docs"]
+    for p in probs:
+        cols.append(
+            f"CAST(quantile_disc({value_col}, {p!r}) AS BIGINT)"
+            f" AS p{int(p * 100)}"
+        )
+    sel = ",\n       ".join(cols)
+    return f"SELECT {group_col},\n       {sel}\nFROM {table} GROUP BY {group_col}"
