@@ -157,6 +157,45 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["lang_diversity_index"] = lang_diversity_index
 
+    def model_agreement(spark, sf_dir):
+        """Pairwise model-agreement matrix — the symmetric completion of
+        the reference's accuracy elif-chain (stats/accuracy.py compares
+        models only through its quirked wrong/uniq branches): one row per
+        model pair with agree count and basis points. Single full-scan
+        aggregation, map-side combined, 3-row result."""
+        tune_session(spark)
+        preds = _docs_preds(spark, sf_dir)
+        pairs = [
+            ("detect_fast", "langid", "df_lang", "li_lang"),
+            ("detect_fast", "cld2", "df_lang", "cld_lang"),
+            ("langid", "cld2", "li_lang", "cld_lang"),
+        ]
+        one = preds.agg(
+            F.count(F.lit(1)).cast("bigint").alias("size"),
+            *[
+                F.sum(
+                    F.when(F.col(ca) == F.col(cb), F.lit(1)).otherwise(F.lit(0))
+                ).cast("bigint").alias(f"agree_{i}")
+                for i, (_, _, ca, cb) in enumerate(pairs)
+            ],
+        )
+        rows = F.array(*[
+            F.struct(
+                F.lit(ma).alias("model_a"),
+                F.lit(mb).alias("model_b"),
+                F.col(f"agree_{i}").alias("n_agree"),
+                F.col("size").alias("size"),
+                F.round(
+                    F.col(f"agree_{i}").cast("double")
+                    * F.lit(10000.0) / F.col("size").cast("double")
+                ).cast("int").alias("agree_bp"),
+            )
+            for i, (ma, mb, _, _) in enumerate(pairs)
+        ])
+        return one.select(F.explode(rows).alias("r")).select("r.*")
+
+    q["model_agreement"] = model_agreement
+
     def source_lang_diversity(spark, sf_dir):
         tune_session(spark)
         return diversity.diversity_metrics(
@@ -813,6 +852,29 @@ def oracle_sql() -> dict[str, str]:
     o["lang_diversity_index"] = diversity.sql_diversity_metrics(
         long_form_sql, "lang", ["model"]
     )
+    agreement_rows = " UNION ALL ".join(
+        f"SELECT '{ma}' AS model_a, '{mb}' AS model_b, agree_{i} AS n_agree,"
+        f" size, CAST(round(CAST(agree_{i} AS DOUBLE) * 10000.0 /"
+        f" CAST(size AS DOUBLE)) AS INT) AS agree_bp FROM c"
+        for i, (ma, mb) in enumerate(
+            [("detect_fast", "langid"), ("detect_fast", "cld2"),
+             ("langid", "cld2")]
+        )
+    )
+    o["model_agreement"] = f"""
+WITH preds AS ({_PREDS_SQL}),
+c AS (
+  SELECT CAST(count(*) AS BIGINT) AS size,
+         CAST(sum(CASE WHEN df_lang = li_lang THEN 1 ELSE 0 END) AS BIGINT)
+           AS agree_0,
+         CAST(sum(CASE WHEN df_lang = cld_lang THEN 1 ELSE 0 END) AS BIGINT)
+           AS agree_1,
+         CAST(sum(CASE WHEN li_lang = cld_lang THEN 1 ELSE 0 END) AS BIGINT)
+           AS agree_2
+  FROM preds
+)
+{agreement_rows}
+"""
     o["source_lang_diversity"] = diversity.sql_diversity_metrics(
         "SELECT source, lang FROM documents", "lang", ["source"]
     )
