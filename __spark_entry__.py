@@ -96,6 +96,15 @@ def _seeds_df(spark: SparkSession, sf_dir: str) -> DataFrame:
 _SEEDS_SQL = urlgen.sql_seed_table("duckdb", "orders")
 
 
+def _model_pairs() -> list[tuple[str, str]]:
+    """All unordered lang-ID model pairs, derived from the single source
+    of truth (langspec.MODELS) so the Spark side and the oracle can never
+    disagree on what constitutes a pair."""
+    from itertools import combinations
+
+    return list(combinations(langspec.MODELS, 2))
+
+
 # ---------------------------------------------------------------------------
 # entry
 # ---------------------------------------------------------------------------
@@ -166,9 +175,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         tune_session(spark)
         preds = _docs_preds(spark, sf_dir)
         pairs = [
-            ("detect_fast", "langid", "df_lang", "li_lang"),
-            ("detect_fast", "cld2", "df_lang", "cld_lang"),
-            ("langid", "cld2", "li_lang", "cld_lang"),
+            (ma, mb,
+             f"{langspec.MODEL_PREFIX[ma]}_lang",
+             f"{langspec.MODEL_PREFIX[mb]}_lang")
+            for ma, mb in _model_pairs()
         ]
         one = preds.agg(
             F.count(F.lit(1)).cast("bigint").alias("size"),
@@ -852,25 +862,23 @@ def oracle_sql() -> dict[str, str]:
     o["lang_diversity_index"] = diversity.sql_diversity_metrics(
         long_form_sql, "lang", ["model"]
     )
+    agreement_sums = ",\n         ".join(
+        f"CAST(sum(CASE WHEN {langspec.MODEL_PREFIX[ma]}_lang ="
+        f" {langspec.MODEL_PREFIX[mb]}_lang THEN 1 ELSE 0 END) AS BIGINT)"
+        f" AS agree_{i}"
+        for i, (ma, mb) in enumerate(_model_pairs())
+    )
     agreement_rows = " UNION ALL ".join(
         f"SELECT '{ma}' AS model_a, '{mb}' AS model_b, agree_{i} AS n_agree,"
         f" size, CAST(round(CAST(agree_{i} AS DOUBLE) * 10000.0 /"
         f" CAST(size AS DOUBLE)) AS INT) AS agree_bp FROM c"
-        for i, (ma, mb) in enumerate(
-            [("detect_fast", "langid"), ("detect_fast", "cld2"),
-             ("langid", "cld2")]
-        )
+        for i, (ma, mb) in enumerate(_model_pairs())
     )
     o["model_agreement"] = f"""
 WITH preds AS ({_PREDS_SQL}),
 c AS (
   SELECT CAST(count(*) AS BIGINT) AS size,
-         CAST(sum(CASE WHEN df_lang = li_lang THEN 1 ELSE 0 END) AS BIGINT)
-           AS agree_0,
-         CAST(sum(CASE WHEN df_lang = cld_lang THEN 1 ELSE 0 END) AS BIGINT)
-           AS agree_1,
-         CAST(sum(CASE WHEN li_lang = cld_lang THEN 1 ELSE 0 END) AS BIGINT)
-           AS agree_2
+         {agreement_sums}
   FROM preds
 )
 {agreement_rows}

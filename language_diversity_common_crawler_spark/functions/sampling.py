@@ -209,9 +209,15 @@ def temperature_rebalanced_sample(
     aggregated relation), broadcast-joined back, and applied with the same
     salted-md5 Bernoulli draw as :func:`lang_stratified_sample` — so the
     corpus itself never shuffles: scan → broadcast-hash-join → codegen
-    filter. Reproducible row-for-row across engines, runs and cluster
-    sizes (no ``rand()``); the exponent literal is repr-shared with the
-    oracle so both engines parse the identical double."""
+    filter. Reproducible row-for-row across runs, partitionings and
+    cluster sizes within an engine (no ``rand()``; rates derive from
+    exact integer counts through deterministic double ops). Cross-engine
+    the exponent literal is repr-shared so both parse the identical
+    double, but ``pow`` itself is Java Math.pow vs libm — a last-ulp
+    difference flips ``rate_bp`` only when 10000*(c_min/c_l)^(1-alpha)
+    sits within ~1e-11 of a .5 boundary; the gate data is fixed, so a
+    local oracle pass is a driver pass, and at corpus scale (no oracle)
+    only the within-engine determinism matters."""
     counts = df.groupBy("lang").agg(
         F.count(F.lit(1)).cast("bigint").alias("cnt")
     )

@@ -338,11 +338,24 @@ def document_chunks(
     operator without an exchange. A document shorter than ``width``
     yields exactly one chunk; the final chunk of a longer document is
     the (possibly short) tail, matching the oracle twin exactly.
+
+    The start bound is the smallest stride multiple >= len - width
+    (integer arithmetic, shared with the twin): generation stops as soon
+    as a window reaches the end of the document, so no chunk is ever
+    wholly contained in its predecessor — a naive 0..len-1 bound emits a
+    redundant fully-duplicated tail chunk for every doc whose length
+    falls in (k*stride, k*stride + (width - stride)], silently
+    duplicating training text.
     """
     ln = F.length(F.col(text_col))
-    starts = F.sequence(
-        F.lit(0), F.greatest(ln - F.lit(1), F.lit(0)), F.lit(stride)
+    bound = (
+        F.floor(
+            (F.greatest(ln - F.lit(width), F.lit(0)) + F.lit(stride - 1))
+            / F.lit(stride)
+        ).cast("bigint")
+        * F.lit(stride)
     )
+    starts = F.sequence(F.lit(0).cast("bigint"), bound, F.lit(stride))
     return (
         df.filter(F.col(text_col).isNotNull())
         .select(
@@ -369,8 +382,12 @@ def sql_document_chunks(
     stride: int = CHUNK_STRIDE,
 ) -> str:
     """DuckDB twin of :func:`document_chunks` (range() excludes its stop,
-    so the bound is greatest(len-1,0)+1 — the same start set Spark's
-    inclusive sequence() generates)."""
+    so the bound is the smallest stride multiple >= len - width, plus 1 —
+    the same start set Spark's inclusive sequence() generates)."""
+    bound = (
+        f"((greatest(length(d.{text_col}) - {width}, 0) + {stride - 1})"
+        f" // {stride}) * {stride}"
+    )
     return f"""
 SELECT d.{id_col},
        CAST(t.pos // {stride} AS INT) AS chunk_idx,
@@ -378,7 +395,6 @@ SELECT d.{id_col},
        CAST(length(substring(d.{text_col}, CAST(t.pos + 1 AS INT), {width}))
             AS INT) AS chunk_len
 FROM {table} d,
-     UNNEST(range(0, greatest(length(d.{text_col}) - 1, 0) + 1, {stride}))
-       AS t(pos)
+     UNNEST(range(0, ({bound}) + 1, {stride})) AS t(pos)
 WHERE d.{text_col} IS NOT NULL
 """

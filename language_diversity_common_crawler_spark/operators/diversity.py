@@ -23,17 +23,24 @@ throughout; the plan scales to arbitrary input size because nothing after
 the first partial aggregation is proportional to the row count.
 
 Oracle-determinism design: a float sum over per-language terms is
-order-nondeterministic across Spark partition schedules (last-ulp drift)
-and engine log2 implementations differ in the last ulp, so raw-double
-entropy could flake the value-hash gate. Instead each term
-cnt*log2(cnt) is quantized to an exact BIGINT at a 1e-3 grid *before*
-summation — integer addition is order-independent and both dialects round
-the same scalar the same way — and the final entropy is reconstructed from
-the exact integer sum (shared quantization error < n_langs * 5e-4 / total
-bits, i.e. far below the reported milli resolution for any non-trivial
-group). sum(cnt^2) is kept exact the same way (term-wise products summed
-as DECIMAL(38,0) / HUGEINT so ~1e10-doc groups cannot overflow the
-accumulator).
+order-nondeterministic across Spark partition schedules (last-ulp drift),
+so raw-double entropy could flake the value-hash gate between RUNS of the
+same engine. Instead each term cnt*log2(cnt) is quantized to an exact
+BIGINT at a 1e-3 grid *before* summation — integer addition is
+order-independent, so within an engine the result is bit-stable at ANY
+scale and partitioning. Cross-ENGINE (Spark vs DuckDB) parity
+additionally requires the two log2 implementations to round each term to
+the same grid cell: they can differ in the last ulp, which flips a term
+only when it lands within ~ulp(term) of a .5 grid boundary — negligible
+at gate-scale counts (<=1e5: flip probability ~1e-9 per term, and the
+gate data is fixed so a local pass is a driver pass), but NOT guaranteed
+at 1e10-count groups, where no DuckDB oracle runs anyway; there the
+within-engine determinism is the property that matters. The final
+entropy is reconstructed from the exact integer sum (shared quantization
+error < n_langs * 5e-4 / total bits, far below the reported milli
+resolution for any non-trivial group). sum(cnt^2) is kept exact the same
+way (term-wise products summed as DECIMAL(38,0) / HUGEINT so ~1e10-doc
+groups cannot overflow the accumulator).
 """
 
 from __future__ import annotations

@@ -130,6 +130,10 @@ AdaptiveSparkPlan
 """
     r = pa.summarize(plan)
     assert r["exchanges"] == 1
+    assert r["range_exchanges"] == 0
+    assert pa.summarize("Exchange rangepartitioning(c ASC, 32)")[
+        "range_exchanges"] == 1
+    assert pa.summarize("BatchEvalPython [f(x)]")["arrow_udfs"] == 1
     assert r["single_part_exchanges"] == 1
     assert r["arrow_udfs"] == 1
     assert r["bcast_joins"] == 1

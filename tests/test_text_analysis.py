@@ -151,7 +151,7 @@ def test_document_chunks_overlap_and_tail(spark):
     )
 
     df = spark.createDataFrame(
-        [(1, "abcdefghijklmnop"), (2, "xy"), (3, None)],
+        [(1, "abcdefghijklmnop"), (2, "xy"), (3, None), (4, "abcdefgh")],
         "doc_id bigint, text string",
     )
     rows = sorted(
@@ -164,7 +164,37 @@ def test_document_chunks_overlap_and_tail(spark):
         (1, 1, "ghijklmn", 8),   # starts at 6: one-char overlap window
         (1, 2, "mnop", 4),       # short tail kept
         (2, 0, "xy", 2),         # doc shorter than width: one chunk
+        (4, 0, "abcdefgh", 8),   # len == width: exactly one chunk — a
+                                 # naive 0..len-1 start bound would emit a
+                                 # second chunk fully contained in the first
     ]                            # NULL text dropped
+
+
+def test_document_chunks_no_contained_tail(spark):
+    """No chunk may be wholly contained in its predecessor: every chunk
+    after the first must extend past the previous chunk's end (the
+    redundant-tail regression: doc lengths in (k*stride,
+    k*stride + width - stride] used to emit a fully-duplicated tail)."""
+    from language_diversity_common_crawler_spark.functions.text_analysis import (
+        document_chunks,
+    )
+
+    # lengths sweeping all residues around the stride period
+    docs = [(i, "x" * n) for i, n in enumerate(range(1, 40))]
+    df = spark.createDataFrame(docs, "doc_id bigint, text string")
+    rows = document_chunks(df, width=8, stride=6).collect()
+    by_doc = {}
+    for r in rows:
+        by_doc.setdefault(r.doc_id, {})[r.chunk_idx] = r
+    for doc_id, chunks in by_doc.items():
+        n = len(docs[doc_id][1])
+        ends = [
+            min(idx * 6 + chunks[idx].chunk_len, n)
+            for idx in sorted(chunks)
+        ]
+        assert ends[-1] == n, (doc_id, ends, n)  # full coverage
+        for prev, cur in zip(ends, ends[1:]):
+            assert cur > prev, (doc_id, ends)    # each chunk adds content
 
 
 def test_document_chunks_reconstruct_coverage(spark):
