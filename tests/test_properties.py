@@ -256,3 +256,37 @@ def test_diversity_sql_twin_matches_python_reference(lang_counts):
     assert row[2] == total
     assert row[3] == exp_shannon
     assert row[4] == exp_simpson
+
+
+@given(
+    st.integers(0, 200),                      # doc length
+    st.tuples(st.integers(1, 50), st.integers(1, 50)).filter(
+        lambda t: t[1] <= t[0]                # stride <= width (no gaps)
+    ),
+)
+@settings(max_examples=60, deadline=None)
+def test_document_chunks_start_set_properties(n, ws):
+    """For ANY (length, width, stride >= ... <= width): the DuckDB twin's
+    chunk set covers every character, each chunk after the first extends
+    past its predecessor's end (no wholly-contained duplicates), and
+    starts are exactly 0, stride, 2*stride, ..."""
+    import duckdb
+
+    from language_diversity_common_crawler_spark.functions.text_analysis import (
+        sql_document_chunks,
+    )
+
+    width, stride = ws
+    con = duckdb.connect()
+    con.execute("CREATE TABLE docs (doc_id BIGINT, text VARCHAR)")
+    con.execute("INSERT INTO docs VALUES (1, ?)", [("x" * n) if n else ""])
+    rows = con.execute(
+        sql_document_chunks("docs", width=width, stride=stride)
+    ).fetchall()
+    rows.sort(key=lambda r: r[1])
+    # one chunk minimum, contiguous indices
+    assert [r[1] for r in rows] == list(range(len(rows)))
+    ends = [min(r[1] * stride + r[3], max(n, 0)) for r in rows]
+    assert ends[-1] == n or (n == 0 and ends[-1] == 0)   # full coverage
+    for prev, cur in zip(ends, ends[1:]):
+        assert cur > prev, (n, width, stride, ends)       # no contained chunk
