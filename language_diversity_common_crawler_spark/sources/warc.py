@@ -60,7 +60,7 @@ WARC_PAGES_SCHEMA = (
     "segment string"
 )
 
-_SEG_RE = re.compile(r"-(\d{5})\.warc(\.gz)?$")
+_SEG_RE = re.compile(r"-(\d{5})\.warc(\.wet)?(\.gz)?$")
 
 
 # ---------------------------------------------------------------------------
@@ -236,7 +236,7 @@ def segment_of(path: str) -> str:
     if m:
         return m.group(1)
     base = os.path.basename(path)
-    return re.sub(r"\.warc(\.gz)?$", "", base)
+    return re.sub(r"\.warc(\.wet)?(\.gz)?$", "", base)
 
 
 def _file_parse_fn(record_types, use_fastwarc: bool):
@@ -287,6 +287,30 @@ def warc_pages(spark, path, record_types: tuple[str, ...] = ("response",)):
     raw = spark.read.format("binaryFile").load(path).select("path", "content")
     return raw.mapInPandas(
         _file_parse_fn(record_types, _have_fastwarc()), WARC_PAGES_SCHEMA
+    )
+
+
+def wet_text(spark, path):
+    """``.warc.wet.gz`` (Common Crawl WET) files → text DataFrame
+    (url, warc_ts, text, warc_record_id, segment).
+
+    The symmetric input path to ``sinks/wet.py``'s export: users who
+    start from CC's published WET shards skip html decode/boilerplate
+    entirely and feed ``text`` straight into the lang-ID / dedup /
+    quality operators. Same binaryFile + mapInPandas parser as
+    :func:`warc_pages`, filtered to ``conversion`` records; WET payloads
+    are UTF-8 by spec, decoded via make_valid_utf8(cast(...)) — U+FFFD
+    replacement for malformed bytes, because ANSI-mode ``decode`` throws
+    and one mojibake record must not kill a task."""
+    from pyspark.sql import functions as F
+
+    pages = warc_pages(spark, path, record_types=("conversion",))
+    return pages.select(
+        "url",
+        "warc_ts",
+        F.expr("make_valid_utf8(cast(html as string))").alias("text"),
+        "warc_record_id",
+        "segment",
     )
 
 

@@ -113,3 +113,32 @@ def test_wet_shards_are_per_record_gzip_members(tmp_path):
     first = d.decompress(data)
     assert len(list(warc.iter_warc_records(first))) == 1
     assert d.unused_data[:3] == b"\x1f\x8b\x08"
+
+
+def test_wet_text_reader_roundtrip(spark, tmp_path):
+    """The symmetric input path: WET shards written by the sink read back
+    as a text table through sources.warc.wet_text, byte-identical text
+    (incl. a malformed-utf8 shard surviving as U+FFFD, not a task kill)."""
+    from language_diversity_common_crawler_spark.sinks import wet as wsink
+
+    rows = [
+        ("https://h.ex/1", TS, "première page"),
+        ("https://h.ex/2", TS, "second\npage"),
+    ]
+    path = str(tmp_path / "CC-MAIN-xxxx-00007.warc.wet.gz")
+    wsink.write_wet_gz(path, rows)
+    got = {
+        r.url: (r.text, r.segment)
+        for r in warc.wet_text(spark, path).collect()
+    }
+    assert got == {u: (t, "00007") for u, _, t in rows}
+
+    # malformed payload: hand-build a conversion record with raw bad bytes
+    bad = wsink.wet_record_bytes("https://h.ex/bad", TS, "A")
+    bad = bad.replace(b"\r\n\r\nA\r\n\r\n", b"\r\n\r\n\xff\r\n\r\n")
+    import gzip as _gz
+
+    bpath = str(tmp_path / "CC-MAIN-xxxx-00008.warc.wet.gz")
+    open(bpath, "wb").write(_gz.compress(bad, mtime=0))
+    out = warc.wet_text(spark, bpath).collect()
+    assert len(out) == 1 and out[0].text == "�"
