@@ -781,8 +781,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["frontier_budget_schedule"] = frontier_budget_schedule
 
-    def frontier_link_extract(spark, sf_dir):
-        tune_session(spark)
+    def _links_df(spark, sf_dir):
+        """Shared synthetic outlink set (deterministic html over documents)
+        — feeds frontier_link_extract and the host-graph queries."""
         from language_diversity_common_crawler_spark.frontier import links
 
         d = _docs(spark, sf_dir)
@@ -806,7 +807,31 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
         return links.extract_links(pages)
 
+    def frontier_link_extract(spark, sf_dir):
+        tune_session(spark)
+        return _links_df(spark, sf_dir)
+
     q["frontier_link_extract"] = frontier_link_extract
+
+    def host_graph_degrees(spark, sf_dir):
+        """Host-level in/out degrees over the extracted link graph."""
+        tune_session(spark)
+        from language_diversity_common_crawler_spark.frontier import graph
+
+        return graph.host_degrees(graph.host_edges(_links_df(spark, sf_dir)))
+
+    q["host_graph_degrees"] = host_graph_degrees
+
+    def host_pagerank(spark, sf_dir):
+        """Damped PageRank-lite over the host graph (exact micro-unit
+        integers, K unrolled iterations) — the authority signal the
+        politeness scheduler's priority column plugs in."""
+        tune_session(spark)
+        from language_diversity_common_crawler_spark.frontier import graph
+
+        return graph.host_pagerank(graph.host_edges(_links_df(spark, sf_dir)))
+
+    q["host_pagerank"] = host_pagerank
 
     def frontier_robots_filter(spark, sf_dir):
         tune_session(spark)
@@ -1175,6 +1200,15 @@ FROM documents
     o["frontier_link_extract"] = _links.sql_extract_links(
         f"({_PAGES_HTML_SQL}) AS pages_t"
     )
+    from language_diversity_common_crawler_spark.frontier import (
+        graph as _graph,
+    )
+
+    _EDGES_SQL = _graph.sql_host_edges(
+        _links.sql_extract_links(f"({_PAGES_HTML_SQL}) AS pages_t")
+    )
+    o["host_graph_degrees"] = _graph.sql_host_degrees(_EDGES_SQL)
+    o["host_pagerank"] = _graph.sql_host_pagerank(_EDGES_SQL)
 
     o["frontier_budget_schedule"] = f"""
 WITH seeds AS ({_SEEDS_SQL}),

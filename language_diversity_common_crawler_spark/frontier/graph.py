@@ -1,0 +1,206 @@
+"""Host-level link graph: degrees + deterministic PageRank-lite.
+
+The reference replays fixed segments and never ranks hosts; a real
+frontier does — the politeness scheduler's priority column
+(scheduler.politeness_schedule) is exactly where a host-authority score
+plugs in. This module turns the outlink pairs links.extract_links emits
+into a host graph and scores it:
+
+- :func:`host_edges`       — distinct (src_host, dst_host) pairs
+- :func:`host_degrees`     — per-host in/out degree, ONE hash aggregation
+                             (explode to (host, out, in) increments)
+- :func:`host_pagerank`    — K unrolled power-iteration steps of damped
+                             PageRank over the host graph
+
+Scale shape: everything aggregates to host cardinality immediately (the
+web has ~1e8 hosts vs ~1e10 pages), so every join/agg here shuffles the
+HOST table, not the corpus. The PageRank loop unrolls K plan stages; at
+real scale checkpoint/persist each iteration's scores (the standard
+lineage cut for iterative DataFrame jobs) — at gate scale the unrolled
+plan is fine and keeps the whole computation a single declarative query
+the DuckDB oracle can mirror.
+
+Oracle-determinism: scores live in exact BIGINT micro-units (1e6 = 1.0).
+Each edge contribution is round(score/out_deg) — one IEEE-correctly-
+rounded double division of integer-valued doubles, bit-identical across
+engines — and incoming contributions are summed as integers
+(order-independent). The damping update round((1-d)/N * 1e6 + d * inc)
+is again a handful of exact-input double ops. No transcendental appears
+anywhere, so unlike the entropy/pow operators this one is bit-exact
+cross-engine at ANY scale. Dangling-mass redistribution is intentionally
+omitted (scores are a crawl-priority signal, not a normalized
+distribution) and documented here so the simplification is explicit.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from . import urlgen
+
+PAGERANK_DAMPING = 0.85
+PAGERANK_ITERS = 3
+_MICRO = 1_000_000.0
+
+
+def host_edges(links: DataFrame) -> DataFrame:
+    """links.extract_links output (src_url, link_url, host) → distinct
+    (src_host, dst_host) pairs, self-loops dropped."""
+    src_host = F.expr(urlgen.host_expr("src_url", "spark"))
+    return (
+        links.select(
+            src_host.alias("src_host"), F.col("host").alias("dst_host")
+        )
+        .filter(F.col("src_host") != F.col("dst_host"))
+        .distinct()
+    )
+
+
+def sql_host_edges(links_select: str) -> str:
+    src_host = urlgen.host_expr("src_url", "duckdb")
+    return (
+        f"SELECT DISTINCT {src_host} AS src_host, host AS dst_host\n"
+        f"FROM ({links_select}) links_t\n"
+        f"WHERE {src_host} <> host"
+    )
+
+
+def host_degrees(edges: DataFrame) -> DataFrame:
+    """(host, out_degree, in_degree) in one hash aggregation."""
+    incr = F.array(
+        F.struct(
+            F.col("src_host").alias("host"),
+            F.lit(1).alias("o"), F.lit(0).alias("i"),
+        ),
+        F.struct(
+            F.col("dst_host").alias("host"),
+            F.lit(0).alias("o"), F.lit(1).alias("i"),
+        ),
+    )
+    return (
+        edges.select(F.explode(incr).alias("x"))
+        .groupBy(F.col("x.host").alias("host"))
+        .agg(
+            F.sum("x.o").cast("bigint").alias("out_degree"),
+            F.sum("x.i").cast("bigint").alias("in_degree"),
+        )
+    )
+
+
+def sql_host_degrees(edges_select: str) -> str:
+    return f"""
+WITH edges AS ({edges_select}),
+incr AS (
+  SELECT src_host AS host, 1 AS o, 0 AS i FROM edges
+  UNION ALL
+  SELECT dst_host AS host, 0 AS o, 1 AS i FROM edges
+)
+SELECT host, CAST(sum(o) AS BIGINT) AS out_degree,
+       CAST(sum(i) AS BIGINT) AS in_degree
+FROM incr GROUP BY host
+"""
+
+
+def host_pagerank(
+    edges: DataFrame,
+    iters: int = PAGERANK_ITERS,
+    damping: float = PAGERANK_DAMPING,
+) -> DataFrame:
+    """(host, rank_micro) after ``iters`` damped power-iteration steps.
+
+    rank_micro is an exact BIGINT in micro-units; the uniform start is
+    round(1e6 / N). Hosts with no outlinks contribute nothing (see module
+    docstring on dangling mass)."""
+    nodes = (
+        edges.select(F.col("src_host").alias("host"))
+        .union(edges.select(F.col("dst_host").alias("host")))
+        .distinct()
+    )
+    outdeg = edges.groupBy(F.col("src_host").alias("host")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("out_deg")
+    )
+    n_nodes = F.lit(nodes.count())  # tiny count job; N is a plan literal
+    scores = nodes.select(
+        "host",
+        F.round(F.lit(_MICRO) / n_nodes.cast("double"))
+        .cast("bigint").alias("rank_micro"),
+    )
+    base = F.round(
+        F.lit(1.0 - damping) * F.lit(_MICRO) / n_nodes.cast("double")
+    )
+    for _ in range(iters):
+        contrib = (
+            edges.join(scores, edges.src_host == scores.host)
+            .join(outdeg, edges.src_host == outdeg.host)
+            .select(
+                F.col("dst_host"),
+                F.round(
+                    F.col("rank_micro").cast("double")
+                    / F.col("out_deg").cast("double")
+                ).cast("bigint").alias("c"),
+            )
+        )
+        inc = contrib.groupBy(F.col("dst_host").alias("host")).agg(
+            F.sum("c").cast("bigint").alias("inc")
+        )
+        scores = (
+            nodes.join(inc, "host", "left")
+            .select(
+                "host",
+                F.round(
+                    base
+                    + F.lit(damping)
+                    * F.coalesce(F.col("inc"), F.lit(0)).cast("double")
+                ).cast("bigint").alias("rank_micro"),
+            )
+        )
+    return scores
+
+
+def sql_host_pagerank(
+    edges_select: str,
+    iters: int = PAGERANK_ITERS,
+    damping: float = PAGERANK_DAMPING,
+) -> str:
+    """DuckDB twin: the identical K unrolled steps (N inlined the same
+    way — a scalar subquery — so both engines compute the same base)."""
+    d = repr(damping)
+    one_minus_d = repr(1.0 - damping)
+    ctes = [
+        f"edges AS ({edges_select})",
+        "nodes AS (SELECT src_host AS host FROM edges"
+        " UNION SELECT dst_host FROM edges)",
+        "outdeg AS (SELECT src_host AS host,"
+        " CAST(count(*) AS BIGINT) AS out_deg FROM edges GROUP BY src_host)",
+        "nn AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM nodes)",
+        f"s0 AS (SELECT host, CAST(round({_MICRO!r} / (SELECT n FROM nn))"
+        f" AS BIGINT) AS rank_micro FROM nodes)",
+    ]
+    prev = "s0"
+    for i in range(1, iters + 1):
+        ctes.append(
+            f"c{i} AS (SELECT e.dst_host AS host,"
+            f" CAST(round(CAST(s.rank_micro AS DOUBLE) /"
+            f" CAST(o.out_deg AS DOUBLE)) AS BIGINT) AS c"
+            f" FROM edges e"
+            f" JOIN {prev} s ON s.host = e.src_host"
+            f" JOIN outdeg o ON o.host = e.src_host)"
+        )
+        ctes.append(
+            f"i{i} AS (SELECT host, CAST(sum(c) AS BIGINT) AS inc"
+            f" FROM c{i} GROUP BY host)"
+        )
+        ctes.append(
+            f"s{i} AS (SELECT n.host,"
+            f" CAST(round(round({one_minus_d} * {_MICRO!r} /"
+            f" (SELECT n FROM nn))"
+            f" + {d} * CAST(coalesce(i.inc, 0) AS DOUBLE)) AS BIGINT)"
+            f" AS rank_micro"
+            f" FROM nodes n LEFT JOIN i{i} i ON i.host = n.host)"
+        )
+        prev = f"s{i}"
+    return (
+        "WITH " + ",\n".join(ctes)
+        + f"\nSELECT host, rank_micro FROM {prev}"
+    )

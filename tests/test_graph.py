@@ -1,0 +1,88 @@
+"""Host link graph (frontier/graph.py): degrees and PageRank-lite on
+hand-computed graphs, plus the dialect twin parity."""
+
+from __future__ import annotations
+
+from language_diversity_common_crawler_spark.frontier import graph
+
+
+def _edges(spark, pairs):
+    return spark.createDataFrame(pairs, "src_host string, dst_host string")
+
+
+def test_host_degrees_hand_computed(spark):
+    e = _edges(spark, [("a", "b"), ("a", "c"), ("b", "c")])
+    got = {
+        r.host: (r.out_degree, r.in_degree)
+        for r in graph.host_degrees(e).collect()
+    }
+    assert got == {"a": (2, 0), "b": (1, 1), "c": (0, 2)}
+
+
+def test_pagerank_symmetric_cycle_is_uniform(spark):
+    # a→b→c→a: perfectly symmetric, every iteration preserves the uniform
+    # start: rank = 1e6/3 for all, at any iteration count
+    e = _edges(spark, [("a", "b"), ("b", "c"), ("c", "a")])
+    for iters in (1, 3):
+        got = {
+            r.host: r.rank_micro
+            for r in graph.host_pagerank(e, iters=iters).collect()
+        }
+        assert set(got.values()) == {333333}, got
+
+
+def test_pagerank_sink_authority(spark):
+    # a→c, b→c: c receives all mass, a and b only the teleport base
+    e = _edges(spark, [("a", "c"), ("b", "c")])
+    got = {
+        r.host: r.rank_micro
+        for r in graph.host_pagerank(e, iters=1).collect()
+    }
+    n = 3
+    base = round(0.15 * 1e6 / n)          # 50000
+    start = round(1e6 / n)                # 333333
+    assert got["a"] == base and got["b"] == base
+    assert got["c"] == round(base + 0.85 * 2 * start)
+
+
+def test_pagerank_sql_twin_matches_spark(spark):
+    import duckdb
+
+    pairs = [
+        ("a", "b"), ("a", "c"), ("b", "c"), ("c", "a"),
+        ("d", "a"), ("d", "b"), ("b", "d"),
+    ]
+    spark_ranks = {
+        r.host: r.rank_micro
+        for r in graph.host_pagerank(_edges(spark, pairs)).collect()
+    }
+    spark_degs = {
+        r.host: (r.out_degree, r.in_degree)
+        for r in graph.host_degrees(_edges(spark, pairs)).collect()
+    }
+    con = duckdb.connect()
+    con.execute("CREATE TABLE e (src_host VARCHAR, dst_host VARCHAR)")
+    con.executemany("INSERT INTO e VALUES (?, ?)", pairs)
+    sel = "SELECT src_host, dst_host FROM e"
+    duck_ranks = dict(con.execute(graph.sql_host_pagerank(sel)).fetchall())
+    duck_degs = {
+        r[0]: (r[1], r[2])
+        for r in con.execute(graph.sql_host_degrees(sel)).fetchall()
+    }
+    assert spark_ranks == duck_ranks
+    assert spark_degs == duck_degs
+
+
+def test_host_edges_drops_self_loops_and_dedups(spark):
+    links = spark.createDataFrame(
+        [
+            ("https://a.ex/p1", "https://b.ex/x", "b.ex"),
+            ("https://a.ex/p2", "https://b.ex/y", "b.ex"),   # same host pair
+            ("https://a.ex/p1", "https://a.ex/self", "a.ex"),  # self loop
+        ],
+        "src_url string, link_url string, host string",
+    )
+    got = sorted(
+        (r.src_host, r.dst_host) for r in graph.host_edges(links).collect()
+    )
+    assert got == [("a.ex", "b.ex")]
