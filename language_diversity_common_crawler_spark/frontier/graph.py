@@ -46,23 +46,35 @@ _MICRO = 1_000_000.0
 
 def host_edges(links: DataFrame) -> DataFrame:
     """links.extract_links output (src_url, link_url, host) → distinct
-    (src_host, dst_host) pairs, self-loops dropped."""
-    src_host = F.expr(urlgen.host_expr("src_url", "spark"))
+    (src_host, dst_host) pairs, self-loops dropped.
+
+    ``src_url`` is the RAW page URL while ``host`` came from the
+    canonicalized link — so the source side is canonicalized first
+    (staged projection, same as with_canonical) before host extraction;
+    otherwise 'https://Site.EX/p' and its canonical self split one
+    physical host into two nodes and self-loops slip through."""
+    canon = F.expr(urlgen.canonicalize_expr("src_url", "spark"))
+    staged = links.select(
+        canon.alias("__src_canon"), F.col("host").alias("dst_host")
+    )
+    src_host = F.expr(urlgen.host_expr("__src_canon", "spark"))
     return (
-        links.select(
-            src_host.alias("src_host"), F.col("host").alias("dst_host")
-        )
+        staged.select(src_host.alias("src_host"), "dst_host")
         .filter(F.col("src_host") != F.col("dst_host"))
         .distinct()
     )
 
 
 def sql_host_edges(links_select: str) -> str:
-    src_host = urlgen.host_expr("src_url", "duckdb")
+    canon = urlgen.canonicalize_expr("src_url", "duckdb")
+    src_host = urlgen.host_expr("__src_canon", "duckdb")
     return (
-        f"SELECT DISTINCT {src_host} AS src_host, host AS dst_host\n"
-        f"FROM ({links_select}) links_t\n"
-        f"WHERE {src_host} <> host"
+        f"SELECT DISTINCT src_host, dst_host FROM (\n"
+        f"  SELECT {src_host} AS src_host, dst_host FROM (\n"
+        f"    SELECT {canon} AS __src_canon, host AS dst_host\n"
+        f"    FROM ({links_select}) links_t\n"
+        f"  ) staged\n"
+        f") hosted WHERE src_host <> dst_host"
     )
 
 

@@ -54,10 +54,18 @@ def wet_record_bytes(
         f"<urn:uuid:{rec_uuid[:8]}-{rec_uuid[8:12]}-{rec_uuid[12:16]}-"
         f"{rec_uuid[16:20]}-{rec_uuid[20:32]}>"
     )
-    if isinstance(warc_ts, datetime):
+    # NaT passes isinstance(·, datetime) but fails strftime — the != self
+    # check treats it as missing (one dateless record must not kill a
+    # task); the epoch fallback keeps output deterministic
+    if isinstance(warc_ts, datetime) and warc_ts == warc_ts:
         ts = warc_ts
     else:
         ts = datetime(2020, 1, 1, tzinfo=timezone.utc)
+    if ts.tzinfo is not None:
+        # the 'Z' suffix asserts UTC — convert, don't just relabel
+        # (naive timestamps are taken as UTC: the session factory pins
+        # spark.sql.session.timeZone=UTC, so Arrow hands UTC wall times)
+        ts = ts.astimezone(timezone.utc)
     date = ts.strftime("%Y-%m-%dT%H:%M:%SZ")
     headers = [
         ("WARC-Type", "conversion"),
@@ -106,27 +114,30 @@ def write_wet_files(
     def _write(batches):
         from pyspark import TaskContext
 
-        buf = []
+        ctx = TaskContext.get()
+        pid = ctx.partitionId() if ctx is not None else 0
+        path = os.path.join(out_dir, f"part-{pid:05d}.warc.wet.gz")
+        # stream each compressed member straight to disk — never hold the
+        # shard in memory (a CC-sized partition is ~1 GB compressed)
+        f = None
         n = 0
+        n_bytes = 0
         for pdf in batches:
             for url, ts, text in zip(
                 pdf[url_col], pdf[ts_col], pdf[text_col]
             ):
-                buf.append(
-                    gzip.compress(wet_record_bytes(url, ts, text), mtime=0)
-                )
+                if f is None:
+                    os.makedirs(out_dir, exist_ok=True)
+                    f = open(path, "wb")
+                member = gzip.compress(wet_record_bytes(url, ts, text), mtime=0)
+                f.write(member)
                 n += 1
-        if not n:
+                n_bytes += len(member)
+        if f is None:
             return
-        ctx = TaskContext.get()
-        pid = ctx.partitionId() if ctx is not None else 0
-        os.makedirs(out_dir, exist_ok=True)
-        path = os.path.join(out_dir, f"part-{pid:05d}.warc.wet.gz")
-        data = b"".join(buf)
-        with open(path, "wb") as f:
-            f.write(data)
+        f.close()
         yield pd.DataFrame(
-            {"path": [path], "n_records": [n], "n_bytes": [len(data)]}
+            {"path": [path], "n_records": [n], "n_bytes": [n_bytes]}
         )
 
     return src.mapInPandas(_write, WET_MANIFEST_SCHEMA)

@@ -86,3 +86,50 @@ def test_host_edges_drops_self_loops_and_dedups(spark):
         (r.src_host, r.dst_host) for r in graph.host_edges(links).collect()
     )
     assert got == [("a.ex", "b.ex")]
+
+
+def test_host_edges_canonicalizes_source_urls(spark):
+    """Raw mixed-case page URLs must collapse onto their canonical host:
+    a page on 'HTTPS://Site.EX/p' linking to its own canonical host is a
+    self-loop (dropped), not a bogus second node."""
+    links = spark.createDataFrame(
+        [
+            ("HTTPS://Site.EX:443/p", "https://site.ex/q", "site.ex"),
+            ("https://Other.EX/a", "https://site.ex/r", "site.ex"),
+        ],
+        "src_url string, link_url string, host string",
+    )
+    got = sorted(
+        (r.src_host, r.dst_host) for r in graph.host_edges(links).collect()
+    )
+    assert got == [("other.ex", "site.ex")]
+
+
+def test_host_edges_sql_twin_canonicalizes_identically(spark):
+    import duckdb
+
+    rows = [
+        ("HTTPS://Site.EX:443/p", "https://site.ex/q", "site.ex"),
+        ("https://Other.EX/a", "https://site.ex/r", "site.ex"),
+        ("https://other.ex/b", "https://third.ex/s", "third.ex"),
+    ]
+    spark_edges = sorted(
+        (r.src_host, r.dst_host)
+        for r in graph.host_edges(
+            spark.createDataFrame(
+                rows, "src_url string, link_url string, host string"
+            )
+        ).collect()
+    )
+    con = duckdb.connect()
+    con.execute(
+        "CREATE TABLE l (src_url VARCHAR, link_url VARCHAR, host VARCHAR)"
+    )
+    con.executemany("INSERT INTO l VALUES (?, ?, ?)", rows)
+    duck_edges = sorted(
+        tuple(r)
+        for r in con.execute(
+            graph.sql_host_edges("SELECT * FROM l")
+        ).fetchall()
+    )
+    assert spark_edges == duck_edges

@@ -142,3 +142,29 @@ def test_wet_text_reader_roundtrip(spark, tmp_path):
     open(bpath, "wb").write(_gz.compress(bad, mtime=0))
     out = warc.wet_text(spark, bpath).collect()
     assert len(out) == 1 and out[0].text == "�"
+
+
+def test_wet_record_nat_and_tz_handling():
+    """NaT (isinstance datetime, fails strftime) falls back to the epoch
+    stamp; tz-aware non-UTC datetimes convert to the real UTC instant."""
+    import pandas as pd
+    from datetime import timedelta, timezone as tz
+
+    rec = wet.wet_record_bytes("u", pd.NaT, "t")
+    parsed = list(warc.iter_warc_records(rec))[0]
+    assert parsed["warc_date"] == "2020-01-01T00:00:00Z"
+
+    plus2 = datetime(2023, 9, 21, 9, 37, 11, tzinfo=tz(timedelta(hours=2)))
+    rec2 = wet.wet_record_bytes("u", plus2, "t")
+    parsed2 = list(warc.iter_warc_records(rec2))[0]
+    assert parsed2["warc_date"] == "2023-09-21T07:37:11Z"
+
+
+def test_distributed_export_survives_null_ts(spark, tmp_path):
+    df = spark.createDataFrame(
+        [("u1", None, "a"), ("u2", TS, "b")],
+        "url string, warc_ts timestamp, text string",
+    )
+    out_dir = str(tmp_path / "wet_null_ts")
+    manifest = wet.write_wet_files(df.coalesce(1), out_dir).collect()
+    assert manifest[0].n_records == 2
