@@ -857,6 +857,66 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["frontier_robots_filter"] = frontier_robots_filter
 
+    def frontier_blocklist_filter(spark, sf_dir):
+        """UT1-style host blocklist: seeds anti-joined against a broadcast
+        blocklist dim (derived from `nation` so the oracle rebuilds it).
+        Scale: real blocklists are ~MB (exact-host rows), so the anti-join
+        is a BroadcastHashJoin LeftAnti — the 10^10-URL side never shuffles.
+        Suffix (subdomain) blocking would key the join on a reversed-host
+        prefix instead; exact-host is the UT1 row format."""
+        tune_session(spark)
+        seeds = _seeds_df(spark, sf_dir)
+        nation = spark.read.parquet(f"{sf_dir}/nation.parquet")
+        block = nation.filter(F.col("n_nationkey") % 5 == 0).select(
+            F.concat(
+                F.lit("host"), F.col("n_nationkey").cast("string"),
+                F.lit(".example.com"),
+            ).alias("host")
+        )
+        kept = seeds.join(F.broadcast(block), "host", "left_anti")
+        return kept.groupBy("host").agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_urls"),
+            F.min("seed_id").cast("bigint").alias("first_seed_id"),
+        )
+
+    q["frontier_blocklist_filter"] = frontier_blocklist_filter
+
+    def url_recrawl_latest(spark, sf_dir):
+        """Recrawl snapshot selection: a crawl log (url, crawl_day,
+        fetch_id) with many fetches per URL — keep the newest fetch per
+        canonical URL (ties broken by largest fetch_id). The log is
+        derived deterministically from `orders` (one fetch per order, URL
+        keyed by o_custkey so each URL is fetched ~10x; day = o_orderdate
+        as epoch days, timezone-proof BIGINT like events_hourly).
+
+        Scale: ONE hash aggregate on url — count/max/max_by all have
+        map-side partials, so at 10^10 log rows the shuffle carries one
+        row per distinct URL. max_by's ordering score packs
+        (day, fetch_id) into one BIGINT (day * 10^12 + fetch_id), unique
+        per row because fetch_id is — deterministic across engines."""
+        tune_session(spark)
+        orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+        par = spark.sparkContext.defaultParallelism * 2
+        log = orders.select(
+            F.concat(
+                F.lit("https://host"),
+                (F.col("o_custkey") % 50).cast("string"),
+                F.lit(".example.com/u/"),
+                F.col("o_custkey").cast("string"),
+            ).alias("url"),
+            F.datediff(F.col("o_orderdate"), F.lit("1970-01-01"))
+            .cast("bigint").alias("crawl_day"),
+            F.col("o_orderkey").cast("bigint").alias("fetch_id"),
+        ).repartition(par)
+        score = F.col("crawl_day") * F.lit(1_000_000_000_000) + F.col("fetch_id")
+        return log.groupBy("url").agg(
+            F.count(F.lit(1)).cast("bigint").alias("crawl_cnt"),
+            F.max("crawl_day").cast("bigint").alias("latest_day"),
+            F.max_by("fetch_id", score).cast("bigint").alias("keep_id"),
+        )
+
+    q["url_recrawl_latest"] = url_recrawl_latest
+
     return q
 
 
@@ -1244,6 +1304,33 @@ SELECT seed_id, url_canon, host
 FROM seeds LEFT JOIN robots ON host = r_host
 WHERE disallow_prefix IS NULL
    OR NOT starts_with(regexp_extract(url_canon, '^[a-z]+://[^/]*(/.*)$', 1), disallow_prefix)
+"""
+
+    o["frontier_blocklist_filter"] = f"""
+WITH seeds AS ({_SEEDS_SQL}),
+block AS (
+  SELECT concat('host', CAST(n_nationkey AS VARCHAR), '.example.com') AS host
+  FROM nation WHERE n_nationkey % 5 = 0)
+SELECT host, CAST(count(*) AS BIGINT) AS n_urls,
+       CAST(min(seed_id) AS BIGINT) AS first_seed_id
+FROM seeds
+WHERE NOT EXISTS (SELECT 1 FROM block WHERE block.host = seeds.host)
+GROUP BY host
+"""
+
+    o["url_recrawl_latest"] = """
+WITH log AS (
+  SELECT concat('https://host', CAST(o_custkey % 50 AS VARCHAR),
+                '.example.com/u/', CAST(o_custkey AS VARCHAR)) AS url,
+         CAST(CAST(o_orderdate AS DATE) - DATE '1970-01-01' AS BIGINT)
+           AS crawl_day,
+         CAST(o_orderkey AS BIGINT) AS fetch_id
+  FROM orders)
+SELECT url, CAST(count(*) AS BIGINT) AS crawl_cnt,
+       CAST(max(crawl_day) AS BIGINT) AS latest_day,
+       CAST(max_by(fetch_id, crawl_day * 1000000000000 + fetch_id) AS BIGINT)
+         AS keep_id
+FROM log GROUP BY url
 """
 
     return o
