@@ -191,3 +191,27 @@ def test_no_query_duplicates_model_udf_evaluation(spark):
         if dups:
             offenders[name] = dups
     assert not offenders, f"duplicated UDF evaluation: {offenders}"
+
+
+def test_blocklist_filter_is_broadcast_anti_join(spark):
+    """The UT1-style blocklist must compile to a BroadcastHashJoin LeftAnti:
+    a shuffled anti-join here would hash-exchange the 10^10-URL seed side
+    to eliminate a ~MB blocklist."""
+    import __spark_entry__ as entrymod
+
+    q = entrymod.queries()["frontier_blocklist_filter"](spark, SF_DIR)
+    plan = q._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan and "LeftAnti" in plan, plan
+    assert "SortMergeJoin" not in plan, plan
+
+
+def test_recrawl_latest_is_single_aggregate_no_join(spark):
+    """Recrawl keep-latest is ONE hash aggregate on url (count/max/max_by
+    all partial-aggregatable): any join or window in the plan means the
+    crawl log is being passed over twice."""
+    import __spark_entry__ as entrymod
+
+    q = entrymod.queries()["url_recrawl_latest"](spark, SF_DIR)
+    plan = q._jdf.queryExecution().executedPlan().toString()
+    assert "Join" not in plan and "Window" not in plan, plan
+    assert "partial_max_by" in plan.lower() or "HashAggregate" in plan, plan
