@@ -26,6 +26,7 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 from language_diversity_common_crawler_spark.functions import (  # noqa: E402
     dedup,
     langspec,
+    pii,
     quality_rules,
     sampling,
     similarity,
@@ -917,6 +918,19 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["url_recrawl_latest"] = url_recrawl_latest
 
+    def pii_redaction(spark, sf_dir):
+        """C4/Dolma-style PII scrub: emails/IPv4/phones → typed placeholder
+        tokens + per-class counts. Shuffle-free JVM regex scan; the
+        PII-bearing payload is injected deterministically (the synthetic
+        corpus is word salad) — see functions/pii.py."""
+        tune_session(spark)
+        docs = _docs_par(spark, sf_dir).select(
+            "doc_id", F.expr(pii.demo_payload_expr("spark")).alias("payload")
+        )
+        return pii.with_pii_redaction(docs, "payload")
+
+    q["pii_redaction"] = pii_redaction
+
     return q
 
 
@@ -1332,5 +1346,7 @@ SELECT url, CAST(count(*) AS BIGINT) AS crawl_cnt,
          AS keep_id
 FROM log GROUP BY url
 """
+
+    o["pii_redaction"] = pii.sql_pii_redaction("documents")
 
     return o

@@ -1,0 +1,78 @@
+"""PII redaction: golden redactions on hand-built strings (boundary cases
+the synthetic driver payload can't exercise) and row-exact cross-engine
+parity of the full demo-payload query."""
+
+from __future__ import annotations
+
+import duckdb
+import pytest
+
+from language_diversity_common_crawler_spark.functions import pii
+
+ROWS = [
+    (1, "write to Bob.Smith+spam@sub.Example.co.uk today"),
+    (2, "servers 10.0.0.1 and 192.168.255.254, port 8080"),
+    (3, "call +1-555-0100 or +44 555 0199 now"),
+    (4, "no pii here, just words and 1234 numbers"),
+    (5, None),
+    (6, ""),
+    # version strings must NOT match IPv4 (only 3 dots + digits do);
+    # 1.2.3.4.5 greedily redacts its first 4 octets (documented behavior)
+    (7, "v1.2.3 released; node 1.2.3.4.5 is odd"),
+    (8, "two mails a@b.io c@d.ai one ip 8.8.8.8"),
+]
+
+EXPECTED = {
+    1: ("write to <EMAIL> today", 1, 0, 0),
+    2: ("servers <IP> and <IP>, port 8080", 0, 2, 0),
+    3: ("call <PHONE> or <PHONE> now", 0, 0, 2),
+    4: ("no pii here, just words and 1234 numbers", 0, 0, 0),
+    5: (None, None, None, None),
+    6: ("", 0, 0, 0),
+    7: ("v1.2.3 released; node <IP>.5 is odd", 0, 1, 0),
+    8: ("two mails <EMAIL> <EMAIL> one ip <IP>", 2, 1, 0),
+}
+
+
+@pytest.fixture(scope="module")
+def duck():
+    con = duckdb.connect()
+    con.execute("CREATE TABLE documents(doc_id BIGINT, text VARCHAR)")
+    con.executemany("INSERT INTO documents VALUES (?, ?)", ROWS)
+    return con
+
+
+def _spark_rows(spark):
+    df = spark.createDataFrame(ROWS, "doc_id bigint, text string")
+    out = pii.with_pii_redaction(df, "text")
+    return {r["doc_id"]: r for r in out.collect()}
+
+
+def test_golden_redactions(spark):
+    got = _spark_rows(spark)
+    for did, (red, ne, ni, np_) in EXPECTED.items():
+        r = got[did]
+        assert r["redacted"] == red, (did, r["redacted"])
+        assert (r["n_emails"], r["n_ips"], r["n_phones"]) == (ne, ni, np_), did
+
+
+def test_duckdb_parity_golden(duck):
+    sql = pii.sql_pii_redaction("documents", payload="text")
+    for doc_id, red, ne, ni, np_ in duck.execute(sql).fetchall():
+        assert (red, ne, ni, np_) == EXPECTED[doc_id], doc_id
+
+
+def test_demo_payload_null_text_parity(spark, duck):
+    """NULL text must produce the SAME payload in both engines (DuckDB
+    concat skips NULLs; the coalesce in demo_payload_expr pins it)."""
+    d = duck.execute(
+        "SELECT doc_id, " + pii.demo_payload_expr("duckdb")
+        + " FROM documents WHERE doc_id = 5"
+    ).fetchone()
+    df = spark.createDataFrame(ROWS, "doc_id bigint, text string")
+    s = (
+        df.filter("doc_id = 5")
+        .selectExpr("doc_id", pii.demo_payload_expr("spark"))
+        .collect()[0]
+    )
+    assert d[1] == s[1] and d[1] is not None
