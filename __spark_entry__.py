@@ -931,6 +931,22 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["pii_redaction"] = pii_redaction
 
+    def frontier_surt_keys(spark, sf_dir):
+        """CC-index-style keys: canonical URL → SURT, laid out with
+        repartitionByRange(surt) — the physical shape that gives a crawl
+        index per-host/domain partition-range pruning and ~10x better
+        same-host parquet compression (see urlgen.surt_expr)."""
+        tune_session(spark)
+        seeds = _seeds_df(spark, sf_dir).select("seed_id", "url_canon")
+        keyed = seeds.withColumn(
+            "surt", F.expr(urlgen.surt_expr("url_canon", "spark"))
+        )
+        return keyed.repartitionByRange(
+            spark.sparkContext.defaultParallelism, "surt", "seed_id"
+        )
+
+    q["frontier_surt_keys"] = frontier_surt_keys
+
     return q
 
 
@@ -1348,5 +1364,12 @@ FROM log GROUP BY url
 """
 
     o["pii_redaction"] = pii.sql_pii_redaction("documents")
+
+    o["frontier_surt_keys"] = f"""
+WITH seeds AS ({_SEEDS_SQL})
+SELECT seed_id, url_canon,
+       {urlgen.surt_expr("url_canon", "duckdb")} AS surt
+FROM seeds
+"""
 
     return o

@@ -68,6 +68,22 @@ def py_host(canon_url: str) -> str:
     return m.group(1) if m else ""
 
 
+def py_surt(canon_url: str | None) -> str | None:
+    """Mirror of urlgen.surt_expr (same guards, same label reversal)."""
+    if canon_url is None:
+        return None
+    host = py_host(canon_url)
+    if host == "":
+        return ""
+    h2 = re.sub(r"^www\.", "", host)
+    rev = ",".join(reversed(h2.split(".")))
+    mp = re.match(r"^[a-z][a-z0-9+.\-]*://[^/:?#]*(:[0-9]+)", canon_url)
+    port = mp.group(1) if mp else ""
+    mq = re.match(r"^[a-z][a-z0-9+.\-]*://[^/]*(/.*)$", canon_url)
+    path = mq.group(1) if mq else ""
+    return f"{rev}{port}){path}"
+
+
 def py_discover(url: str, fanout: int = 2, mod: int = 3) -> list[str]:
     """Mirror of crawl.discover_children for one URL."""
     base = re.sub(r"[?#].*$", "", url)

@@ -250,3 +250,45 @@ def sql_seed_table(dialect: str, table: str = "orders") -> str:
         f"SELECT seed_id, url_raw, {canon} AS url_canon FROM ("
         f"SELECT o_orderkey AS seed_id, {raw} AS url_raw FROM {table}))"
     )
+
+
+def surt_expr(canon_url: str, dialect: str) -> str:
+    """SURT key (Sort-friendly URI Reordering Transform) of a CANONICAL url:
+    ``com,example,host[:port])/path?query`` — the Common Crawl / pywb index
+    key (cf. cc-index's surt_url column; the reference reads WARCs directly
+    and has no index stage).
+
+    Why it matters at scale: lexicographic SURT order co-locates every URL
+    of a host (and of a registrable domain's subdomains) in one contiguous
+    range, so a crawl index written `repartitionByRange(surt)` gets
+    per-host/domain queries answered by partition-range pruning instead of
+    a 10^10-row scan, and same-host rows compress ~10x better in parquet.
+
+    Contract (mirrored by oracle.py_surt; pinned three-way in tests):
+    - leading ``www.`` is dropped (pywb canon), remaining host labels are
+      reversed and comma-joined;
+    - a non-default port survives (``:8080``) — canonicalize already
+      stripped :80/:443, so distinct origins keep distinct keys;
+    - scheme is dropped (http/https collapse to one key, pywb semantics);
+    - non-URL input (no scheme match / terminator passthrough) -> '' ;
+      NULL propagates (explicit IS NULL branch: DuckDB concat() would
+      otherwise SKIP a null piece where Spark nulls the row).
+    """
+    host = host_expr(canon_url, dialect)
+    h2 = f"regexp_replace({host}, {rx('^www[.]', dialect)}, ''{g_flag(dialect)})"
+    if dialect == "duckdb":
+        rev = f"array_to_string(list_reverse(string_split({h2}, '.')), ',')"
+    else:
+        rev = f"array_join(reverse(split({h2}, {rx(chr(92) + '.', dialect)})), ',')"
+    port = (
+        f"regexp_extract({canon_url}, "
+        f"'^[a-z][a-z0-9+.-]*://[^/:?#]*(:[0-9]+)', 1)"
+    )
+    path = f"regexp_extract({canon_url}, '^[a-z][a-z0-9+.-]*://[^/]*(/.*)$', 1)"
+    # host is inlined twice (guard + reversal) — a cheap anchored regex;
+    # callers that also want the host column stage it themselves.
+    return (
+        f"CASE WHEN {canon_url} IS NULL THEN NULL "
+        f"WHEN {host} = '' THEN '' "
+        f"ELSE concat({rev}, {port}, ')', {path}) END"
+    )

@@ -880,6 +880,52 @@ def test_canonicalize_adversarial_three_way(spark):
         )
 
 
+def test_surt_adversarial_three_way(spark):
+    """surt_expr (Spark), surt_expr (DuckDB, ASCII subset) and py_surt agree
+    on the canonicalized adversarial corpus plus SURT-specific shapes
+    (www-strip, non-default ports, deep subdomains, NULL propagation)."""
+    import duckdb
+
+    extra = [
+        "https://www.example.com/",
+        "https://sub.www.example.com:8080/a/b?q=1",
+        "https://a.b.c.d.example.co.uk/deep/path",
+        "https://www.ex/",
+        "https://h.ex:4443/a",
+    ]
+    canons = [oracle.py_canonicalize(r) for r in _ADVERSARIAL_RAWS] + extra
+    rows = [(c,) for c in canons] + [(None,)]
+    df = spark.createDataFrame(rows, ["url_canon"])
+    got = {
+        r["url_canon"]: r["surt"]
+        for r in df.withColumn(
+            "surt", F.expr(urlgen.surt_expr("url_canon", "spark"))
+        ).collect()
+    }
+    assert got[None] is None
+    for c in canons:
+        assert got[c] == oracle.py_surt(c), f"spark surt mismatch on {c!r}"
+    # www-strip and port survival, pinned concretely
+    assert got["https://www.example.com/"] == "com,example)/"
+    assert (
+        got["https://sub.www.example.com:8080/a/b?q=1"]
+        == "com,example,www,sub:8080)/a/b?q=1"
+    )
+
+    ascii_canons = [c for c in canons if c.isascii()]
+    con = duckdb.connect()
+    duck = dict(
+        con.execute(
+            "SELECT url_canon, "
+            + urlgen.surt_expr("url_canon", "duckdb")
+            + " FROM (SELECT unnest(?) AS url_canon)",
+            [ascii_canons],
+        ).fetchall()
+    )
+    for c in ascii_canons:
+        assert duck[c] == oracle.py_surt(c), f"duckdb surt mismatch on {c!r}"
+
+
 def test_extract_links_keeps_fragment_hrefs(spark):
     pages = spark.createDataFrame(
         [("https://h.ex/page", '<a href="https://h.ex/doc#sec">d</a>'
