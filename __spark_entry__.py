@@ -947,6 +947,33 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["frontier_surt_keys"] = frontier_surt_keys
 
+    # ---- CC index shards: read .cdx.gz -> parse -> fetch plan ----
+    def _cdx_records(spark, sf_dir):
+        from language_diversity_common_crawler_spark.sources import cdx
+
+        fx = f"/tmp/ldcc_cdx_{os.path.basename(sf_dir.rstrip('/'))}"
+        cdx.write_fixture_from_documents(sf_dir, fx)
+        return cdx.cdx_records(spark, f"{fx}/*.cdx.gz")
+
+    def cdx_parse(spark, sf_dir):
+        """Real CDX-J shard ingest (gzip text → regex split → JSON fields),
+        value-checked against a DuckDB roundtrip of the same derivation."""
+        tune_session(spark)
+        return _cdx_records(spark, sf_dir)
+
+    q["cdx_parse"] = cdx_parse
+
+    def cdx_fetch_plan(spark, sf_dir):
+        """Selective-fetch planning over the index: fetchable captures
+        grouped per WARC file — the stage that lets a 100 TB pipeline fetch
+        byte ranges instead of scanning WARCs (sources/cdx.py)."""
+        tune_session(spark)
+        from language_diversity_common_crawler_spark.sources import cdx
+
+        return cdx.fetch_plan(_cdx_records(spark, sf_dir))
+
+    q["cdx_fetch_plan"] = cdx_fetch_plan
+
     return q
 
 
@@ -1371,5 +1398,10 @@ SELECT seed_id, url_canon,
        {urlgen.surt_expr("url_canon", "duckdb")} AS surt
 FROM seeds
 """
+
+    from language_diversity_common_crawler_spark.sources import cdx as _cdx
+
+    o["cdx_parse"] = _cdx.sql_cdx_parse_oracle("documents")
+    o["cdx_fetch_plan"] = _cdx.sql_cdx_fetch_plan_oracle("documents")
 
     return o

@@ -1,0 +1,72 @@
+"""CDX-J index source: shard roundtrip, tolerant parsing, fetch-plan math."""
+
+from __future__ import annotations
+
+import gzip
+import os
+
+from pyspark.sql import functions as F
+
+from language_diversity_common_crawler_spark.sources import cdx
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+def test_fixture_roundtrip_fields(spark, tmp_path):
+    out = cdx.write_fixture_from_documents(SF_DIR, str(tmp_path / "cdx"))
+    got = cdx.cdx_records(spark, f"{out}/*.cdx.gz")
+    rows = {r["url"]: r for r in got.collect()}
+    import pyarrow.parquet as pq
+
+    t = pq.read_table(
+        os.path.join(SF_DIR, "documents.parquet"),
+        columns=["doc_id", "n_chars"],
+    ).to_pydict()
+    assert len(rows) == len(t["doc_id"])
+    for doc_id, n_chars in zip(t["doc_id"], t["n_chars"]):
+        r = rows[f"https://site{doc_id % 20}.example.org/page/{doc_id}"]
+        assert r["surt"] == f"org,example,site{doc_id % 20})/page/{doc_id}"
+        assert r["ts"] == 20240101000000 + doc_id
+        assert r["status"] == (404 if doc_id % 10 == 0 else 200)
+        assert r["length"] == n_chars
+        assert r["offset"] == doc_id * 1024
+        assert r["filename"].endswith(f"shard-{doc_id % 8}.warc.gz")
+
+
+def test_malformed_lines_dropped(spark, tmp_path):
+    p = tmp_path / "bad.cdx.gz"
+    good = (
+        'com,ex)/a 20240101000000 {"url": "https://ex.com/a", "mime": '
+        '"text/html", "status": "200", "length": "5", "offset": "0", '
+        '"filename": "f.warc.gz"}'
+    )
+    lines = [
+        good,
+        "",                      # blank
+        "no-timestamp-here",     # no shape
+        "com,ex)/b 2024 {}",     # ts not 14 digits
+    ]
+    with gzip.open(p, "wt", encoding="utf-8") as f:
+        f.write("\n".join(lines) + "\n")
+    got = cdx.cdx_records(spark, str(p)).collect()
+    assert len(got) == 1 and got[0]["url"] == "https://ex.com/a"
+
+
+def test_fetch_plan_excludes_nonfetchable(spark, tmp_path):
+    out = cdx.write_fixture_from_documents(SF_DIR, str(tmp_path / "cdx"))
+    recs = cdx.cdx_records(spark, f"{out}/*.cdx.gz")
+    plan = {r["filename"]: r for r in cdx.fetch_plan(recs).collect()}
+    # per-shard totals recomputed from the parsed rows
+    want = (
+        recs.filter((F.col("status") == 200) & (F.col("mime") == "text/html"))
+        .groupBy("filename").count().collect()
+    )
+    assert {r["filename"]: r["count"] for r in want} == {
+        f: r["n_records"] for f, r in plan.items()
+    }
+    # 404s (doc_id%10==0) and pdfs (doc_id%9==0, not %10==0) are excluded
+    n_all = recs.count()
+    n_plan = sum(r["n_records"] for r in plan.values())
+    assert n_plan < n_all
+    for r in plan.values():
+        assert r["first_surt"] <= r["last_surt"]
