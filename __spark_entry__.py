@@ -974,6 +974,70 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["cdx_fetch_plan"] = cdx_fetch_plan
 
+    def sitemap_seed_discovery(spark, sf_dir):
+        """RFC 9309 §2.3 sitemap discovery: 'Sitemap:' lines live OUTSIDE
+        robots groups (any line, case-insensitive, multiple per file);
+        each declared sitemap's <loc> entries become new frontier seeds —
+        canonicalized, deduplicated, host re-derived. Scale: two Generate
+        (explode) stages over JVM regexp_extract_all — zero Python, zero
+        shuffle until the final distinct (one exchange on url_canon).
+        Sitemap/robots/XML bodies are derived from `nation` so the oracle
+        rebuilds them; raw <loc> URLs are deliberately messy (mixed case,
+        :443, dot-segments, utm params) to exercise canonicalize."""
+        tune_session(spark)
+        from language_diversity_common_crawler_spark.frontier import (
+            robots as robots_mod,
+        )
+
+        nation = spark.read.parquet(f"{sf_dir}/nation.parquet")
+        k = F.col("n_nationkey")
+        ks = k.cast("string")
+        nl = F.lit("\n")
+        body = F.concat(
+            F.lit("User-agent: *\nDisallow: /private/"),
+            F.when(k % 4 == 3, F.lit("")).otherwise(
+                F.concat(nl, F.lit("Sitemap: https://host"), ks,
+                         F.lit(".example.com/sitemap.xml"))
+            ),
+            F.when(k % 2 == 0,
+                   F.concat(nl, F.lit("sitemap: https://host"), ks,
+                            F.lit(".example.com/sitemap2.xml"))
+                   ).otherwise(F.lit("")),
+        )
+        r = nation.select(k.alias("k"), body.alias("robots_txt"))
+        sm = r.select(
+            "k",
+            F.explode(
+                F.expr(robots_mod.sitemaps_expr("robots_txt", "spark"))
+            ).alias("sm_url"),
+        )
+        off = F.when(
+            F.col("sm_url").contains("sitemap2"), F.lit(100)
+        ).otherwise(F.lit(0))
+        pid = [(F.col("k") * 10 + off + j).cast("string") for j in (1, 2, 3)]
+        loc = [
+            F.concat(F.lit("<url><loc>HTTPS://Host"), F.col("k").cast("string"),
+                     F.lit(".Example.COM:443/x/../s/"), p,
+                     F.lit("?utm_source=sm&id="), p, F.lit("</loc></url>"))
+            for p in pid
+        ]
+        xml = sm.select(
+            F.concat(F.lit("<urlset>"), *loc, F.lit("</urlset>")).alias("xml")
+        )
+        raws = xml.select(
+            F.explode(
+                F.expr("regexp_extract_all(xml, '<loc>([^<]*)</loc>', 1)")
+            ).alias("url_raw")
+        )
+        canon = raws.select(
+            F.expr(urlgen.canonicalize_expr("url_raw", "spark")).alias("url_canon")
+        )
+        return canon.distinct().withColumn(
+            "host", urlgen.host_of_canon("url_canon")
+        )
+
+    q["sitemap_seed_discovery"] = sitemap_seed_discovery
+
     return q
 
 
@@ -1403,5 +1467,43 @@ FROM seeds
 
     o["cdx_parse"] = _cdx.sql_cdx_parse_oracle("documents")
     o["cdx_fetch_plan"] = _cdx.sql_cdx_fetch_plan_oracle("documents")
+
+    from language_diversity_common_crawler_spark.frontier import (
+        robots as _robots,
+    )
+
+    _k = "CAST(n_nationkey AS VARCHAR)"
+    o["sitemap_seed_discovery"] = f"""
+WITH r AS (
+  SELECT n_nationkey AS k,
+         concat('User-agent: *', chr(10), 'Disallow: /private/',
+           CASE WHEN n_nationkey % 4 = 3 THEN ''
+                ELSE concat(chr(10), 'Sitemap: https://host', {_k},
+                            '.example.com/sitemap.xml') END,
+           CASE WHEN n_nationkey % 2 = 0
+                THEN concat(chr(10), 'sitemap: https://host', {_k},
+                            '.example.com/sitemap2.xml')
+                ELSE '' END) AS robots_txt
+  FROM nation),
+sm AS (SELECT k, unnest({_robots.sitemaps_expr("robots_txt", "duckdb")})
+                 AS sm_url FROM r),
+x AS (
+  SELECT concat('<urlset>',
+    {", ".join(
+        "'<url><loc>HTTPS://Host', CAST(k AS VARCHAR), "
+        "'.Example.COM:443/x/../s/', CAST(k * 10 + off + %d AS VARCHAR), "
+        "'?utm_source=sm&id=', CAST(k * 10 + off + %d AS VARCHAR), "
+        "'</loc></url>'" % (j, j) for j in (1, 2, 3)
+    )}, '</urlset>') AS xml
+  FROM (SELECT k, CASE WHEN sm_url LIKE '%sitemap2%' THEN 100 ELSE 0 END
+                    AS off FROM sm)),
+locs AS (SELECT unnest(regexp_extract_all(xml, '<loc>([^<]*)</loc>', 1))
+                 AS url_raw FROM x),
+c AS (SELECT {urlgen.canonicalize_expr("url_raw", "duckdb")} AS url_canon
+      FROM locs)
+SELECT DISTINCT url_canon,
+       {urlgen.host_expr("url_canon", "duckdb")} AS host
+FROM c
+"""
 
     return o

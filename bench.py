@@ -104,6 +104,8 @@ HEADLINE = [
     "frontier_robots_filter",
     "media_decode_stats",
     "warc_ingest",
+    "pii_redaction",
+    "cdx_fetch_plan",
 ]
 
 

@@ -213,3 +213,24 @@ def py_allowed(url: str, disallow: list[str], allow: list[str]) -> bool:
     max_dis = max((len(p) for p in disallow if path.startswith(p)), default=0)
     max_alw = max((len(p) for p in allow if path.startswith(p)), default=0)
     return max_dis == 0 or max_alw >= max_dis
+
+
+# RFC 9309 §2.3: Sitemap lines are NOT group members — any "sitemap:" line
+# anywhere in the file applies to the whole host, case-insensitively.
+_SITEMAP_RX = r"(?im)^sitemap:[ \t]*([^ \t\r\n]+)[ \t]*$"
+
+
+def sitemaps_expr(body_col: str, dialect: str) -> str:
+    """Array of sitemap URLs declared in a robots.txt body column —
+    identical regexp_extract_all in Spark and DuckDB (RE2 and Java both
+    take the (?im) inline flags)."""
+    from ..functions.dialect import rx
+
+    return f"regexp_extract_all({body_col}, {rx(_SITEMAP_RX, dialect)}, 1)"
+
+
+def py_sitemaps(body: str) -> list[str]:
+    """Python mirror of sitemaps_expr."""
+    import re as _re
+
+    return _re.findall(_SITEMAP_RX, body or "")

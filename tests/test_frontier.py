@@ -1034,3 +1034,42 @@ def test_seen_compaction_parity_and_bucketed_join(spark, tmp_path):
         for k, v in thresholds.items():
             if v is not None:
                 spark.conf.set(k, v)
+
+
+def test_sitemaps_expr_three_way(spark):
+    """sitemaps_expr (both dialects) and py_sitemaps agree on RFC 9309 §2.3
+    edge shapes: any-case field name, no/extra whitespace, multiple lines,
+    declarations inside a group (still file-global), none at all."""
+    import duckdb
+
+    from language_diversity_common_crawler_spark.frontier import robots
+
+    bodies = [
+        "User-agent: *\nDisallow: /p/\nSitemap: https://h.ex/sm.xml",
+        "SITEMAP:https://h.ex/a.xml\nsitemap:  https://h.ex/b.xml  ",
+        "User-agent: x\nSitemap: https://h.ex/in-group.xml\nAllow: /",
+        "User-agent: *\nDisallow: /",
+        "",
+    ]
+    rows = [(i, b) for i, b in enumerate(bodies)]
+    df = spark.createDataFrame(rows, ["i", "robots_txt"])
+    got = {
+        r["i"]: list(r["sm"])
+        for r in df.selectExpr(
+            "i", robots.sitemaps_expr("robots_txt", "spark") + " AS sm"
+        ).collect()
+    }
+    con = duckdb.connect()
+    duck = dict(
+        con.execute(
+            "SELECT i, " + robots.sitemaps_expr("robots_txt", "duckdb")
+            + " FROM (SELECT unnest(?) AS i, unnest(?) AS robots_txt)",
+            [list(range(len(bodies))), bodies],
+        ).fetchall()
+    )
+    for i, b in enumerate(bodies):
+        want = robots.py_sitemaps(b)
+        assert got[i] == want, (i, got[i], want)
+        assert list(duck[i]) == want, (i, duck[i], want)
+    assert got[1] == ["https://h.ex/a.xml", "https://h.ex/b.xml"]
+    assert got[3] == [] and got[4] == []
