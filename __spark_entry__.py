@@ -1038,6 +1038,57 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["sitemap_seed_discovery"] = sitemap_seed_discovery
 
+    def recrawl_priority(spark, sf_dir):
+        """Adaptive recrawl scheduling: estimate per-URL change rate from
+        the fetch history (content version lag-compare over the per-URL
+        timeline) — high-churn URLs get recrawled sooner. The crawl log is
+        the url_recrawl_latest derivation plus a per-URL change period;
+        content versions are PURE INTEGER epochs (day - day % period): no
+        floats anywhere until the final basis-point rate, which divides
+        exact small integers (correctly-rounded, engine-identical).
+
+        Scale: one hash-partition on url feeds BOTH the lag window and the
+        groupBy (same key — Catalyst reuses the exchange, PLAN_AUDIT pins
+        one exchange), and per-URL history is politeness-bounded (a URL is
+        fetched at most ~daily), so window partitions stay tiny at 10^10
+        log rows."""
+        tune_session(spark)
+        orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+        par = spark.sparkContext.defaultParallelism * 2
+        period = F.lit(30) + (F.col("o_custkey") % 5).cast("bigint") * 45
+        log = orders.select(
+            F.concat(
+                F.lit("https://host"),
+                (F.col("o_custkey") % 50).cast("string"),
+                F.lit(".example.com/u/"),
+                F.col("o_custkey").cast("string"),
+            ).alias("url"),
+            F.datediff(F.col("o_orderdate"), F.lit("1970-01-01"))
+            .cast("bigint").alias("crawl_day"),
+            F.col("o_orderkey").cast("bigint").alias("fetch_id"),
+            period.alias("period"),
+        ).repartition(par)
+        ver = (F.col("crawl_day") - F.col("crawl_day") % F.col("period"))
+        w = Window.partitionBy("url").orderBy("crawl_day", "fetch_id")
+        prev = F.lag("ver").over(w)
+        staged = log.withColumn("ver", ver).withColumn(
+            "changed",
+            F.when(prev.isNull() | (prev == F.col("ver")), F.lit(0))
+            .otherwise(F.lit(1)).cast("bigint"),
+        )
+        agg = staged.groupBy("url").agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_fetches"),
+            F.sum("changed").cast("bigint").alias("n_changes"),
+            F.max("crawl_day").cast("bigint").alias("last_day"),
+        )
+        rate = F.when(F.col("n_fetches") <= 1, F.lit(0)).otherwise(
+            F.floor(F.lit(10000.0) * F.col("n_changes")
+                    / (F.col("n_fetches") - 1))
+        ).cast("bigint")
+        return agg.withColumn("change_rate_bp", rate)
+
+    q["recrawl_priority"] = recrawl_priority
+
     return q
 
 
@@ -1504,6 +1555,34 @@ c AS (SELECT {urlgen.canonicalize_expr("url_raw", "duckdb")} AS url_canon
 SELECT DISTINCT url_canon,
        {urlgen.host_expr("url_canon", "duckdb")} AS host
 FROM c
+"""
+
+    o["recrawl_priority"] = """
+WITH log AS (
+  SELECT concat('https://host', CAST(o_custkey % 50 AS VARCHAR),
+                '.example.com/u/', CAST(o_custkey AS VARCHAR)) AS url,
+         CAST(CAST(o_orderdate AS DATE) - DATE '1970-01-01' AS BIGINT)
+           AS crawl_day,
+         CAST(o_orderkey AS BIGINT) AS fetch_id,
+         30 + CAST(o_custkey % 5 AS BIGINT) * 45 AS period
+  FROM orders),
+staged AS (
+  SELECT url, crawl_day,
+         crawl_day - crawl_day % period AS ver,
+         lag(crawl_day - crawl_day % period) OVER (
+           PARTITION BY url ORDER BY crawl_day, fetch_id) AS prev
+  FROM log),
+agg AS (
+  SELECT url, CAST(count(*) AS BIGINT) AS n_fetches,
+         CAST(sum(CASE WHEN prev IS NULL OR prev = ver THEN 0 ELSE 1 END)
+              AS BIGINT) AS n_changes,
+         CAST(max(crawl_day) AS BIGINT) AS last_day
+  FROM staged GROUP BY url)
+SELECT url, n_fetches, n_changes, last_day,
+       CAST(CASE WHEN n_fetches <= 1 THEN 0
+                 ELSE floor(10000.0 * n_changes / (n_fetches - 1)) END
+            AS BIGINT) AS change_rate_bp
+FROM agg
 """
 
     return o
