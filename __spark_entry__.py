@@ -97,6 +97,40 @@ def _seeds_df(spark: SparkSession, sf_dir: str) -> DataFrame:
 _SEEDS_SQL = urlgen.sql_seed_table("duckdb", "orders")
 
 
+def _crawl_log_df(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Synthetic recrawl log over orders: one fetch per order, URL keyed by
+    o_custkey (so each URL is fetched ~10x), day = o_orderdate as epoch
+    days (timezone-proof BIGINT), plus a per-URL change period. Single
+    source of truth with _CRAWL_LOG_SQL — url_recrawl_latest and
+    recrawl_priority must never drift from their oracles independently."""
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    par = spark.sparkContext.defaultParallelism * 2
+    period = F.lit(30) + (F.col("o_custkey") % 5).cast("bigint") * 45
+    return orders.select(
+        F.concat(
+            F.lit("https://host"),
+            (F.col("o_custkey") % 50).cast("string"),
+            F.lit(".example.com/u/"),
+            F.col("o_custkey").cast("string"),
+        ).alias("url"),
+        F.datediff(F.col("o_orderdate"), F.lit("1970-01-01"))
+        .cast("bigint").alias("crawl_day"),
+        F.col("o_orderkey").cast("bigint").alias("fetch_id"),
+        period.alias("period"),
+    ).repartition(par)
+
+
+_CRAWL_LOG_SQL = """
+SELECT concat('https://host', CAST(o_custkey % 50 AS VARCHAR),
+              '.example.com/u/', CAST(o_custkey AS VARCHAR)) AS url,
+       CAST(CAST(o_orderdate AS DATE) - DATE '1970-01-01' AS BIGINT)
+         AS crawl_day,
+       CAST(o_orderkey AS BIGINT) AS fetch_id,
+       30 + CAST(o_custkey % 5 AS BIGINT) * 45 AS period
+FROM orders
+"""
+
+
 def _model_pairs() -> list[tuple[str, str]]:
     """All unordered lang-ID model pairs, derived from the single source
     of truth (langspec.MODELS) so the Spark side and the oracle can never
@@ -896,19 +930,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         (day, fetch_id) into one BIGINT (day * 10^12 + fetch_id), unique
         per row because fetch_id is — deterministic across engines."""
         tune_session(spark)
-        orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
-        par = spark.sparkContext.defaultParallelism * 2
-        log = orders.select(
-            F.concat(
-                F.lit("https://host"),
-                (F.col("o_custkey") % 50).cast("string"),
-                F.lit(".example.com/u/"),
-                F.col("o_custkey").cast("string"),
-            ).alias("url"),
-            F.datediff(F.col("o_orderdate"), F.lit("1970-01-01"))
-            .cast("bigint").alias("crawl_day"),
-            F.col("o_orderkey").cast("bigint").alias("fetch_id"),
-        ).repartition(par)
+        log = _crawl_log_df(spark, sf_dir)
         score = F.col("crawl_day") * F.lit(1_000_000_000_000) + F.col("fetch_id")
         return log.groupBy("url").agg(
             F.count(F.lit(1)).cast("bigint").alias("crawl_cnt"),
@@ -1053,21 +1075,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         fetched at most ~daily), so window partitions stay tiny at 10^10
         log rows."""
         tune_session(spark)
-        orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
-        par = spark.sparkContext.defaultParallelism * 2
-        period = F.lit(30) + (F.col("o_custkey") % 5).cast("bigint") * 45
-        log = orders.select(
-            F.concat(
-                F.lit("https://host"),
-                (F.col("o_custkey") % 50).cast("string"),
-                F.lit(".example.com/u/"),
-                F.col("o_custkey").cast("string"),
-            ).alias("url"),
-            F.datediff(F.col("o_orderdate"), F.lit("1970-01-01"))
-            .cast("bigint").alias("crawl_day"),
-            F.col("o_orderkey").cast("bigint").alias("fetch_id"),
-            period.alias("period"),
-        ).repartition(par)
+        log = _crawl_log_df(spark, sf_dir)
         ver = (F.col("crawl_day") - F.col("crawl_day") % F.col("period"))
         w = Window.partitionBy("url").orderBy("crawl_day", "fetch_id")
         prev = F.lag("ver").over(w)
@@ -1490,14 +1498,8 @@ WHERE NOT EXISTS (SELECT 1 FROM block WHERE block.host = seeds.host)
 GROUP BY host
 """
 
-    o["url_recrawl_latest"] = """
-WITH log AS (
-  SELECT concat('https://host', CAST(o_custkey % 50 AS VARCHAR),
-                '.example.com/u/', CAST(o_custkey AS VARCHAR)) AS url,
-         CAST(CAST(o_orderdate AS DATE) - DATE '1970-01-01' AS BIGINT)
-           AS crawl_day,
-         CAST(o_orderkey AS BIGINT) AS fetch_id
-  FROM orders)
+    o["url_recrawl_latest"] = f"""
+WITH log AS ({_CRAWL_LOG_SQL})
 SELECT url, CAST(count(*) AS BIGINT) AS crawl_cnt,
        CAST(max(crawl_day) AS BIGINT) AS latest_day,
        CAST(max_by(fetch_id, crawl_day * 1000000000000 + fetch_id) AS BIGINT)
@@ -1557,15 +1559,8 @@ SELECT DISTINCT url_canon,
 FROM c
 """
 
-    o["recrawl_priority"] = """
-WITH log AS (
-  SELECT concat('https://host', CAST(o_custkey % 50 AS VARCHAR),
-                '.example.com/u/', CAST(o_custkey AS VARCHAR)) AS url,
-         CAST(CAST(o_orderdate AS DATE) - DATE '1970-01-01' AS BIGINT)
-           AS crawl_day,
-         CAST(o_orderkey AS BIGINT) AS fetch_id,
-         30 + CAST(o_custkey % 5 AS BIGINT) * 45 AS period
-  FROM orders),
+    o["recrawl_priority"] = f"""
+WITH log AS ({_CRAWL_LOG_SQL}),
 staged AS (
   SELECT url, crawl_day,
          crawl_day - crawl_day % period AS ver,

@@ -170,6 +170,14 @@ def main() -> None:
         SF_DIR, f"/tmp/ldcc_warc_{os.path.basename(SF_DIR.rstrip('/'))}"
     )
 
+    # Same for the CDX shards: cdx_fetch_plan should time the gzip-text
+    # parse + plan aggregate, not the driver-side fixture derivation.
+    from language_diversity_common_crawler_spark.sources import cdx as _cdx
+
+    _cdx.write_fixture_from_documents(
+        SF_DIR, f"/tmp/ldcc_cdx_{os.path.basename(SF_DIR.rstrip('/'))}"
+    )
+
     for name in HEADLINE:
         fn = qs[name]
         # clearCache per rep: queries that persist() internally would

@@ -217,7 +217,14 @@ def py_allowed(url: str, disallow: list[str], allow: list[str]) -> bool:
 
 # RFC 9309 §2.3: Sitemap lines are NOT group members — any "sitemap:" line
 # anywhere in the file applies to the whole host, case-insensitively.
-_SITEMAP_RX = r"(?im)^sitemap:[ \t]*([^ \t\r\n]+)[ \t]*$"
+# Per the RFC's ABNF the pattern tolerates leading WS, WS around ':', and a
+# trailing '#'-comment; the explicit `\r?$` is load-bearing: Java's
+# multiline `$` matches before a full \r\n terminator but RE2/Python match
+# only before \n, so without it a CRLF robots.txt (extremely common) parses
+# differently across the three engines.
+_SITEMAP_RX = (
+    r"(?im)^[ \t]*sitemap[ \t]*:[ \t]*([^ \t\r\n#]+)[ \t]*(?:#[^\r\n]*)?\r?$"
+)
 
 
 def sitemaps_expr(body_col: str, dialect: str) -> str:

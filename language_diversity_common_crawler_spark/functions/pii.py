@@ -53,15 +53,18 @@ def redact_expr(text: str, dialect: str) -> str:
     return e
 
 
-def token_count_expr(red: str, token: str) -> str:
-    """Occurrences of a constant placeholder in the redacted COLUMN.
+def match_count_expr(text: str, pattern: str, dialect: str) -> str:
+    """Number of matches of ``pattern`` in a text COLUMN REFERENCE.
 
-    (length drop after non-regex replace) / len(token): exact integer
-    arithmetic, identical in both engines."""
-    n = len(token)
+    Counted with regexp_extract_all at redaction time — counting
+    placeholder substrings in the redacted output would be inflated by
+    input text that already contains a literal '<EMAIL>'/'<IP>'/'<PHONE>'
+    (previously-scrubbed or documentation text is common on the real
+    web). Group index 0 is explicit: Spark's default is group 1."""
+    fn = "len" if dialect == "duckdb" else "size"
     return (
-        f"CAST((length({red}) - length(replace({red}, '{token}', ''))) "
-        f"/ {n} AS BIGINT)"
+        f"CAST({fn}(regexp_extract_all({text}, {rx(pattern, dialect)}, 0)) "
+        f"AS BIGINT)"
     )
 
 
@@ -88,28 +91,41 @@ def demo_payload_expr(dialect: str) -> str:
 
 
 def with_pii_redaction(df: DataFrame, text_col: str = "text") -> DataFrame:
-    """doc_id, redacted, n_emails, n_ips, n_phones over any text column."""
-    staged = df.select(
-        "doc_id", F.expr(redact_expr(text_col, "spark")).alias("redacted")
-    )
-    counts = [
-        F.expr(token_count_expr("redacted", token)).alias(col)
-        for token, _, col in CLASSES
-    ]
-    return staged.select("doc_id", "redacted", *counts)
+    """doc_id, redacted, n_emails, n_ips, n_phones over any text column.
+
+    Each class is one staged projection: count the matches in the current
+    text, THEN replace them — so class k's count reflects exactly the
+    redactions applied to the text class k saw (and pre-existing literal
+    placeholder tokens in the input never inflate a count). The staged
+    text alias is multiply-referenced, so CollapseProject keeps it
+    materialized: two regex passes per class, not four."""
+    cur = df.select("doc_id", F.col(text_col).alias("__s"))
+    done: list[str] = []
+    for token, pattern, col in CLASSES:
+        cnt = F.expr(match_count_expr("__s", pattern, "spark")).alias(col)
+        nxt = F.expr(
+            f"regexp_replace(__s, {rx(pattern, 'spark')}, '{token}')"
+        ).alias("__s")
+        cur = cur.select("doc_id", *done, cnt, nxt)
+        done.append(col)
+    return cur.select("doc_id", F.col("__s").alias("redacted"), *done)
 
 
 def sql_pii_redaction(table: str, payload: str | None = None) -> str:
     """DuckDB twin of with_pii_redaction over demo_payload_expr (or a
-    caller-supplied payload expression)."""
+    caller-supplied payload expression) — same count-then-replace
+    staging, one nested SELECT per class."""
     pay = payload or demo_payload_expr("duckdb")
-    red = redact_expr("payload", "duckdb")
-    counts = ",\n       ".join(
-        f"{token_count_expr('redacted', token)} AS {col}"
-        for token, _, col in CLASSES
-    )
-    return (
-        f"SELECT doc_id, redacted,\n       {counts}\n"
-        f"FROM (SELECT doc_id, {red} AS redacted\n"
-        f"      FROM (SELECT doc_id, {pay} AS payload FROM {table}))"
-    )
+    inner = f"SELECT doc_id, {pay} AS __s FROM {table}"
+    done: list[str] = []
+    for token, pattern, col in CLASSES:
+        cnt = f"{match_count_expr('__s', pattern, 'duckdb')} AS {col}"
+        nxt = (
+            f"regexp_replace(__s, {rx(pattern, 'duckdb')}, "
+            f"'{token}', 'g') AS __s"
+        )
+        cols = ", ".join(["doc_id", *done, cnt, nxt])
+        inner = f"SELECT {cols} FROM ({inner})"
+        done.append(col)
+    sel = ", ".join(["doc_id", "__s AS redacted", *done])
+    return f"SELECT {sel} FROM ({inner})"

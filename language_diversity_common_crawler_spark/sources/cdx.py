@@ -117,11 +117,16 @@ def write_fixture_from_documents(
     (driver-side pyarrow read — no Spark). Lines are derived with the SAME
     expression as line_expr (via DuckDB, so there is exactly one
     derivation), sharded by doc_id % n_files and sorted by (surt, ts)
-    within each shard — the CC index layout. Idempotent per directory."""
+    within each shard — the CC index layout. Idempotent per (source
+    content, n_files); stale shards from a regenerated documents.parquet
+    are rewritten, and shard publication is atomic (fixtures.py)."""
     import duckdb
 
-    done = os.path.join(out_dir, "_DONE")
-    if os.path.exists(done):
+    from .fixtures import atomic_path, fixture_fresh, fixture_key, \
+        mark_fixture_done
+
+    key = fixture_key(sf_dir, n_files)
+    if fixture_fresh(out_dir, key):
         return out_dir
     os.makedirs(out_dir, exist_ok=True)
     con = duckdb.connect()
@@ -134,13 +139,13 @@ def write_fixture_from_documents(
     for shard, line in rows:
         shards[int(shard)].append(line)
     for i, lines in enumerate(shards):
-        with gzip.open(
-            os.path.join(out_dir, f"cdx-{i:05d}.cdx.gz"), "wt",
-            encoding="utf-8",
-        ) as f:
+        tmp, final = atomic_path(
+            os.path.join(out_dir, f"cdx-{i:05d}.cdx.gz")
+        )
+        with gzip.open(tmp, "wt", encoding="utf-8") as f:
             f.write("\n".join(lines) + ("\n" if lines else ""))
-    with open(done, "w") as f:
-        f.write("ok\n")
+        os.replace(tmp, final)
+    mark_fixture_done(out_dir, key)
     return out_dir
 
 

@@ -361,13 +361,19 @@ def write_fixture_from_documents(
     Derivation is a pure function of (doc_id, text, lang) mirrored by
     sql_warc_roundtrip_oracle; rows are sharded round-robin by doc_id so
     every file is non-empty and the parse fans out over ``n_files`` tasks.
-    Idempotent per (sf_dir, n_files): re-written only if missing.
+    Idempotent per (source content, n_files): stale shards from a
+    regenerated documents.parquet are rewritten and shard publication is
+    atomic (fixtures.py).
     """
     import pyarrow.parquet as pq
 
-    done = os.path.join(out_dir, "_DONE")
-    if os.path.exists(done):
+    from .fixtures import atomic_path, fixture_fresh, fixture_key, \
+        mark_fixture_done
+
+    key = fixture_key(sf_dir, n_files)
+    if fixture_fresh(out_dir, key):
         return out_dir
+    os.makedirs(out_dir, exist_ok=True)
     t = pq.read_table(
         os.path.join(sf_dir, "documents.parquet"),
         columns=["doc_id", "text", "lang"],
@@ -393,15 +399,15 @@ def write_fixture_from_documents(
         }
         shards[int(doc_id) % n_files].append(rec)
     for i, recs in enumerate(shards):
-        write_warc_gz(
+        tmp, final = atomic_path(
             os.path.join(
                 out_dir,
                 f"CC-MAIN-20230921073711-20230921103711-{i:05d}.warc.gz",
-            ),
-            recs,
+            )
         )
-    with open(done, "w") as f:
-        f.write("ok")
+        write_warc_gz(tmp, recs)
+        os.replace(tmp, final)
+    mark_fixture_done(out_dir, key)
     return out_dir
 
 

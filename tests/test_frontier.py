@@ -1050,6 +1050,10 @@ def test_sitemaps_expr_three_way(spark):
         "User-agent: x\nSitemap: https://h.ex/in-group.xml\nAllow: /",
         "User-agent: *\nDisallow: /",
         "",
+        # CRLF file (Java's multiline $ matches before \r\n; RE2/Python
+        # need the explicit \r? — the exact three-way divergence pinned)
+        "User-agent: *\r\nSitemap: https://h.ex/crlf.xml\r\nDisallow: /",
+        "  Sitemap : https://h.ex/ws.xml # comment",
     ]
     rows = [(i, b) for i, b in enumerate(bodies)]
     df = spark.createDataFrame(rows, ["i", "robots_txt"])

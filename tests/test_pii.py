@@ -20,6 +20,8 @@ ROWS = [
     # 1.2.3.4.5 greedily redacts its first 4 octets (documented behavior)
     (7, "v1.2.3 released; node 1.2.3.4.5 is odd"),
     (8, "two mails a@b.io c@d.ai one ip 8.8.8.8"),
+    # pre-existing literal placeholder tokens must NOT inflate counts
+    (9, "fake token <IP> and real 1.2.3.4 plus <EMAIL> text"),
 ]
 
 EXPECTED = {
@@ -31,6 +33,7 @@ EXPECTED = {
     6: ("", 0, 0, 0),
     7: ("v1.2.3 released; node <IP>.5 is odd", 0, 1, 0),
     8: ("two mails <EMAIL> <EMAIL> one ip <IP>", 2, 1, 0),
+    9: ("fake token <IP> and real <IP> plus <EMAIL> text", 0, 1, 0),
 }
 
 
