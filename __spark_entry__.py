@@ -1097,6 +1097,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["recrawl_priority"] = recrawl_priority
 
+    def benchmark_decontamination(spark, sf_dir):
+        """GPT-3/PaLM-style decontamination: flag training docs containing
+        eval-set word-8-grams. Eval set = deterministic doc prefixes; bench
+        hash set broadcasts, corpus never shuffles for the membership test
+        (see dedup.decontaminate)."""
+        tune_session(spark)
+        return dedup.decontaminate(_docs_par(spark, sf_dir))
+
+    q["benchmark_decontamination"] = benchmark_decontamination
+
     return q
 
 
@@ -1579,5 +1589,7 @@ SELECT url, n_fetches, n_changes, last_day,
             AS BIGINT) AS change_rate_bp
 FROM agg
 """
+
+    o["benchmark_decontamination"] = dedup.sql_decontaminate("documents")
 
     return o

@@ -657,3 +657,73 @@ pairs AS (
   GROUP BY l.{id_col}, r.{id_col})
 SELECT a, b, n_shared FROM pairs WHERE n_shared >= {min_shared}
 """
+
+
+# ---------------------------------------------------------------------------
+# benchmark decontamination (GPT-3/PaLM-style n-gram overlap vs an eval set)
+# ---------------------------------------------------------------------------
+
+def decontaminate(
+    docs: DataFrame, bench_mod: int = 97, prefix_chars: int = 160,
+    k: int = 8,
+) -> DataFrame:
+    """Flag training documents that contain evaluation-set n-grams — the
+    decontamination stage every LLM data pipeline runs before training
+    (GPT-3 App. C / PaLM style: exact word-k-gram overlap, k≈8-13).
+
+    The stand-in eval set here is the ``prefix_chars``-char prefixes of
+    every ``doc_id % bench_mod == 0`` document (deterministic, so the
+    DuckDB twin rebuilds it); production callers pass any (btext) dim
+    through the same shape. Output: one row per CONTAMINATED doc —
+    (doc_id, n_eval_ngrams = distinct eval k-grams it contains).
+
+    Scale shape: real eval suites are ~10^5-10^6 n-grams — the bench hash
+    set BROADCASTS, so the 10^10-doc corpus side never shuffles for the
+    membership test (explode is a Generate in the scan stage, the
+    left-semi is a broadcast join). The only exchange is the final
+    groupBy, which carries ONLY matched (doc_id, hash) rows — at sane
+    contamination rates that is ~0 of the corpus. Shingle hashes are full
+    60-bit md5 (shingle_hash60_expr rationale: mod-2^31 reduction would
+    flag ~birthday-rate false positives at 10^10 scale)."""
+    bench = docs.filter((F.col("doc_id") % bench_mod) == 0).select(
+        F.expr(f"substring(text, 1, {prefix_chars})").alias("btext")
+    )
+    btoks = bench.select(F.expr(tokens_expr("btext", "spark")).alias("toks"))
+    bsh = btoks.select(
+        F.explode(F.expr(shingles_from_tokens("toks", "spark", k))).alias("s")
+    ).select(F.expr(sql_md5_60("s", "spark")).alias("sh"))
+    ctoks = docs.select(
+        "doc_id", F.expr(tokens_expr("text", "spark")).alias("toks")
+    )
+    csh = ctoks.select(
+        "doc_id",
+        F.explode(F.expr(shingles_from_tokens("toks", "spark", k))).alias("s"),
+    ).select("doc_id", F.expr(sql_md5_60("s", "spark")).alias("sh"))
+    hits = csh.join(F.broadcast(bsh), "sh", "left_semi")
+    return hits.groupBy("doc_id").agg(
+        F.countDistinct("sh").cast("bigint").alias("n_eval_ngrams")
+    )
+
+
+def sql_decontaminate(
+    table: str, bench_mod: int = 97, prefix_chars: int = 160, k: int = 8
+) -> str:
+    """DuckDB twin of :func:`decontaminate`."""
+    h = sql_md5_60("s", "duckdb")
+    return f"""
+WITH bench AS (
+  SELECT substring(text, 1, {prefix_chars}) AS btext
+  FROM {table} WHERE doc_id % {bench_mod} = 0),
+bt AS (SELECT {tokens_expr('btext', 'duckdb')} AS toks FROM bench),
+bsh AS (
+  SELECT {h} AS sh FROM (
+    SELECT unnest({shingles_from_tokens('toks', 'duckdb', k)}) AS s FROM bt)),
+ct AS (SELECT doc_id, {tokens_expr('text', 'duckdb')} AS toks FROM {table}),
+csh AS (
+  SELECT doc_id, {h} AS sh FROM (
+    SELECT doc_id, unnest({shingles_from_tokens('toks', 'duckdb', k)}) AS s
+    FROM ct))
+SELECT doc_id, CAST(count(DISTINCT sh) AS BIGINT) AS n_eval_ngrams
+FROM csh WHERE sh IN (SELECT sh FROM bsh)
+GROUP BY doc_id
+"""

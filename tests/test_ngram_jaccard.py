@@ -104,3 +104,26 @@ def test_winnow_near_dup_pairs_parity_and_detection(spark):
     pair_ids = {(a, b) for a, b, _ in got}
     assert (1, 2) in pair_ids
     assert all(3 not in p and 4 not in p and 5 not in p for p in pair_ids)
+
+
+def test_decontaminate_flags_planted_overlap(spark):
+    """A doc containing an eval 8-gram is flagged with the exact distinct
+    count; unrelated docs are not; the bench membership test must be a
+    broadcast join (the corpus side never shuffles for it)."""
+    from language_diversity_common_crawler_spark.functions import dedup
+
+    bench_text = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    rows = [
+        (0, bench_text),                                   # bench source (0 % 97 == 0)
+        (1, "prefix words then " + bench_text + " suffix"),  # contaminated
+        (2, "totally unrelated words with no overlap at all here today"),
+        (3, " ".join(["alpha beta gamma delta epsilon zeta eta"] * 2)),  # 7-gram only
+    ]
+    df = spark.createDataFrame(rows, "doc_id bigint, text string")
+    out = dedup.decontaminate(df, bench_mod=97, prefix_chars=200, k=8)
+    got = {r["doc_id"]: r["n_eval_ngrams"] for r in out.collect()}
+    # bench text has 10 tokens -> 3 distinct 8-grams; doc 1 contains all 3
+    assert got[0] == 3 and got[1] == 3
+    assert 2 not in got and 3 not in got
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan and "LeftSemi" in plan, plan
