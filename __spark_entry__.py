@@ -1107,6 +1107,37 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["benchmark_decontamination"] = benchmark_decontamination
 
+    def anchor_text_corpus(spark, sf_dir):
+        """Anchor-text corpus: what other pages CALL each target URL —
+        retrieval/ranking training signal + crawl-priority link context
+        (frontier/links.py:anchor_text_corpus)."""
+        tune_session(spark)
+        from language_diversity_common_crawler_spark.frontier import links
+
+        d = _docs(spark, sf_dir)
+        html = F.concat(
+            F.lit('<html><body><a href="/o/'),
+            ((F.col("doc_id") * 7) % 1000).cast("string"),
+            F.lit('">read more</a> <a href="HTTPS://Host'),
+            (F.col("doc_id") % 50).cast("string"),
+            F.lit('.Example.COM:443/x/../p/'),
+            F.col("doc_id").cast("string"),
+            F.lit('"> Official Site </a>'
+                  '<a href="mailto:a@b.c">mail</a></body></html>'),
+        )
+        pages = d.select(
+            F.concat(
+                F.lit("https://site"),
+                (F.col("doc_id") % 20).cast("string"),
+                F.lit(".example.org/page/"),
+                F.col("doc_id").cast("string"),
+            ).alias("url"),
+            html.alias("html_text"),
+        )
+        return links.anchor_text_corpus(pages)
+
+    q["anchor_text_corpus"] = anchor_text_corpus
+
     return q
 
 
@@ -1591,5 +1622,21 @@ FROM agg
 """
 
     o["benchmark_decontamination"] = dedup.sql_decontaminate("documents")
+
+    _PAGES_ANCHOR_SQL = """
+SELECT concat('https://site', CAST(doc_id % 20 AS VARCHAR),
+              '.example.org/page/', CAST(doc_id AS VARCHAR)) AS url,
+       concat('<html><body><a href="/o/',
+              CAST((doc_id * 7) % 1000 AS VARCHAR),
+              '">read more</a> <a href="HTTPS://Host',
+              CAST(doc_id % 50 AS VARCHAR), '.Example.COM:443/x/../p/',
+              CAST(doc_id AS VARCHAR),
+              '"> Official Site </a><a href="mailto:a@b.c">mail</a>',
+              '</body></html>') AS html_text
+FROM documents
+"""
+    o["anchor_text_corpus"] = _links.sql_anchor_text_corpus(
+        f"({_PAGES_ANCHOR_SQL}) AS pa"
+    )
 
     return o

@@ -111,3 +111,115 @@ canon AS (
 SELECT DISTINCT src_url, url_canon AS link_url, {host} AS host
 FROM canon
 """
+
+
+# full anchor element: href + visible anchor text (no nested tags — the
+# regex corpus path is a boilerplate-level extractor, not an HTML parser;
+# nested-markup anchors fall to the extract pipeline's real DOM delegate)
+_ANCHOR_ELEM = r'<a href="[^"\s]+"[^>]*>[^<]*</a>'
+_ANCHOR_TEXT = r">([^<]*)</a>$"
+
+
+def anchor_text_corpus(
+    pages: DataFrame,
+    url_col: str = "url",
+    html_col: str = "html_text",
+    max_links: int = 64,
+) -> DataFrame:
+    """(link_url, anchor, n_refs, n_src_pages): the anchor-text corpus —
+    what other pages CALL a target — used as a retrieval/ranking training
+    signal and as link-context features for crawl prioritization.
+
+    Scale shape: same Generate-only extraction as extract_links (anchor
+    elements per page bounded by ``max_links``); the one shuffle is the
+    final (link_url, anchor) count aggregate, which is map-side combined
+    (the web's anchor distribution is extremely repetitive, so partial
+    aggregation collapses most of the fan-out before the exchange)."""
+    elems = F.expr(
+        f"slice(regexp_extract_all({html_col}, {rx(_ANCHOR_ELEM, 'spark')},"
+        f" 0), 1, {max_links})"
+    )
+    base = F.regexp_extract(
+        F.col(url_col), "^([a-z][a-z0-9+.-]*://[^/?#]*)", 1
+    )
+    exploded = pages.select(
+        F.col(url_col).alias("src_url"),
+        base.alias("__base"),
+        F.explode(elems).alias("__elem"),
+    )
+    parsed = exploded.select(
+        "src_url", "__base",
+        F.expr(f"regexp_extract(__elem, {rx(_HREF, 'spark')}, 1)")
+        .alias("__href"),
+        F.lower(F.trim(
+            F.expr(f"regexp_extract(__elem, {rx(_ANCHOR_TEXT, 'spark')}, 1)")
+        )).alias("anchor"),
+    ).filter(F.col("anchor") != "")
+    is_abs = F.col("__href").rlike("^[A-Za-z][A-Za-z0-9+.-]*://")
+    is_scheme_noise = F.col("__href").rlike("^(mailto:|javascript:|data:|//)")
+    resolved = (
+        parsed.filter(~is_scheme_noise)
+        .withColumn(
+            "__raw",
+            F.when(is_abs, F.col("__href")).otherwise(
+                F.concat(
+                    F.col("__base"),
+                    F.when(
+                        F.col("__href").startswith("/"), F.col("__href")
+                    ).otherwise(F.concat(F.lit("/"), F.col("__href"))),
+                )
+            ),
+        )
+        .filter(F.col("__raw").rlike("^[Hh][Tt][Tt][Pp][Ss]?://"))
+    )
+    out = urlgen.with_canonical(resolved, raw_col="__raw")
+    return out.groupBy(
+        F.col("url_canon").alias("link_url"), "anchor"
+    ).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_refs"),
+        F.countDistinct("src_url").cast("bigint").alias("n_src_pages"),
+    )
+
+
+def sql_anchor_text_corpus(
+    table: str,
+    url_col: str = "url",
+    html_col: str = "html_text",
+    max_links: int = 64,
+) -> str:
+    """DuckDB twin of anchor_text_corpus."""
+    elem_rx = rx(_ANCHOR_ELEM, "duckdb")
+    href_rx = rx(_HREF, "duckdb")
+    text_rx = rx(_ANCHOR_TEXT, "duckdb")
+    canon = urlgen.canonicalize_expr("__raw", "duckdb")
+    return f"""
+WITH ex AS (
+  SELECT {url_col} AS src_url,
+         regexp_extract({url_col}, '^([a-z][a-z0-9+.-]*://[^/?#]*)', 1) AS __base,
+         unnest(list_slice(regexp_extract_all({html_col}, {elem_rx}, 0),
+                           1, {max_links})) AS __elem
+  FROM {table}),
+parsed AS (
+  SELECT src_url, __base,
+         regexp_extract(__elem, {href_rx}, 1) AS __href,
+         lower(trim(regexp_extract(__elem, {text_rx}, 1))) AS anchor
+  FROM ex),
+res AS (
+  SELECT src_url, anchor,
+         CASE WHEN regexp_matches(__href, '^[A-Za-z][A-Za-z0-9+.-]*://')
+              THEN __href
+              ELSE __base || (CASE WHEN starts_with(__href, '/')
+                                   THEN __href ELSE '/' || __href END)
+         END AS __raw
+  FROM parsed
+  WHERE anchor <> ''
+    AND NOT regexp_matches(__href, '^(mailto:|javascript:|data:|//)')),
+canon AS (
+  SELECT src_url, anchor, {canon} AS url_canon
+  FROM res
+  WHERE regexp_matches(__raw, '^[Hh][Tt][Tt][Pp][Ss]?://'))
+SELECT url_canon AS link_url, anchor,
+       CAST(count(*) AS BIGINT) AS n_refs,
+       CAST(count(DISTINCT src_url) AS BIGINT) AS n_src_pages
+FROM canon GROUP BY 1, 2
+"""

@@ -133,3 +133,41 @@ def test_host_edges_sql_twin_canonicalizes_identically(spark):
         ).fetchall()
     )
     assert spark_edges == duck_edges
+
+
+def test_anchor_text_corpus_semantics(spark):
+    """Anchors are lowercased+trimmed, empty anchors dropped, hrefs resolve
+    and canonicalize like extract_links, counts are per (target, anchor)."""
+    import duckdb
+
+    from language_diversity_common_crawler_spark.frontier import links
+
+    pages = [
+        ("https://a.ex/1",
+         '<a href="https://T.EX:443/p#f">  Click HERE </a>'
+         '<a href="/rel">click here</a><a href="https://t.ex/p"></a>'),
+        ("https://b.ex/2", '<a href="https://t.ex/p">click here</a>'
+                           '<a href="mailto:x@y.z">mail me</a>'),
+    ]
+    df = spark.createDataFrame(pages, ["url", "html_text"])
+    got = {
+        (r["link_url"], r["anchor"]): (r["n_refs"], r["n_src_pages"])
+        for r in links.anchor_text_corpus(df).collect()
+    }
+    # T.EX:443 canonicalizes to t.ex; two pages say 'click here' about it
+    assert got[("https://t.ex/p", "click here")] == (2, 2)
+    assert got[("https://a.ex/rel", "click here")] == (1, 1)
+    # empty anchor and mailto dropped
+    assert all(a != "" for (_, a) in got)
+    assert not any("mail" in a for (_, a) in got)
+
+    con = duckdb.connect()
+    con.execute("CREATE TABLE pages_t(url VARCHAR, html_text VARCHAR)")
+    con.executemany("INSERT INTO pages_t VALUES (?, ?)", pages)
+    duck = {
+        (r[0], r[1]): (r[2], r[3])
+        for r in con.execute(
+            links.sql_anchor_text_corpus("pages_t")
+        ).fetchall()
+    }
+    assert duck == got
