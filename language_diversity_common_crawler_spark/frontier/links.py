@@ -26,6 +26,52 @@ from . import urlgen
 # whose every outlink carries an anchor must still contribute outlinks)
 _HREF = r'href="([^"\s]+)"'
 
+# The href-resolution contract, shared by extract_links and
+# anchor_text_corpus in BOTH dialects (_resolve_hrefs / _sql_resolve):
+# scheme-noise dropped, absolute http(s) passes through, everything else
+# resolves against the page's scheme://host, non-http(s) results dropped.
+_ABS_RX = "^[A-Za-z][A-Za-z0-9+.-]*://"
+_NOISE_RX = "^(mailto:|javascript:|data:|//)"
+_HTTP_RX = "^[Hh][Tt][Tt][Pp][Ss]?://"
+
+
+def _resolve_hrefs(exploded: DataFrame) -> DataFrame:
+    """Resolve a ``__href`` column against ``__base`` into ``__raw`` —
+    the single Spark-side resolution path; edits here apply to link
+    extraction AND the anchor corpus (the DuckDB twin is _sql_resolve)."""
+    is_abs = F.col("__href").rlike(_ABS_RX)
+    is_scheme_noise = F.col("__href").rlike(_NOISE_RX)
+    return (
+        exploded.filter(~is_scheme_noise)
+        .withColumn(
+            "__raw",
+            F.when(is_abs, F.col("__href")).otherwise(
+                F.concat(
+                    F.col("__base"),
+                    F.when(
+                        F.col("__href").startswith("/"), F.col("__href")
+                    ).otherwise(F.concat(F.lit("/"), F.col("__href"))),
+                )
+            ),
+        )
+        .filter(F.col("__raw").rlike(_HTTP_RX))
+    )
+
+
+def _sql_resolve(select_cols: str, from_cte: str, extra_where: str = "") -> str:
+    """DuckDB body of the resolution contract: emits ``{select_cols},
+    __raw`` rows from a CTE exposing ``__href``/``__base``."""
+    return f"""SELECT * FROM (
+  SELECT {select_cols},
+         CASE WHEN regexp_matches(__href, '{_ABS_RX}')
+              THEN __href
+              ELSE __base || (CASE WHEN starts_with(__href, '/')
+                                   THEN __href ELSE '/' || __href END)
+         END AS __raw
+  FROM {from_cte}
+  WHERE NOT regexp_matches(__href, '{_NOISE_RX}'){extra_where}
+) WHERE regexp_matches(__raw, '{_HTTP_RX}')"""
+
 
 def extract_links(
     pages: DataFrame,
@@ -52,25 +98,7 @@ def extract_links(
         base.alias("__base"),
         F.explode(hrefs).alias("__href"),
     )
-    is_abs = F.col("__href").rlike("^[A-Za-z][A-Za-z0-9+.-]*://")
-    is_scheme_noise = F.col("__href").rlike(
-        "^(mailto:|javascript:|data:|//)"
-    )
-    resolved = (
-        exploded.filter(~is_scheme_noise)
-        .withColumn(
-            "__raw",
-            F.when(is_abs, F.col("__href")).otherwise(
-                F.concat(
-                    F.col("__base"),
-                    F.when(
-                        F.col("__href").startswith("/"), F.col("__href")
-                    ).otherwise(F.concat(F.lit("/"), F.col("__href"))),
-                )
-            ),
-        )
-        .filter(F.col("__raw").rlike("^[Hh][Tt][Tt][Pp][Ss]?://"))
-    )
+    resolved = _resolve_hrefs(exploded)
     out = urlgen.with_canonical(resolved, raw_col="__raw")
     return out.select(
         "src_url", F.col("url_canon").alias("link_url"), "host"
@@ -95,19 +123,10 @@ WITH ex AS (
          unnest(list_slice(regexp_extract_all({html_col}, {href_rx}, 1),
                            1, {max_links})) AS __href
   FROM {table}),
-res AS (
-  SELECT src_url,
-         CASE WHEN regexp_matches(__href, '^[A-Za-z][A-Za-z0-9+.-]*://')
-              THEN __href
-              ELSE __base || (CASE WHEN starts_with(__href, '/')
-                                   THEN __href ELSE '/' || __href END)
-         END AS __raw
-  FROM ex
-  WHERE NOT regexp_matches(__href, '^(mailto:|javascript:|data:|//)')),
+res AS ({_sql_resolve("src_url", "ex")}),
 canon AS (
   SELECT src_url, {canon} AS url_canon
-  FROM res
-  WHERE regexp_matches(__raw, '^[Hh][Tt][Tt][Pp][Ss]?://'))
+  FROM res)
 SELECT DISTINCT src_url, url_canon AS link_url, {host} AS host
 FROM canon
 """
@@ -155,23 +174,7 @@ def anchor_text_corpus(
             F.expr(f"regexp_extract(__elem, {rx(_ANCHOR_TEXT, 'spark')}, 1)")
         )).alias("anchor"),
     ).filter(F.col("anchor") != "")
-    is_abs = F.col("__href").rlike("^[A-Za-z][A-Za-z0-9+.-]*://")
-    is_scheme_noise = F.col("__href").rlike("^(mailto:|javascript:|data:|//)")
-    resolved = (
-        parsed.filter(~is_scheme_noise)
-        .withColumn(
-            "__raw",
-            F.when(is_abs, F.col("__href")).otherwise(
-                F.concat(
-                    F.col("__base"),
-                    F.when(
-                        F.col("__href").startswith("/"), F.col("__href")
-                    ).otherwise(F.concat(F.lit("/"), F.col("__href"))),
-                )
-            ),
-        )
-        .filter(F.col("__raw").rlike("^[Hh][Tt][Tt][Pp][Ss]?://"))
-    )
+    resolved = _resolve_hrefs(parsed)
     out = urlgen.with_canonical(resolved, raw_col="__raw")
     return out.groupBy(
         F.col("url_canon").alias("link_url"), "anchor"
@@ -204,20 +207,11 @@ parsed AS (
          regexp_extract(__elem, {href_rx}, 1) AS __href,
          lower(trim(regexp_extract(__elem, {text_rx}, 1))) AS anchor
   FROM ex),
-res AS (
-  SELECT src_url, anchor,
-         CASE WHEN regexp_matches(__href, '^[A-Za-z][A-Za-z0-9+.-]*://')
-              THEN __href
-              ELSE __base || (CASE WHEN starts_with(__href, '/')
-                                   THEN __href ELSE '/' || __href END)
-         END AS __raw
-  FROM parsed
-  WHERE anchor <> ''
-    AND NOT regexp_matches(__href, '^(mailto:|javascript:|data:|//)')),
+res AS ({_sql_resolve("src_url, anchor", "parsed",
+                      extra_where=" AND anchor <> ''")}),
 canon AS (
   SELECT src_url, anchor, {canon} AS url_canon
-  FROM res
-  WHERE regexp_matches(__raw, '^[Hh][Tt][Tt][Pp][Ss]?://'))
+  FROM res)
 SELECT url_canon AS link_url, anchor,
        CAST(count(*) AS BIGINT) AS n_refs,
        CAST(count(DISTINCT src_url) AS BIGINT) AS n_src_pages

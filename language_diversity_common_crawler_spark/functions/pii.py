@@ -5,22 +5,23 @@ tokens and counts each class per document — the C4/Dolma-style scrub stage
 that sits between extraction and training-set selection. The reference
 computes no PII handling (training-data extension per the build brief).
 
-Scale shape: a pure whole-stage-codegen JVM map (three regexp_replace
-passes + constant-string counting) — shuffle-free, linear, holds at
-100 TB. No Python UDF anywhere.
+Scale shape: a pure whole-stage-codegen JVM map (per class: one
+regexp_extract_all count on the text that class sees, then one
+regexp_replace) — shuffle-free, linear, holds at 100 TB. No Python UDF
+anywhere.
 
 Cross-dialect notes:
 - Patterns avoid everything RE2 (DuckDB) lacks: no backreferences, no
   lookaround. Greedy-quantifier semantics on these patterns are identical
   leftmost-first in Java regex and RE2.
 - Regex literals go through dialect.rx (Spark SQL escape processing).
-- Class counts are derived from the REDACTED text by counting placeholder
-  occurrences with non-regex replace(): exact integer math, no
-  regexp_count (absent in one engine or the other across versions).
-- The redaction expression is materialized in its own projection before
-  the count expressions reference it (multiply-referenced lambda-free
-  aliases survive CollapseProject in both engines, so the three regex
-  passes run once per row, not once per count column).
+- Class counts are taken AT REDACTION TIME (regexp_extract_all on the
+  text each class actually sees), never from the redacted output —
+  pre-existing literal placeholder tokens in the input must not inflate
+  a count.
+- Each class's staged text alias is multiply-referenced (count + next
+  replace), and lambda-free aliases survive CollapseProject in both
+  engines, so each class costs two regex passes per row, not four.
 """
 
 from __future__ import annotations
@@ -60,11 +61,15 @@ def match_count_expr(text: str, pattern: str, dialect: str) -> str:
     placeholder substrings in the redacted output would be inflated by
     input text that already contains a literal '<EMAIL>'/'<IP>'/'<PHONE>'
     (previously-scrubbed or documentation text is common on the real
-    web). Group index 0 is explicit: Spark's default is group 1."""
+    web). Group index 0 is explicit: Spark's default is group 1. The NULL
+    guard is load-bearing: Spark's size(NULL) is -1 whenever ANSI mode is
+    off and legacy.sizeOfNull applies — the guard pins NULL-in → NULL-count
+    regardless of session flags, matching DuckDB's len(NULL)."""
     fn = "len" if dialect == "duckdb" else "size"
     return (
+        f"CASE WHEN {text} IS NULL THEN NULL ELSE "
         f"CAST({fn}(regexp_extract_all({text}, {rx(pattern, dialect)}, 0)) "
-        f"AS BIGINT)"
+        f"AS BIGINT) END"
     )
 
 

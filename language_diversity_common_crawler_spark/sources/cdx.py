@@ -123,7 +123,7 @@ def write_fixture_from_documents(
     import duckdb
 
     from .fixtures import atomic_path, fixture_fresh, fixture_key, \
-        mark_fixture_done
+        mark_fixture_done, prune_orphans
 
     key = fixture_key(sf_dir, n_files)
     if fixture_fresh(out_dir, key):
@@ -138,13 +138,15 @@ def write_fixture_from_documents(
     shards: list[list[str]] = [[] for _ in range(n_files)]
     for shard, line in rows:
         shards[int(shard)].append(line)
+    written: set[str] = set()
     for i, lines in enumerate(shards):
-        tmp, final = atomic_path(
-            os.path.join(out_dir, f"cdx-{i:05d}.cdx.gz")
-        )
+        name = f"cdx-{i:05d}.cdx.gz"
+        tmp, final = atomic_path(os.path.join(out_dir, name))
         with gzip.open(tmp, "wt", encoding="utf-8") as f:
             f.write("\n".join(lines) + ("\n" if lines else ""))
         os.replace(tmp, final)
+        written.add(name)
+    prune_orphans(out_dir, ".cdx.gz", written)
     mark_fixture_done(out_dir, key)
     return out_dir
 

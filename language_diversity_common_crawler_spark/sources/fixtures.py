@@ -46,3 +46,32 @@ def mark_fixture_done(out_dir: str, key: str) -> None:
 def atomic_path(final_path: str) -> tuple[str, str]:
     """(tmp_path, final_path) for write-then-``os.replace`` publication."""
     return f"{final_path}.tmp-{os.getpid()}", final_path
+
+
+def prune_orphans(out_dir: str, suffix: str, keep: set[str]) -> None:
+    """Delete reader-visible shards (``*{suffix}``) that a rewrite did not
+    produce — without this, shrinking ``n_files`` (or a prior run's extra
+    files) leaves stale shards that the readers' glob happily ingests
+    alongside the fresh ones. ``.tmp-*`` leftovers from CRASHED runs are
+    swept too, but only when an hour old: a younger tmp may be a
+    concurrent writer's in-flight file whose os.replace must not lose a
+    race with our remover."""
+    import time
+
+    now = time.time()
+    for name in os.listdir(out_dir):
+        path = os.path.join(out_dir, name)
+        if name.endswith(suffix) and name not in keep:
+            stale = True
+        elif ".tmp-" in name:
+            try:
+                stale = now - os.path.getmtime(path) > 3600
+            except OSError:  # pragma: no cover - already gone
+                stale = False
+        else:
+            stale = False
+        if stale:
+            try:
+                os.remove(path)
+            except OSError:  # pragma: no cover - concurrent remover won
+                pass

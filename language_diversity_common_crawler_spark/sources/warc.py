@@ -368,7 +368,7 @@ def write_fixture_from_documents(
     import pyarrow.parquet as pq
 
     from .fixtures import atomic_path, fixture_fresh, fixture_key, \
-        mark_fixture_done
+        mark_fixture_done, prune_orphans
 
     key = fixture_key(sf_dir, n_files)
     if fixture_fresh(out_dir, key):
@@ -398,15 +398,14 @@ def write_fixture_from_documents(
             ),
         }
         shards[int(doc_id) % n_files].append(rec)
+    written: set[str] = set()
     for i, recs in enumerate(shards):
-        tmp, final = atomic_path(
-            os.path.join(
-                out_dir,
-                f"CC-MAIN-20230921073711-20230921103711-{i:05d}.warc.gz",
-            )
-        )
+        name = f"CC-MAIN-20230921073711-20230921103711-{i:05d}.warc.gz"
+        tmp, final = atomic_path(os.path.join(out_dir, name))
         write_warc_gz(tmp, recs)
         os.replace(tmp, final)
+        written.add(name)
+    prune_orphans(out_dir, ".warc.gz", written)
     mark_fixture_done(out_dir, key)
     return out_dir
 

@@ -70,3 +70,22 @@ def test_fetch_plan_excludes_nonfetchable(spark, tmp_path):
     assert n_plan < n_all
     for r in plan.values():
         assert r["first_surt"] <= r["last_surt"]
+
+
+def test_fixture_rewrite_prunes_orphan_shards(spark, tmp_path):
+    """Shrinking n_files on a rewrite must delete the old extra shards —
+    otherwise the readers' *.cdx.gz glob ingests stale rows (the keyed
+    _DONE sentinel forces the rewrite; prune_orphans removes leftovers)."""
+    out = str(tmp_path / "cdx")
+    cdx.write_fixture_from_documents(SF_DIR, out, n_files=8)
+    assert len([f for f in os.listdir(out) if f.endswith(".cdx.gz")]) == 8
+    cdx.write_fixture_from_documents(SF_DIR, out, n_files=4)
+    names = sorted(f for f in os.listdir(out) if f.endswith(".cdx.gz"))
+    assert names == [f"cdx-{i:05d}.cdx.gz" for i in range(4)]
+    n = cdx.cdx_records(spark, f"{out}/*.cdx.gz").count()
+    import pyarrow.parquet as pq
+
+    n_docs = pq.read_table(
+        os.path.join(SF_DIR, "documents.parquet"), columns=["doc_id"]
+    ).num_rows
+    assert n == n_docs
