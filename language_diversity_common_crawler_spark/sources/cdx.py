@@ -49,11 +49,10 @@ FIELDS = [
 ]
 
 
-def cdx_records(spark: SparkSession, path: str) -> DataFrame:
-    """Parse CDX-J shards into (surt, ts, url, status, mime, length,
-    offset, filename). Malformed lines (no SURT/ts/JSON shape) are
-    dropped, matching pywb's tolerant reader."""
-    lines = spark.read.text(path)
+def _parse_lines(lines: DataFrame) -> DataFrame:
+    """The one parse path (batch AND streaming): anchored regex split,
+    JSON field extraction, malformed lines dropped (pywb's tolerant
+    reader semantics)."""
     pat = _LINE_RX
     staged = lines.select(
         F.regexp_extract("value", pat, 1).alias("surt"),
@@ -67,6 +66,12 @@ def cdx_records(spark: SparkSession, path: str) -> DataFrame:
             c = c.cast(typ.lower())
         cols.append(c.alias(out))
     return staged.select(*cols)
+
+
+def cdx_records(spark: SparkSession, path: str) -> DataFrame:
+    """Parse CDX-J shards into (surt, ts, url, status, mime, length,
+    offset, filename)."""
+    return _parse_lines(spark.read.text(path))
 
 
 # ---------------------------------------------------------------------------
@@ -202,3 +207,24 @@ FROM ({sql_cdx_parse_oracle(table)})
 WHERE status = 200 AND mime = 'text/html'
 GROUP BY filename
 """
+
+
+def cdx_records_stream(
+    spark: SparkSession,
+    path: str,
+    max_files_per_trigger: int = 1,
+    path_glob: str = "*.cdx.gz",
+):
+    """Streaming CDX ingest: new index shards landing in ``path`` become
+    micro-batches of parsed capture rows — the 'index shards publish as
+    the crawl progresses' shape (Common Crawl releases cdx.gz shards per
+    segment as a crawl runs). Identical parse expressions to the batch
+    reader; pair with streaming/microbatch.py sinks or feed fetch_plan
+    per micro-batch via foreachBatch."""
+    lines = (
+        spark.readStream.format("text")
+        .option("maxFilesPerTrigger", max_files_per_trigger)
+        .option("pathGlobFilter", path_glob)
+        .load(path)
+    )
+    return _parse_lines(lines)

@@ -89,3 +89,32 @@ def test_fixture_rewrite_prunes_orphan_shards(spark, tmp_path):
         os.path.join(SF_DIR, "documents.parquet"), columns=["doc_id"]
     ).num_rows
     assert n == n_docs
+
+
+def test_cdx_records_stream_matches_batch(spark, tmp_path):
+    """Streaming shard ingest: cdx.gz files arriving in a directory become
+    micro-batches through the SAME parse; availableNow drains one file per
+    trigger and the union of batches equals the batch reader."""
+    out = cdx.write_fixture_from_documents(SF_DIR, str(tmp_path / "cdx"), n_files=3)
+    stream = cdx.cdx_records_stream(spark, out)
+    assert stream.isStreaming
+    sink = str(tmp_path / "sink")
+    batches = []
+
+    def _sink(df, batch_id):
+        batches.append(df.count())
+        df.write.mode("overwrite").parquet(f"{sink}/batch={batch_id:05d}")
+
+    q = (
+        stream.writeStream.foreachBatch(_sink)
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    assert len(batches) == 3 and all(b > 0 for b in batches)
+    got = spark.read.parquet(f"{sink}/batch=*").drop("batch")
+    want = cdx.cdx_records(spark, f"{out}/*.cdx.gz")
+    assert got.count() == want.count()
+    assert got.exceptAll(want).count() == 0
+    assert want.exceptAll(got).count() == 0
