@@ -1138,6 +1138,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["anchor_text_corpus"] = anchor_text_corpus
 
+    def unigram_lm_score(spark, sf_dir):
+        """CCNet-style perplexity-filter stand-in: per-doc average unigram
+        log-probability under the corpus's own unigram LM — broadcast vocab
+        onto the exploded token stream, per-term integer quantization
+        (quality_rules.unigram_lm_score)."""
+        tune_session(spark)
+        return quality_rules.unigram_lm_score(_docs_par(spark, sf_dir))
+
+    q["unigram_lm_score"] = unigram_lm_score
+
     return q
 
 
@@ -1638,5 +1648,7 @@ FROM documents
     o["anchor_text_corpus"] = _links.sql_anchor_text_corpus(
         f"({_PAGES_ANCHOR_SQL}) AS pa"
     )
+
+    o["unigram_lm_score"] = quality_rules.sql_unigram_lm_score("documents")
 
     return o

@@ -269,3 +269,85 @@ SELECT {id_col},
        CAST(max(cnt) AS DOUBLE) / sum(cnt) AS top_2gram_frac
 FROM c GROUP BY {id_col}
 """
+
+
+# ---------------------------------------------------------------------------
+# unigram-LM quality score (CCNet-style perplexity-filter stand-in)
+# ---------------------------------------------------------------------------
+
+def unigram_lm_score(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Per-document average unigram log-probability under the corpus's own
+    unigram distribution — the deterministic stand-in for CCNet's KenLM
+    perplexity filter (low avg logprob = gibberish/rare-token soup, high =
+    head-heavy boilerplate; both tails get filtered in a real pipeline).
+
+    Scale shape: the vocab table (token → corpus count) is ORDERS OF
+    MAGNITUDE smaller than the corpus (≈10^7 tokens at web scale) and
+    BROADCASTS onto the exploded token stream, so the corpus side is
+    Generate + broadcast-join + one doc_id-keyed aggregate; the vocab
+    build itself is one token-keyed aggregate with map-side partials.
+
+    Oracle-determinism: per-token terms round(1000*log2(cnt/total)) are
+    quantized to exact BIGINTs BEFORE summation (order-independent integer
+    adds — the operators/diversity.py contract; see its docstring for the
+    cross-engine grid-boundary analysis). The final average divides two
+    exact integers with an explicit floor(double) — floor, not integer
+    division, because Spark's `div` truncates toward zero while DuckDB's
+    `//` floors, and the sums are negative."""
+    from .dedup import tokens_expr
+
+    tok = docs.select(
+        "doc_id", F.expr(tokens_expr(text_col, "spark")).alias("toks")
+    )
+    t = tok.select("doc_id", F.explode("toks").alias("tok")).filter(
+        F.col("tok") != ""
+    )
+    vocab = t.groupBy("tok").agg(F.count(F.lit(1)).alias("cnt"))
+    total = vocab.agg(F.sum("cnt").alias("total"))
+    v = vocab.crossJoin(F.broadcast(total)).select(
+        "tok",
+        F.expr(
+            "CAST(round(1000.0 * log2(CAST(cnt AS DOUBLE) "
+            "/ CAST(total AS DOUBLE))) AS BIGINT)"
+        ).alias("term_milli"),
+    )
+    agg = (
+        t.join(F.broadcast(v), "tok")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_tokens"),
+            F.sum("term_milli").cast("bigint").alias("logprob_milli_sum"),
+        )
+    )
+    return agg.withColumn(
+        "avg_logprob_milli",
+        F.expr(
+            "CAST(floor(CAST(logprob_milli_sum AS DOUBLE) / n_tokens) "
+            "AS BIGINT)"
+        ),
+    )
+
+
+def sql_unigram_lm_score(table: str, text_col: str = "text") -> str:
+    """DuckDB twin of unigram_lm_score."""
+    from .dedup import tokens_expr
+
+    return f"""
+WITH tok AS (
+  SELECT doc_id, unnest({tokens_expr(text_col, 'duckdb')}) AS tok
+  FROM {table}),
+t AS (SELECT doc_id, tok FROM tok WHERE tok <> ''),
+vocab AS (SELECT tok, count(*) AS cnt FROM t GROUP BY tok),
+tot AS (SELECT sum(cnt) AS total FROM vocab),
+v AS (
+  SELECT tok,
+         CAST(round(1000.0 * log2(CAST(cnt AS DOUBLE)
+              / CAST(total AS DOUBLE))) AS BIGINT) AS term_milli
+  FROM vocab, tot)
+SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
+       CAST(sum(term_milli) AS BIGINT) AS logprob_milli_sum,
+       CAST(floor(CAST(sum(term_milli) AS DOUBLE) / count(*)) AS BIGINT)
+         AS avg_logprob_milli
+FROM t JOIN v USING (tok)
+GROUP BY doc_id
+"""

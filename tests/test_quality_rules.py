@@ -126,3 +126,48 @@ def test_shuffle_free_plan(spark):
     )
     assert "Exchange" not in plan, plan
     assert "BatchEvalPython" not in plan and "ArrowEval" not in plan, plan
+
+
+def test_unigram_lm_score_ground_truth(spark):
+    """Power-of-two corpus: every probability is exactly representable so
+    the expected milli-terms are exact by hand; parity vs the DuckDB twin
+    on the same rows."""
+    import duckdb
+
+    rows = [
+        (1, "a a b b"),   # 4 tokens, p(a)=p(b)=1/2 -> every term -1000
+        (2, "a b"),       # 2 tokens, same terms
+        (3, None),        # NULL: no tokens -> absent from output
+        (4, ""),          # empty: no tokens -> absent
+    ]
+    df = spark.createDataFrame(rows, "doc_id bigint, text string")
+    got = {
+        r["doc_id"]: (r["n_tokens"], r["logprob_milli_sum"],
+                      r["avg_logprob_milli"])
+        for r in quality_rules.unigram_lm_score(df).collect()
+    }
+    assert got == {1: (4, -4000, -1000), 2: (2, -2000, -1000)}
+
+    con = duckdb.connect()
+    con.execute("CREATE TABLE d2(doc_id BIGINT, text VARCHAR)")
+    con.executemany("INSERT INTO d2 VALUES (?, ?)", rows)
+    duck = {
+        r[0]: tuple(r[1:])
+        for r in con.execute(
+            quality_rules.sql_unigram_lm_score("d2")
+        ).fetchall()
+    }
+    assert duck == got
+
+
+def test_unigram_lm_score_rare_tokens_score_lower(spark):
+    """A doc made of corpus-rare tokens scores below a doc of corpus-common
+    tokens — the filterable signal the operator exists to provide."""
+    common = "the and of to in " * 20
+    rows = [(i, common) for i in range(1, 9)] + [(9, "zyx wvu tsr qpo nml")]
+    df = spark.createDataFrame(rows, "doc_id bigint, text string")
+    got = {
+        r["doc_id"]: r["avg_logprob_milli"]
+        for r in quality_rules.unigram_lm_score(df).collect()
+    }
+    assert got[9] < got[1]
