@@ -24,6 +24,7 @@ from pyspark.sql.window import Window
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 from language_diversity_common_crawler_spark.functions import (  # noqa: E402
+    components,
     dedup,
     langspec,
     pii,
@@ -601,6 +602,19 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return dedup.minhash_dedup_survivors(docs, verified)
 
     q["minhash_dedup_survivors"] = minhash_dedup_survivors
+
+    def dedup_clusters(spark, sf_dir):
+        """Transitive-closure dedup: verified near-dup pairs → connected
+        components (hash-min label propagation) → one kept representative
+        per component, cluster sizes for all docs. Completes the chain the
+        greedy one-hop survivor rule approximates."""
+        tune_session(spark)
+        docs = _docs_par(spark, sf_dir)
+        pairs = dedup.lsh_candidate_pairs(dedup.minhash_signatures(docs))
+        verified = dedup.jaccard_verified_pairs(docs, pairs, min_jaccard_bp=2000)
+        return components.dedup_clusters(docs, verified)
+
+    q["dedup_clusters"] = dedup_clusters
 
     def minhash_lsh_pairs_16x8(spark, sf_dir):
         """Production LSH preset (16 hashes / 8 bands): steeper S-curve,
@@ -1366,6 +1380,14 @@ FROM agg
     )
     o["lang_length_percentiles"] = stats.sql_length_percentiles()
     o["minhash_dedup_survivors"] = dedup.sql_minhash_dedup_survivors(
+        dedup.sql_jaccard_verified_pairs(
+            dedup.sql_lsh_candidate_pairs(
+                dedup.sql_minhash_signatures("documents")
+            ),
+            min_jaccard_bp=2000,
+        )
+    )
+    o["dedup_clusters"] = components.sql_dedup_clusters(
         dedup.sql_jaccard_verified_pairs(
             dedup.sql_lsh_candidate_pairs(
                 dedup.sql_minhash_signatures("documents")
