@@ -26,6 +26,7 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 from language_diversity_common_crawler_spark.functions import (  # noqa: E402
     components,
     dedup,
+    packing,
     langspec,
     pii,
     quality_rules,
@@ -509,6 +510,34 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
 
     q["document_chunks"] = document_chunks
+
+    def sequence_packing(spark, sf_dir):
+        """Concat-and-split packing of chunks into fixed-token context
+        windows: per-shard running-token window sum, deterministic
+        (doc_id, chunk_idx) layout, straddle flags. Gate geometry matches
+        document_chunks (small synthetic docs) with a small budget so
+        multi-pack shards and straddles are exercised."""
+        tune_session(spark)
+        return packing.sequence_packing(
+            _docs_par(spark, sf_dir), budget=64, n_shards=8,
+            width=160, stride=120,
+        )
+
+    q["sequence_packing"] = sequence_packing
+
+    def pack_manifest(spark, sf_dir):
+        """Per-(shard, pack) rollup of the packing layout: chunk count,
+        token fill, straddle count — the manifest a batch assembler
+        reads."""
+        tune_session(spark)
+        return packing.pack_manifest(
+            packing.sequence_packing(
+                _docs_par(spark, sf_dir), budget=64, n_shards=8,
+                width=160, stride=120,
+            )
+        )
+
+    q["pack_manifest"] = pack_manifest
 
     def corpus_token_budget(spark, sf_dir):
         """Per-language token budget — docs, exact BPE-split token total,
@@ -1387,6 +1416,12 @@ FROM agg
             min_jaccard_bp=2000,
         )
     )
+    _PACK_SQL = packing.sql_sequence_packing(
+        "documents", budget=64, n_shards=8, width=160, stride=120
+    )
+    o["sequence_packing"] = _PACK_SQL
+    o["pack_manifest"] = packing.sql_pack_manifest(_PACK_SQL)
+
     o["dedup_clusters"] = components.sql_dedup_clusters(
         dedup.sql_jaccard_verified_pairs(
             dedup.sql_lsh_candidate_pairs(
