@@ -911,6 +911,38 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["host_pagerank"] = host_pagerank
 
+    def pagerank_budget_schedule(spark, sf_dir):
+        """Crawl-budget allocation by authority: per-host fetch budgets
+        proportional to host PageRank (1 + rank_micro/20000, global cap
+        4), fed into the salted two-phase politeness scheduler. This is
+        the composition the host_pagerank docstring promises — the link
+        graph steering the frontier. The rank table is host-level (small),
+        so the budget join broadcasts; plan shape is unchanged from
+        frontier_budget_schedule (WindowGroupLimit still fires on the
+        literal cap)."""
+        tune_session(spark)
+        from language_diversity_common_crawler_spark.frontier import (
+            graph,
+            scheduler,
+        )
+
+        seeds = _seeds_df(spark, sf_dir).dropDuplicates(["url_canon"]).select(
+            "url_canon", "host"
+        )
+        ranks = graph.host_pagerank(graph.host_edges(_links_df(spark, sf_dir)))
+        budgets = ranks.select(
+            "host",
+            (
+                F.lit(1)
+                + F.floor(F.col("rank_micro").cast("double") / F.lit(20000.0))
+            ).cast("int").alias("budget"),
+        )
+        return scheduler.politeness_schedule(seeds, 4, budgets=budgets).select(
+            "host", "url_canon", "priority", "slot"
+        )
+
+    q["pagerank_budget_schedule"] = pagerank_budget_schedule
+
     def frontier_robots_filter(spark, sf_dir):
         tune_session(spark)
         seeds = _seeds_df(spark, sf_dir)
@@ -1557,6 +1589,27 @@ FROM documents
     )
     o["host_graph_degrees"] = _graph.sql_host_degrees(_EDGES_SQL)
     o["host_pagerank"] = _graph.sql_host_pagerank(_EDGES_SQL)
+
+    o["pagerank_budget_schedule"] = f"""
+WITH seeds AS ({_SEEDS_SQL}),
+uniq AS (
+  SELECT url_canon, host,
+         {sql_md5_60_salted("url_canon", "prio")} % 1000000 AS priority
+  FROM (SELECT DISTINCT url_canon, host FROM seeds)),
+ranks AS ({_graph.sql_host_pagerank(_EDGES_SQL)}),
+budgets AS (
+  SELECT host AS b_host,
+         CAST(1 + floor(CAST(rank_micro AS DOUBLE) / 20000.0) AS INT)
+           AS budget
+  FROM ranks)
+SELECT host, url_canon, priority, slot FROM (
+  SELECT u.host, u.url_canon, u.priority,
+         row_number() OVER (PARTITION BY u.host
+                            ORDER BY u.priority DESC, u.url_canon ASC) AS slot,
+         least(coalesce(b.budget, 4), 4) AS budget
+  FROM uniq u LEFT JOIN budgets b ON u.host = b.b_host
+) WHERE slot <= budget
+"""
 
     o["frontier_budget_schedule"] = f"""
 WITH seeds AS ({_SEEDS_SQL}),
