@@ -230,6 +230,16 @@ def main() -> None:
     extract_rows_per_sec = round(n_rows_ex / dt_ex, 1)
 
     total = round(sum(timings.values()), 4)
+    # North-rule evidence rider: the latest two-parallelism-level scaling
+    # measurement (tools/scaling_bench.py --update-baseline writes
+    # SCALING.json). Reported here so BENCH_r{N}.json carries throughput
+    # at both levels + efficiency, per the BASELINE.json criterion.
+    scaling = None
+    scaling_path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                                "SCALING.json")
+    if os.path.exists(scaling_path):
+        with open(scaling_path) as f:
+            scaling = json.load(f)
     print(
         json.dumps(
             {
@@ -248,6 +258,7 @@ def main() -> None:
                     f"{BUDGET_SEC:.0f}s total budget (noisy-box capability "
                     f"estimate)"
                 ),
+                "scaling": scaling,
             }
         )
     )

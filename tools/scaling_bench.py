@@ -644,6 +644,33 @@ def _write_baseline_section(summary: dict, lo: int, hi: int) -> None:
     )
     with open(path, "w") as f:
         f.write(content + section)
+    _write_scaling_json(summary, lo, hi)
+
+
+def _write_scaling_json(summary: dict, lo: int, hi: int) -> None:
+    """Compact machine-readable north-rule evidence (SCALING.json at the
+    repo root): per-level throughput bests + paired-median efficiency.
+    bench.py embeds this in its one JSON line so BENCH_r{N}.json carries
+    the two-parallelism-level scaling evidence alongside the timings."""
+    rl, rh = summary["levels"][lo], summary["levels"][hi]
+    jobs = {}
+    for job in JOB_LABELS:
+        if job not in summary["scaling_efficiency"]:
+            continue
+        jobs[job] = {
+            f"local{lo}_per_sec": rl.get(f"{job}_per_sec"),
+            f"local{hi}_per_sec": rh.get(f"{job}_per_sec"),
+            "units": rh.get(f"{job}_units"),
+            "efficiency": summary["scaling_efficiency"][job],
+            "efficiency_vs_control":
+                summary.get("scaling_efficiency_vs_control", {}).get(job),
+            "n_rounds": len(summary["accumulated_rounds"].get(job, [])),
+        }
+    with open(os.path.join(REPO, "SCALING.json"), "w") as f:
+        json.dump(
+            {"levels": [lo, hi], "jobs": jobs,
+             "protocol": summary["protocol"]}, f, indent=1,
+        )
 
 
 def report_only(levels: list[int], update_baseline: bool) -> None:
