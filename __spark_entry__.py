@@ -196,6 +196,68 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["fixed_lang_crosstab"] = fixed_lang_crosstab
 
+    def lang_consensus(spark, sf_dir):
+        """Ensemble language label per document: majority vote across the
+        three models (tie → detect_fast, the reference's first-listed
+        model), plus the agreement level (3 = unanimous, 2 = one pair,
+        1 = all disagree). Pure JVM CASE expressions over the one-pass
+        L5 fan-out — no extra shuffle, no UDF re-evaluation (shared
+        _docs_preds lineage, pinned by test_plan_shape)."""
+        tune_session(spark)
+        d = _docs_preds(spark, sf_dir)
+        consensus = (
+            F.when(
+                (F.col("df_lang") == F.col("li_lang"))
+                | (F.col("df_lang") == F.col("cld_lang")),
+                F.col("df_lang"),
+            )
+            .when(F.col("li_lang") == F.col("cld_lang"), F.col("li_lang"))
+            .otherwise(F.col("df_lang"))
+        )
+        n_agree = (
+            F.when(
+                (F.col("df_lang") == F.col("li_lang"))
+                & (F.col("li_lang") == F.col("cld_lang")),
+                F.lit(3),
+            )
+            .when(
+                (F.col("df_lang") == F.col("li_lang"))
+                | (F.col("li_lang") == F.col("cld_lang"))
+                | (F.col("df_lang") == F.col("cld_lang")),
+                F.lit(2),
+            )
+            .otherwise(F.lit(1))
+        )
+        return d.select(
+            "doc_id", "df_lang", "li_lang", "cld_lang",
+            consensus.alias("consensus_lang"),
+            n_agree.cast("int").alias("n_agree"),
+        )
+
+    q["lang_consensus"] = lang_consensus
+
+    def dataset_split(spark, sf_dir):
+        """Deterministic train/val/test assignment: salted 60-bit md5 of
+        the doc id mod 100 → 98/1/1 split. A pure shuffle-free map, stable
+        under repartitioning and resume (hash of the DATA, never of the
+        partition or row position) — the property that makes the split
+        reproducible across cluster sizes."""
+        tune_session(spark)
+        bucket = (
+            md5_60(F.concat(F.lit("split:"), F.col("doc_id").cast("string")))
+            % 100
+        )
+        return _docs(spark, sf_dir).select(
+            "doc_id",
+            bucket.cast("int").alias("bucket"),
+            F.when(bucket < 98, F.lit("train"))
+            .when(bucket < 99, F.lit("val"))
+            .otherwise(F.lit("test"))
+            .alias("split"),
+        )
+
+    q["dataset_split"] = dataset_split
+
     def lang_diversity_index(spark, sf_dir):
         tune_session(spark)
         long_df = histogram.model_long_form(_docs_preds(spark, sf_dir))
@@ -1242,6 +1304,29 @@ def oracle_sql() -> dict[str, str]:
     o["fixed_lang_crosstab"] = crosstab.sql_fixed_lang_crosstab(
         _PREDS_SQL, "detect_fast", "de"
     )
+    o["lang_consensus"] = f"""
+WITH preds AS ({_PREDS_SQL})
+SELECT doc_id, df_lang, li_lang, cld_lang,
+       CASE WHEN df_lang = li_lang OR df_lang = cld_lang THEN df_lang
+            WHEN li_lang = cld_lang THEN li_lang
+            ELSE df_lang END AS consensus_lang,
+       CAST(CASE WHEN df_lang = li_lang AND li_lang = cld_lang THEN 3
+            WHEN df_lang = li_lang OR li_lang = cld_lang
+                 OR df_lang = cld_lang THEN 2
+            ELSE 1 END AS INT) AS n_agree
+FROM preds
+"""
+    _split_bucket = (
+        sql_md5_60("concat('split:', CAST(doc_id AS VARCHAR))", "duckdb")
+        + " % 100"
+    )
+    o["dataset_split"] = f"""
+SELECT doc_id, CAST(({_split_bucket}) AS INT) AS bucket,
+       CASE WHEN ({_split_bucket}) < 98 THEN 'train'
+            WHEN ({_split_bucket}) < 99 THEN 'val'
+            ELSE 'test' END AS split
+FROM documents
+"""
     long_form_sql = (
         f"WITH preds AS ({_PREDS_SQL})\n"
         + " UNION ALL ".join(
