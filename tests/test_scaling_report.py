@@ -68,6 +68,8 @@ def test_report_only_medians(sb, tmp_path, monkeypatch, capsys):
     baseline = tmp_path / "BASELINE.md"
     baseline.write_text("# header\n\n## Scaling (measured)\nold\n")
     monkeypatch.setenv("SCALING_BASELINE_PATH", str(baseline))
+    scaling_json = tmp_path / "SCALING.json"
+    monkeypatch.setenv("SCALING_JSON_PATH", str(scaling_json))
 
     sb.report_only([2, 8], update_baseline=True)
     out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
@@ -87,6 +89,12 @@ def test_report_only_medians(sb, tmp_path, monkeypatch, capsys):
     assert "# header" in text  # content above the marker survives
     assert text.count("## Scaling (measured)") == 1  # old section replaced
     assert "0.75 (n=4)" in text  # efficiency + sample count in the table
+
+    # the machine-readable evidence went to the redirected path, NOT the
+    # repo's real SCALING.json (which holds measured numbers)
+    ev = json.loads(scaling_json.read_text())
+    assert ev["jobs"]["frontier"]["efficiency"] == 0.75
+    assert ev["levels"] == [2, 8]
 
 
 def test_none_control_rounds_are_skipped_in_normalization(

@@ -651,7 +651,10 @@ def _write_scaling_json(summary: dict, lo: int, hi: int) -> None:
     """Compact machine-readable north-rule evidence (SCALING.json at the
     repo root): per-level throughput bests + paired-median efficiency.
     bench.py embeds this in its one JSON line so BENCH_r{N}.json carries
-    the two-parallelism-level scaling evidence alongside the timings."""
+    the two-parallelism-level scaling evidence alongside the timings.
+
+    Path overridable via SCALING_JSON_PATH so tests exercising the
+    reporting never clobber the repo's real measured evidence."""
     rl, rh = summary["levels"][lo], summary["levels"][hi]
     jobs = {}
     for job in JOB_LABELS:
@@ -666,7 +669,9 @@ def _write_scaling_json(summary: dict, lo: int, hi: int) -> None:
                 summary.get("scaling_efficiency_vs_control", {}).get(job),
             "n_rounds": len(summary["accumulated_rounds"].get(job, [])),
         }
-    with open(os.path.join(REPO, "SCALING.json"), "w") as f:
+    out_path = os.environ.get("SCALING_JSON_PATH",
+                              os.path.join(REPO, "SCALING.json"))
+    with open(out_path, "w") as f:
         json.dump(
             {"levels": [lo, hi], "jobs": jobs,
              "protocol": summary["protocol"]}, f, indent=1,
