@@ -26,6 +26,7 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 from language_diversity_common_crawler_spark.functions import (  # noqa: E402
     components,
     dedup,
+    indexing,
     packing,
     langspec,
     pii,
@@ -497,6 +498,25 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
 
     q["gopher_quality"] = gopher_quality
+
+    def inverted_index(spark, sf_dir):
+        """Inverted index build: term → document frequency + capped
+        posting list. Postings are window-capped BEFORE aggregation (a
+        stop-word never buffers the whole corpus), and the groupBy reuses
+        the window's term partitioning — one shuffle total."""
+        tune_session(spark)
+        return indexing.term_postings(_docs_par(spark, sf_dir))
+
+    q["inverted_index"] = inverted_index
+
+    def tfidf_top_terms(spark, sf_dir):
+        """Top-3 distinctive terms per document by the exact-integer
+        tf*1e6 div df score (no float → oracle-hash-safe); tf → df → join
+        → per-doc top-k, all built-in JVM ops."""
+        tune_session(spark)
+        return indexing.tfidf_top_terms(_docs_par(spark, sf_dir))
+
+    q["tfidf_top_terms"] = tfidf_top_terms
 
     def repetition_2gram(spark, sf_dir):
         """Most-common-2-gram share per document (Gopher repetition
@@ -1491,6 +1511,8 @@ FROM agg
     o["winnow_fingerprints"] = text_analysis.sql_winnow_fingerprints("documents")
 
     o["gopher_quality"] = quality_rules.sql_gopher_quality("documents")
+    o["inverted_index"] = indexing.sql_term_postings("documents")
+    o["tfidf_top_terms"] = indexing.sql_tfidf_top_terms("documents")
     o["repetition_2gram"] = quality_rules.sql_top_2gram_stats("documents")
 
     o["winnow_near_dup_pairs"] = dedup.sql_winnow_near_dup_pairs("documents")

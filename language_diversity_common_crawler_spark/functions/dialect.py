@@ -24,3 +24,11 @@ def g_flag(dialect: str) -> str:
     """Global-replace flag argument for regexp_replace (Spark is always
     global; DuckDB needs 'g')."""
     return ", 'g'" if dialect == "duckdb" else ""
+
+
+def idiv(a: str, b: str, dialect: str) -> str:
+    """Exact integer division (Spark ``div``, DuckDB ``//``). Identical for
+    non-negative operands; used for integer-scaled scores so the oracle
+    value-hash never sees a float."""
+    op = "//" if dialect == "duckdb" else "div"
+    return f"(({a}) {op} ({b}))"
