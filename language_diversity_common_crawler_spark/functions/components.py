@@ -15,7 +15,7 @@ components in web corpora are short-diameter clusters (template families,
 mirror sets), so the loop is shallow in practice; ``max_iter`` guards the
 pathological chain. Each round is ONE shuffle (groupBy node over
 labels ∪ neighbor-messages, min-combined map-side); the edge list is
-persisted once and re-read per round; ``localCheckpoint`` every few rounds
+localCheckpoint'd once (a plan leaf) and re-read per round; ``localCheckpoint`` every few rounds
 truncates the growing lineage so round k's plan doesn't replay rounds
 0..k-1. The alternative O(log n)-round large-star/small-star (Kiveris et
 al., "Connected Components in MapReduce and Beyond", SoCC'14) rewrites
@@ -56,11 +56,17 @@ def connected_components(
     Raises if the propagation hasn't converged after ``max_iter`` rounds:
     an unconverged labeling is silently wrong, never worth returning.
     """
+    # localCheckpoint (not just persist): the edge list is referenced by
+    # every propagation round, and a persisted frame still embeds its full
+    # upstream lineage (the whole pair-generation chain) in each round's
+    # plan — plan size then grows exponentially with rounds and the driver
+    # spends more time analyzing plans than executors spend shuffling.
+    # Checkpointing makes edges a leaf: each round's plan is two joins.
     edges = (
         pairs.select(F.col(a_col).alias("src"), F.col(b_col).alias("dst"))
         .union(pairs.select(F.col(b_col).alias("src"), F.col(a_col).alias("dst")))
         .distinct()
-        .persist(StorageLevel.MEMORY_AND_DISK)
+        .localCheckpoint(eager=True)
     )
     labels = (
         edges.select(F.col("src").alias("node"))
@@ -101,8 +107,10 @@ def connected_components(
         labels.unpersist()
         labels = new_labels
         if changed == 0:
-            edges.unpersist()
-            return labels
+            # converged state is already materialized (the changed-count
+            # was the action); checkpoint it so downstream consumers see a
+            # leaf, not the last few rounds' join lineage
+            return labels.localCheckpoint(eager=True)
     raise RuntimeError(
         f"connected_components did not converge in {max_iter} rounds "
         "(graph diameter exceeds max_iter — raise it for chain-shaped graphs)"
