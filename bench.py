@@ -106,6 +106,8 @@ HEADLINE = [
     "warc_ingest",
     "pii_redaction",
     "cdx_fetch_plan",
+    "inverted_index",
+    "tfidf_top_terms",
 ]
 
 
