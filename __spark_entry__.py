@@ -33,6 +33,7 @@ from language_diversity_common_crawler_spark.functions import (  # noqa: E402
     quality_rules,
     sampling,
     similarity,
+    spans,
     text_analysis,
 )
 from language_diversity_common_crawler_spark.functions.hashing import (  # noqa: E402
@@ -1305,6 +1306,46 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["unigram_lm_score"] = unigram_lm_score
 
+    def duplicated_span_removal(spark, sf_dir):
+        """ExactSubstr-style duplicated-span removal (Lee et al. 2022, at
+        non-overlapping 8-token span granularity): spans appearing in >= 2
+        distinct docs are cut from every doc. Generate -> one span-hash
+        aggregate -> membership join -> one doc_id reassembly aggregate
+        (functions/spans.py)."""
+        tune_session(spark)
+        return spans.duplicated_span_removal(_docs_par(spark, sf_dir))
+
+    q["duplicated_span_removal"] = duplicated_span_removal
+
+    def incremental_span_contamination(spark, sf_dir):
+        """Incremental-crawl screening: docs of the NEWEST source sharing
+        spans with any earlier source — the 100 TB shape where a new
+        snapshot is checked against the accumulated span index instead of
+        re-deduping the corpus (functions/spans.py)."""
+        tune_session(spark)
+        return spans.incremental_span_contamination(_docs_par(spark, sf_dir))
+
+    q["incremental_span_contamination"] = incremental_span_contamination
+
+    def dsir_weights(spark, sf_dir):
+        """DSIR (Xie et al. 2023) hashed-unigram importance weights toward
+        the lang='en' slice: two 256-row feature distributions, broadcast
+        weight table, one doc_id aggregate (functions/sampling.py)."""
+        tune_session(spark)
+        return sampling.dsir_weights(_docs_par(spark, sf_dir))
+
+    q["dsir_weights"] = dsir_weights
+
+    def budget_threshold_selection(spark, sf_dir):
+        """Per-language token-budget selection WITHOUT a global sort:
+        integer quality buckets, cumulative window over the tiny
+        (lang, score) aggregate, whole-bucket threshold
+        (functions/sampling.py)."""
+        tune_session(spark)
+        return sampling.budget_threshold_selection(_docs_par(spark, sf_dir))
+
+    q["budget_threshold_selection"] = budget_threshold_selection
+
     return q
 
 
@@ -1867,5 +1908,16 @@ FROM documents
     )
 
     o["unigram_lm_score"] = quality_rules.sql_unigram_lm_score("documents")
+
+    o["duplicated_span_removal"] = spans.sql_duplicated_span_removal(
+        "documents"
+    )
+    o["incremental_span_contamination"] = (
+        spans.sql_incremental_span_contamination("documents")
+    )
+    o["dsir_weights"] = sampling.sql_dsir_weights("documents")
+    o["budget_threshold_selection"] = (
+        sampling.sql_budget_threshold_selection("documents")
+    )
 
     return o

@@ -270,3 +270,245 @@ SELECT CAST(d.doc_id AS BIGINT) AS doc_id, d.lang, r.rate_bp,
 FROM {table} d JOIN rates r ON d.lang = r.lang
 WHERE ({bucket}) < r.rate_bp
 """
+
+# ---------------------------------------------------------------------------
+# DSIR-style hashed-unigram importance weights
+# ---------------------------------------------------------------------------
+
+DSIR_BUCKETS = 256
+DSIR_TARGET_LANG = "en"
+
+
+def dsir_weights(
+    docs: DataFrame,
+    target_lang: str = DSIR_TARGET_LANG,
+    n_buckets: int = DSIR_BUCKETS,
+) -> DataFrame:
+    """Data Selection via Importance Resampling (Xie et al. 2023) weights:
+    hashed-unigram bag-of-words importance of each document toward a
+    target domain (here: the corpus's ``lang = target_lang`` slice, so the
+    oracle can compute the identical target distribution).
+
+    Per document: sum over tokens of
+    ``log2(p_target[bucket] / p_raw[bucket])`` with add-one smoothing,
+    bucket = 60-bit md5 of the token mod ``n_buckets``.
+
+    Scale shape: BOTH feature distributions are ``n_buckets`` rows —
+    independent of corpus size — built by one bucket-keyed hash aggregate
+    each over the same exploded token stream (map-side partials collapse
+    to n_buckets rows per task). The weight
+    table broadcasts; the per-doc pass is Generate → broadcast-join →
+    one doc_id aggregate. No corpus-sized shuffle except the doc_id agg.
+
+    Oracle-determinism: per-bucket weights quantize to exact BIGINT millis
+    BEFORE the per-doc sum (same grid-boundary contract as
+    quality_rules.unigram_lm_score); the final average uses floor(double)
+    because sums can be negative (Spark div truncates toward zero,
+    DuckDB // floors)."""
+    from .dedup import tokens_expr
+
+    tok = docs.select(
+        "doc_id", "lang", F.expr(tokens_expr("text", "spark")).alias("toks")
+    )
+    t = tok.select(
+        "doc_id", "lang", F.explode("toks").alias("tok")
+    ).filter(F.col("tok") != "")
+    t = t.withColumn(
+        "bucket", F.expr(sql_md5_60_tok("spark")) % F.lit(n_buckets)
+    )
+    raw = t.groupBy("bucket").agg(F.count(F.lit(1)).alias("r_cnt"))
+    tgt = (
+        t.filter(F.col("lang") == target_lang)
+        .groupBy("bucket")
+        .agg(F.count(F.lit(1)).alias("t_cnt"))
+    )
+    dist = (
+        raw.join(tgt, "bucket", "left")
+        .withColumn("t_cnt", F.coalesce("t_cnt", F.lit(0)))
+    )
+    totals = dist.agg(
+        F.sum("r_cnt").alias("r_tot"), F.sum("t_cnt").alias("t_tot")
+    )
+    w = dist.crossJoin(F.broadcast(totals)).select(
+        "bucket",
+        F.expr(
+            f"CAST(round(1000.0 * log2("
+            f"(CAST(t_cnt + 1 AS DOUBLE) / CAST(t_tot + {n_buckets} AS DOUBLE))"
+            f" / "
+            f"(CAST(r_cnt + 1 AS DOUBLE) / CAST(r_tot + {n_buckets} AS DOUBLE))"
+            f")) AS BIGINT)"
+        ).alias("w_milli"),
+    )
+    agg = (
+        t.join(F.broadcast(w), "bucket")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_tokens"),
+            F.sum("w_milli").cast("bigint").alias("dsir_milli_sum"),
+        )
+    )
+    return agg.withColumn(
+        "avg_dsir_milli",
+        F.expr(
+            "CAST(floor(CAST(dsir_milli_sum AS DOUBLE) / n_tokens) AS BIGINT)"
+        ),
+    )
+
+
+def sql_md5_60_tok(dialect: str) -> str:
+    """60-bit md5 of the ``tok`` column (shared Spark/DuckDB recipe)."""
+    from .hashing import sql_md5_60
+
+    return sql_md5_60("tok", dialect)
+
+
+def sql_dsir_weights(
+    table: str,
+    target_lang: str = DSIR_TARGET_LANG,
+    n_buckets: int = DSIR_BUCKETS,
+) -> str:
+    """DuckDB twin of :func:`dsir_weights`."""
+    from .dedup import tokens_expr
+
+    return f"""
+WITH tok AS (
+  SELECT doc_id, lang, unnest({tokens_expr('text', 'duckdb')}) AS tok
+  FROM {table}),
+t AS (SELECT doc_id, lang, tok, {sql_md5_60_tok('duckdb')} % {n_buckets}
+        AS bucket
+      FROM tok WHERE tok <> ''),
+raw AS (SELECT bucket, count(*) AS r_cnt FROM t GROUP BY bucket),
+tgt AS (SELECT bucket, count(*) AS t_cnt FROM t
+        WHERE lang = '{target_lang}' GROUP BY bucket),
+dist AS (SELECT raw.bucket, raw.r_cnt, coalesce(tgt.t_cnt, 0) AS t_cnt
+         FROM raw LEFT JOIN tgt ON raw.bucket = tgt.bucket),
+tot AS (SELECT sum(r_cnt) AS r_tot, sum(t_cnt) AS t_tot FROM dist),
+w AS (
+  SELECT bucket,
+         CAST(round(1000.0 * log2(
+           (CAST(t_cnt + 1 AS DOUBLE) / CAST(t_tot + {n_buckets} AS DOUBLE))
+           /
+           (CAST(r_cnt + 1 AS DOUBLE) / CAST(r_tot + {n_buckets} AS DOUBLE))
+         )) AS BIGINT) AS w_milli
+  FROM dist, tot)
+SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
+       CAST(sum(w_milli) AS BIGINT) AS dsir_milli_sum,
+       CAST(floor(CAST(sum(w_milli) AS DOUBLE) / count(*)) AS BIGINT)
+         AS avg_dsir_milli
+FROM t JOIN w USING (bucket)
+GROUP BY doc_id
+"""
+
+
+# ---------------------------------------------------------------------------
+# token-budget-thresholded corpus selection (no global sort)
+# ---------------------------------------------------------------------------
+
+LANG_TOKEN_BUDGET = 2000
+
+
+def budget_threshold_selection(
+    docs: DataFrame, budget: int = LANG_TOKEN_BUDGET
+) -> DataFrame:
+    """Per-language token-budget corpus selection WITHOUT a per-language
+    global sort: documents are grouped into exact integer quality buckets
+    (avg unigram log-prob millis, the CCNet-style score of
+    quality_rules.unigram_lm_score), the tiny (lang, score) aggregate is
+    cumulated best-score-first with a window, and a whole bucket is kept
+    iff it STARTS within the budget (offset-pagination semantics, so the
+    boundary bucket is included whole — deterministic, no intra-bucket
+    tiebreak needed).
+
+    This is the scale pattern for "take the best N tokens per language
+    from 10^10 docs": the corpus sees two hash aggregates and one
+    broadcast membership join; the only window runs over the
+    (lang, score) relation whose cardinality is bounded by the score
+    grid, not the corpus. Returns the per-language selection summary
+    (selected docs are the broadcast-join fixpoint; the summary keeps
+    the result stable and small)."""
+    from .dedup import tokens_expr
+
+    tok = docs.select(
+        "doc_id", "lang", F.expr(tokens_expr("text", "spark")).alias("toks")
+    )
+    t = tok.select(
+        "doc_id", "lang", F.explode("toks").alias("tok")
+    ).filter(F.col("tok") != "")
+    vocab = t.groupBy("tok").agg(F.count(F.lit(1)).alias("cnt"))
+    total = vocab.agg(F.sum("cnt").alias("total"))
+    v = vocab.crossJoin(F.broadcast(total)).select(
+        "tok",
+        F.expr(
+            "CAST(round(1000.0 * log2(CAST(cnt AS DOUBLE) "
+            "/ CAST(total AS DOUBLE))) AS BIGINT)"
+        ).alias("term_milli"),
+    )
+    scored = (
+        t.join(F.broadcast(v), "tok")
+        .groupBy("doc_id", "lang")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_tokens"),
+            F.sum("term_milli").cast("bigint").alias("lp_sum"),
+        )
+        .withColumn(
+            "score",
+            F.expr("CAST(floor(CAST(lp_sum AS DOUBLE) / n_tokens) AS BIGINT)"),
+        )
+    )
+    buckets = scored.groupBy("lang", "score").agg(
+        F.sum("n_tokens").alias("bucket_tokens"),
+        F.count(F.lit(1)).alias("bucket_docs"),
+    )
+    w = (
+        Window.partitionBy("lang")
+        .orderBy(F.col("score").desc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    kept = buckets.withColumn(
+        "cum_tokens", F.sum("bucket_tokens").over(w)
+    ).filter(F.col("cum_tokens") - F.col("bucket_tokens") < budget)
+    return kept.groupBy("lang").agg(
+        F.sum("bucket_docs").cast("bigint").alias("n_docs_selected"),
+        F.sum("bucket_tokens").cast("bigint").alias("tokens_selected"),
+        F.min("score").cast("bigint").alias("min_score_kept"),
+    )
+
+
+def sql_budget_threshold_selection(
+    table: str, budget: int = LANG_TOKEN_BUDGET
+) -> str:
+    """DuckDB twin of :func:`budget_threshold_selection`."""
+    from .dedup import tokens_expr
+
+    return f"""
+WITH tok AS (
+  SELECT doc_id, lang, unnest({tokens_expr('text', 'duckdb')}) AS tok
+  FROM {table}),
+t AS (SELECT doc_id, lang, tok FROM tok WHERE tok <> ''),
+vocab AS (SELECT tok, count(*) AS cnt FROM t GROUP BY tok),
+tot AS (SELECT sum(cnt) AS total FROM vocab),
+v AS (SELECT tok, CAST(round(1000.0 * log2(CAST(cnt AS DOUBLE)
+             / CAST(total AS DOUBLE))) AS BIGINT) AS term_milli
+      FROM vocab, tot),
+scored AS (
+  SELECT doc_id, lang, CAST(count(*) AS BIGINT) AS n_tokens,
+         CAST(floor(CAST(sum(term_milli) AS DOUBLE) / count(*)) AS BIGINT)
+           AS score
+  FROM t JOIN v USING (tok)
+  GROUP BY doc_id, lang),
+buckets AS (
+  SELECT lang, score, sum(n_tokens) AS bucket_tokens,
+         count(*) AS bucket_docs
+  FROM scored GROUP BY lang, score),
+kept AS (
+  SELECT * FROM (
+    SELECT lang, score, bucket_tokens, bucket_docs,
+           sum(bucket_tokens) OVER (PARTITION BY lang ORDER BY score DESC
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_tokens
+    FROM buckets)
+  WHERE cum_tokens - bucket_tokens < {budget})
+SELECT lang, CAST(sum(bucket_docs) AS BIGINT) AS n_docs_selected,
+       CAST(sum(bucket_tokens) AS BIGINT) AS tokens_selected,
+       CAST(min(score) AS BIGINT) AS min_score_kept
+FROM kept GROUP BY lang
+"""

@@ -1,0 +1,211 @@
+"""Exact duplicated-span operators (Lee et al. 2022, "Deduplicating
+Training Data Makes Language Models Better").
+
+The substring-dedup family the MinHash/SimHash document-level ops cannot
+express: a *span* is a non-overlapping window of ``k`` normalized tokens,
+and a span duplicated across ``min_docs`` distinct documents is removed
+from EVERY document (ExactSubstr-style, at span granularity — the paper
+uses a suffix array over the concatenated corpus; at 10^10 docs a
+distributed suffix array is a research project, while the non-overlapping
+span grid is the standard Spark-shaped approximation: one Generate, one
+hash aggregate, one membership join).
+
+Scale shape (100 TB):
+
+- Span table: ``Generate`` (posexplode) over the staged token array — no
+  shuffle, spans never leave their input partition until the aggregate.
+- Duplicate detection: ONE hash-partitioned aggregate on the 60-bit span
+  hash with map-side partials (`count(distinct doc_id)` is two-level:
+  partial distinct per partition, exact merge per key).
+- The duplicated-span set is a small fraction of all spans (boilerplate,
+  mirrored paragraphs), so the membership join back onto the span stream
+  is AQE-sized (broadcast when it fits, hash otherwise).
+- Reassembly: one doc_id-keyed aggregate; span_idx makes the order key
+  explicit so the rebuild never depends on row arrival order.
+
+Text contract: spans are built from the SAME normalized token recipe as
+the MinHash/Jaccard family (``dedup.tokens_expr`` — lower, trim, collapse
+whitespace), so ``clean_text`` is in normalized form. Every expression is
+dialect-shared (Spark SQL + DuckDB) and every score is an exact integer,
+so the driver's oracle validates values bit-for-bit.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from .dedup import tokens_expr
+from .hashing import sql_md5_60
+
+SPAN_K = 8  # tokens per non-overlapping span
+MIN_DOCS = 2  # a span in >= MIN_DOCS distinct docs is "duplicated"
+
+
+# ---------------------------------------------------------------------------
+# span grid expressions (dialect-shared)
+# ---------------------------------------------------------------------------
+
+def spans_from_tokens(toks: str, dialect: str, k: int = SPAN_K) -> str:
+    """Array of non-overlapping k-token spans from a TOKEN-ARRAY COLUMN
+    reference (same staged-array rule as dedup.shingles_from_tokens: pass
+    a column name, not the split expression, so the tokenizer runs once).
+
+    The grid covers every token: the last span may be shorter than ``k``
+    (both engines' array slices clamp at the end). Empty/whitespace text
+    normalizes to a single-element token array, i.e. one empty span —
+    deterministic in both dialects."""
+    if dialect == "duckdb":
+        return (
+            f"list_transform(range(0, CAST(ceil(len({toks}) / {k}.0) AS "
+            f"BIGINT)), i -> array_to_string(({toks})[(i*{k}+1):(i*{k}+{k})]"
+            f", ' '))"
+        )
+    return (
+        f"transform(sequence(0, CAST(ceil(size({toks}) / {k}.0) AS INT) - 1)"
+        f", i -> concat_ws(' ', slice({toks}, i*{k}+1, {k})))"
+    )
+
+
+def _span_table(docs: DataFrame, k: int, extra_cols: list[str]) -> DataFrame:
+    """(doc_id, extra..., span_idx, span, span_h) — Generate-only, no
+    shuffle. The token array is staged in its own projection so the
+    normalize-regex runs once per row (CollapseProject keeps the
+    multiply-referenced alias separate)."""
+    tok = docs.select(
+        "doc_id", *extra_cols,
+        F.expr(tokens_expr("text", "spark")).alias("toks"),
+    )
+    sp = tok.select(
+        "doc_id", *extra_cols,
+        F.posexplode(
+            F.expr(spans_from_tokens("toks", "spark", k))
+        ).alias("span_idx", "span"),
+    )
+    return sp.withColumn("span_h", F.expr(sql_md5_60("span", "spark")))
+
+
+def _sql_span_cte(table: str, k: int, extra: str = "") -> str:
+    """DuckDB CTE fragment ``tok AS (...), sp AS (...)`` building the same
+    span table (span_idx 0-based like posexplode)."""
+    return f"""
+tok AS (SELECT doc_id{extra}, {tokens_expr('text', 'duckdb')} AS toks
+        FROM {table}),
+sp0 AS (SELECT doc_id{extra}, i AS span_idx,
+               array_to_string(toks[(i*{k}+1):(i*{k}+{k})], ' ') AS span
+        FROM tok, unnest(range(0, CAST(ceil(len(toks) / {k}.0) AS BIGINT)))
+             AS t(i)),
+sp AS (SELECT *, {sql_md5_60('span', 'duckdb')} AS span_h FROM sp0)"""
+
+
+# ---------------------------------------------------------------------------
+# duplicated-span removal
+# ---------------------------------------------------------------------------
+
+def duplicated_span_removal(
+    docs: DataFrame, k: int = SPAN_K, min_docs: int = MIN_DOCS
+) -> DataFrame:
+    """Remove every span that appears in >= min_docs distinct documents;
+    return (doc_id, n_spans, n_spans_removed, clean_text) for ALL docs
+    (a fully-duplicated doc keeps its row with clean_text = '')."""
+    sp = _span_table(docs, k, [])
+    dup = (
+        sp.groupBy("span_h")
+        .agg(F.countDistinct("doc_id").alias("nd"))
+        .filter(F.col("nd") >= min_docs)
+        .select("span_h", F.lit(True).alias("is_dup"))
+    )
+    flagged = sp.join(dup, "span_h", "left").withColumn(
+        "kept_span",
+        F.when(F.col("is_dup").isNull(), F.col("span")),
+    )
+    return (
+        flagged.groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_spans"),
+            F.sum(F.when(F.col("is_dup").isNotNull(), 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_spans_removed"),
+            F.array_join(
+                F.transform(
+                    F.filter(
+                        F.array_sort(
+                            F.collect_list(F.struct("span_idx", "kept_span"))
+                        ),
+                        lambda x: x.kept_span.isNotNull(),
+                    ),
+                    lambda x: x.kept_span,
+                ),
+                " ",
+            ).alias("clean_text"),
+        )
+    )
+
+
+def sql_duplicated_span_removal(
+    table: str, k: int = SPAN_K, min_docs: int = MIN_DOCS
+) -> str:
+    """DuckDB twin of duplicated_span_removal."""
+    return f"""
+WITH {_sql_span_cte(table, k)},
+dup AS (SELECT span_h FROM sp GROUP BY span_h
+        HAVING count(DISTINCT doc_id) >= {min_docs})
+SELECT sp.doc_id,
+       CAST(count(*) AS BIGINT) AS n_spans,
+       CAST(count(*) FILTER (WHERE dup.span_h IS NOT NULL) AS BIGINT)
+         AS n_spans_removed,
+       coalesce(string_agg(sp.span, ' ' ORDER BY sp.span_idx)
+                FILTER (WHERE dup.span_h IS NULL), '') AS clean_text
+FROM sp LEFT JOIN dup ON sp.span_h = dup.span_h
+GROUP BY sp.doc_id
+"""
+
+
+# ---------------------------------------------------------------------------
+# incremental cross-snapshot contamination
+# ---------------------------------------------------------------------------
+
+def incremental_span_contamination(
+    docs: DataFrame, k: int = SPAN_K
+) -> DataFrame:
+    """Flag documents of the NEWEST source whose spans already appeared in
+    any earlier source — the incremental-crawl shape: at 100 TB you never
+    re-dedup the whole corpus, you screen the new snapshot against the
+    accumulated span index. Returns (doc_id, n_shared_spans) for
+    contaminated new-snapshot docs only.
+
+    Plan: the newest-source scalar broadcasts (1-row cross join); the
+    historical span index is ONE distinct aggregate on span_h; the new
+    snapshot (a small fraction of the corpus) joins against it hash-on-hash.
+    """
+    sp = _span_table(docs, k, ["source"])
+    mx = docs.agg(F.max("source").alias("mx_source"))
+    sp = sp.crossJoin(F.broadcast(mx))
+    old_spans = (
+        sp.filter(F.col("source") < F.col("mx_source"))
+        .select("span_h")
+        .distinct()
+    )
+    new_sp = sp.filter(F.col("source") == F.col("mx_source"))
+    return (
+        new_sp.join(old_spans, "span_h")
+        .groupBy("doc_id")
+        .agg(F.countDistinct("span_h").cast("bigint").alias("n_shared_spans"))
+    )
+
+
+def sql_incremental_span_contamination(table: str, k: int = SPAN_K) -> str:
+    """DuckDB twin of incremental_span_contamination."""
+    return f"""
+WITH {_sql_span_cte(table, k, extra=", source")},
+mx AS (SELECT max(source) AS mx_source FROM {table}),
+old_spans AS (SELECT DISTINCT span_h FROM sp, mx
+              WHERE sp.source < mx.mx_source)
+SELECT sp.doc_id,
+       CAST(count(DISTINCT sp.span_h) AS BIGINT) AS n_shared_spans
+FROM sp
+JOIN old_spans ON sp.span_h = old_spans.span_h
+CROSS JOIN mx
+WHERE sp.source = mx.mx_source
+GROUP BY sp.doc_id
+"""

@@ -1,0 +1,171 @@
+"""Duplicated-span operators (functions/spans.py) + the sampling.py
+round-2 additions (DSIR weights, budget-threshold selection).
+
+Covers: span-grid semantics vs a plain-Python reference (including the
+clamped last span and the empty-text single-empty-span edge), removal
+semantics on a hand-built corpus with known duplicated spans, the
+all-spans-removed doc keeping its row with clean_text='', incremental
+contamination's newest-vs-history split, DSIR weight sign sanity, and
+budget selection's per-language budget invariant.
+"""
+
+from __future__ import annotations
+
+import math
+import re
+
+from pyspark.sql import Row
+from pyspark.sql import functions as F
+
+from language_diversity_common_crawler_spark.functions import sampling, spans
+from language_diversity_common_crawler_spark.functions.hashing import py_md5_60
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+def _py_norm_tokens(text: str) -> list[str]:
+    return re.sub(r"\s+", " ", text.strip().lower()).split(" ")
+
+
+def _py_spans(text: str, k: int = 8) -> list[str]:
+    toks = _py_norm_tokens(text)
+    n = math.ceil(len(toks) / k)
+    return [" ".join(toks[i * k:(i + 1) * k]) for i in range(n)]
+
+
+DUP = "alpha beta gamma delta epsilon zeta eta theta"  # one exact 8-span
+CORPUS = [
+    (0, DUP + " unique tail zero one two"),
+    (1, DUP + " other continuation here now"),
+    (2, "totally different words in this document only ok"),
+    (3, "   "),  # whitespace-only: one empty span
+    (4, DUP),  # doc that is NOTHING BUT the duplicated span
+]
+
+
+def _corpus_df(spark):
+    return spark.createDataFrame(
+        [Row(doc_id=i, text=t, lang="en", source=f"src{i % 2}")
+         for i, t in CORPUS]
+    )
+
+
+def test_span_grid_matches_python_reference(spark):
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    got = {
+        r["doc_id"]: (r["span_idx"], r["span"])
+        for r in spans._span_table(docs, 8, []).collect()
+        if r["span_idx"] == 0
+    }
+    rows = docs.select("doc_id", "text").collect()
+    for r in rows:
+        exp = _py_spans(r["text"])
+        assert got[r["doc_id"]] == (0, exp[0])
+    # full grid for one doc
+    one = rows[0]
+    full = sorted(
+        (r["span_idx"], r["span"])
+        for r in spans._span_table(
+            docs.filter(F.col("doc_id") == one["doc_id"]), 8, []
+        ).collect()
+    )
+    assert full == list(enumerate(_py_spans(one["text"])))
+
+
+def test_duplicated_span_removal_semantics(spark):
+    out = {
+        r["doc_id"]: r
+        for r in spans.duplicated_span_removal(_corpus_df(spark)).collect()
+    }
+    assert set(out) == {0, 1, 2, 3, 4}, "every doc keeps its row"
+    # docs 0/1/4 share the DUP span -> removed from all three
+    for d in (0, 1, 4):
+        assert out[d]["n_spans_removed"] == 1
+        assert DUP not in out[d]["clean_text"]
+    assert out[0]["clean_text"] == "unique tail zero one two"
+    assert out[1]["clean_text"] == "other continuation here now"
+    # fully-duplicated doc keeps the row, empty text
+    assert out[4]["clean_text"] == ""
+    assert out[4]["n_spans"] == 1
+    # untouched doc round-trips its normalized text
+    assert out[2]["n_spans_removed"] == 0
+    assert out[2]["clean_text"] == CORPUS[2][1]
+    # whitespace-only doc: its single empty span is unique here
+    assert out[3]["n_spans"] == 1
+
+
+def test_empty_span_can_be_duplicated_too(spark):
+    df = spark.createDataFrame(
+        [Row(doc_id=0, text=""), Row(doc_id=1, text="   "),
+         Row(doc_id=2, text="real content words here")]
+    )
+    out = {r["doc_id"]: r
+           for r in spans.duplicated_span_removal(df).collect()}
+    # the two empty docs share the '' span -> removed from both
+    assert out[0]["n_spans_removed"] == 1 and out[1]["n_spans_removed"] == 1
+    assert out[2]["n_spans_removed"] == 0
+
+
+def test_incremental_contamination_vs_python(spark):
+    df = _corpus_df(spark)  # sources: src0 (docs 0,2,4), src1 (docs 1,3)
+    out = {r["doc_id"]: r["n_shared_spans"]
+           for r in spans.incremental_span_contamination(df).collect()}
+    # newest source = src1 (docs 1, 3); doc 1 shares DUP with src0's 0/4;
+    # doc 3's empty span appears in no src0 doc (span '' only in doc 3)
+    assert out == {1: 1}
+    # python cross-check of the span-hash membership
+    old = {py_md5_60(s) for i, t in CORPUS if (i % 2) == 0
+           for s in _py_spans(t)}
+    new1 = {py_md5_60(s) for s in _py_spans(CORPUS[1][1])}
+    assert len(new1 & old) == out[1]
+
+
+def test_dsir_weights_target_docs_score_higher(spark):
+    """Docs of the target domain must average a higher importance weight
+    than non-target docs (that's the point of DSIR); totals must match
+    token counts."""
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    w = sampling.dsir_weights(docs).join(
+        docs.select("doc_id", "lang"), "doc_id"
+    )
+    rows = w.collect()
+    assert len(rows) == docs.filter(F.trim("text") != "").count()
+    en = [r["avg_dsir_milli"] for r in rows if r["lang"] == "en"]
+    rest = [r["avg_dsir_milli"] for r in rows if r["lang"] != "en"]
+    assert en and rest
+    assert sum(en) / len(en) > sum(rest) / len(rest)
+    for r in rows:
+        assert r["avg_dsir_milli"] == math.floor(
+            r["dsir_milli_sum"] / r["n_tokens"]
+        )
+
+
+def test_budget_selection_respects_budget(spark):
+    """Every language's selection must (a) start within budget — i.e. the
+    pre-boundary cumulative is < budget, equivalently tokens_selected
+    minus the boundary bucket < budget — and (b) never select less than
+    min(budget, available) tokens."""
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    budget = 500
+    out = sampling.budget_threshold_selection(docs, budget=budget).collect()
+    totals = {
+        r["lang"]: r["total"]
+        for r in docs.select(
+            "lang",
+            F.expr(
+                "size(filter(split(regexp_replace(trim(lower(text)),"
+                " '\\\\s+', ' '), ' '), x -> x != ''))"
+            ).alias("nt"),
+        ).groupBy("lang").agg(F.sum("nt").alias("total")).collect()
+    }
+    assert {r["lang"] for r in out} == set(totals)
+    for r in out:
+        # selection covers the budget unless the language ran out of tokens
+        assert (r["tokens_selected"] >= budget
+                or r["tokens_selected"] == totals[r["lang"]]), r
+    # a harder budget selects strictly fewer or equal docs
+    tight = {r["lang"]: r["n_docs_selected"]
+             for r in sampling.budget_threshold_selection(
+                 docs, budget=100).collect()}
+    for r in out:
+        assert tight[r["lang"]] <= r["n_docs_selected"]
