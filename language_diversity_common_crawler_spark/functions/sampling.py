@@ -294,9 +294,10 @@ def dsir_weights(
     bucket = 60-bit md5 of the token mod ``n_buckets``.
 
     Scale shape: BOTH feature distributions are ``n_buckets`` rows —
-    independent of corpus size — built by one bucket-keyed hash aggregate
-    each over the same exploded token stream (map-side partials collapse
-    to n_buckets rows per task). The weight
+    independent of corpus size — built by ONE bucket-keyed hash aggregate
+    over the exploded token stream (the target count is a conditional sum
+    in the same pass; map-side partials collapse to n_buckets rows per
+    task). The weight
     table broadcasts; the per-doc pass is Generate → broadcast-join →
     one doc_id aggregate. No corpus-sized shuffle except the doc_id agg.
 
@@ -316,15 +317,14 @@ def dsir_weights(
     t = t.withColumn(
         "bucket", F.expr(sql_md5_60_tok("spark")) % F.lit(n_buckets)
     )
-    raw = t.groupBy("bucket").agg(F.count(F.lit(1)).alias("r_cnt"))
-    tgt = (
-        t.filter(F.col("lang") == target_lang)
-        .groupBy("bucket")
-        .agg(F.count(F.lit(1)).alias("t_cnt"))
-    )
-    dist = (
-        raw.join(tgt, "bucket", "left")
-        .withColumn("t_cnt", F.coalesce("t_cnt", F.lit(0)))
+    # both distributions in ONE pass over the token stream: a conditional
+    # count inside the same bucket-keyed aggregate replaces a second
+    # scan+explode+aggregate and the left join that merged them
+    dist = t.groupBy("bucket").agg(
+        F.count(F.lit(1)).alias("r_cnt"),
+        F.sum(
+            F.when(F.col("lang") == target_lang, 1).otherwise(0)
+        ).alias("t_cnt"),
     )
     totals = dist.agg(
         F.sum("r_cnt").alias("r_tot"), F.sum("t_cnt").alias("t_tot")
@@ -377,11 +377,10 @@ WITH tok AS (
 t AS (SELECT doc_id, lang, tok, {sql_md5_60_tok('duckdb')} % {n_buckets}
         AS bucket
       FROM tok WHERE tok <> ''),
-raw AS (SELECT bucket, count(*) AS r_cnt FROM t GROUP BY bucket),
-tgt AS (SELECT bucket, count(*) AS t_cnt FROM t
-        WHERE lang = '{target_lang}' GROUP BY bucket),
-dist AS (SELECT raw.bucket, raw.r_cnt, coalesce(tgt.t_cnt, 0) AS t_cnt
-         FROM raw LEFT JOIN tgt ON raw.bucket = tgt.bucket),
+dist AS (SELECT bucket, count(*) AS r_cnt,
+                sum(CASE WHEN lang = '{target_lang}' THEN 1 ELSE 0 END)
+                  AS t_cnt
+         FROM t GROUP BY bucket),
 tot AS (SELECT sum(r_cnt) AS r_tot, sum(t_cnt) AS t_tot FROM dist),
 w AS (
   SELECT bucket,
