@@ -108,6 +108,8 @@ HEADLINE = [
     "cdx_fetch_plan",
     "inverted_index",
     "tfidf_top_terms",
+    "duplicated_span_removal",
+    "dsir_weights",
 ]
 
 

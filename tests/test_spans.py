@@ -24,7 +24,10 @@ SF_DIR = "/root/testdata/sf0.001"
 
 
 def _py_norm_tokens(text: str) -> list[str]:
-    return re.sub(r"\s+", " ", text.strip().lower()).split(" ")
+    # SQL trim() strips SPACES only (not \t\n) in both Spark and DuckDB —
+    # mirror that exactly, or whitespace-only docs diverge (caught by the
+    # three-way fuzz: '\t' normalizes to ' ' -> ['', ''], not [''])
+    return re.sub(r"\s+", " ", text.lower().strip(" ")).split(" ")
 
 
 def _py_spans(text: str, k: int = 8) -> list[str]:
@@ -169,3 +172,98 @@ def test_budget_selection_respects_budget(spark):
                  docs, budget=100).collect()}
     for r in out:
         assert tight[r["lang"]] <= r["n_docs_selected"]
+
+
+def _py_removal(texts: dict[int, str], k: int = 8, min_docs: int = 2):
+    from collections import defaultdict
+
+    spans_per_doc = {i: _py_spans(t, k) for i, t in texts.items()}
+    docs_per_span = defaultdict(set)
+    for i, sps in spans_per_doc.items():
+        for s in sps:
+            docs_per_span[s].add(i)
+    dup = {s for s, d in docs_per_span.items() if len(d) >= min_docs}
+    out = {}
+    for i, sps in spans_per_doc.items():
+        kept = [s for s in sps if s not in dup]
+        out[i] = (len(sps), len(sps) - len(kept), " ".join(kept))
+    return out
+
+
+def test_span_removal_fuzz_three_way(spark):
+    """Seeded fuzz: Spark, DuckDB, and a pure-Python mirror of the whole
+    duplicated-span-removal operator agree on 200 random docs built from
+    a small alphabet with injected shared blocks (exact 8-token dups,
+    16-token dups spanning two grid cells, shared prefixes that end
+    mid-span) and adversarial whitespace (tabs, newlines, runs)."""
+    import random
+
+    import duckdb
+
+    rng = random.Random(20260820)
+    words = ["alpha", "beta", "gamma", "delta", "eps", "zeta", "eta", "mu"]
+    block8 = " ".join(rng.choice(words) for _ in range(8))
+    block16 = " ".join(rng.choice(words) for _ in range(16))
+    ws = [" ", "  ", "\t", "\n", " \t "]
+
+    def doc():
+        parts = []
+        if rng.random() < 0.4:
+            parts.append(block8)
+        if rng.random() < 0.3:
+            parts.append(block16)
+        parts.extend(
+            rng.choice(words) for _ in range(rng.randint(0, 20))
+        )
+        rng.shuffle(parts)
+        return rng.choice(ws).join(parts) if parts else rng.choice(ws)
+
+    texts = {i: doc() for i in range(200)}
+    want = _py_removal(texts)
+
+    rows = [(i, t, "en", f"src{i % 3}") for i, t in texts.items()]
+    df = spark.createDataFrame(
+        rows, "doc_id bigint, text string, lang string, source string"
+    )
+    got = {
+        r["doc_id"]: (r["n_spans"], r["n_spans_removed"], r["clean_text"])
+        for r in spans.duplicated_span_removal(df).collect()
+    }
+    assert got == want
+
+    con = duckdb.connect()
+    con.execute(
+        "CREATE TABLE documents(doc_id BIGINT, text VARCHAR,"
+        " lang VARCHAR, source VARCHAR)"
+    )
+    con.executemany("INSERT INTO documents VALUES (?, ?, ?, ?)", rows)
+    duck = {
+        r[0]: (r[1], r[2], r[3])
+        for r in con.execute(
+            spans.sql_duplicated_span_removal("documents")
+        ).fetchall()
+    }
+    assert duck == want
+
+    # incremental contamination on the same corpus: newest source = src2
+    old_spans = {
+        s for i, t in texts.items() if i % 3 < 2 for s in _py_spans(t)
+    }
+    want_inc = {}
+    for i, t in texts.items():
+        if i % 3 == 2:
+            shared = {s for s in _py_spans(t)} & old_spans
+            if shared:
+                want_inc[i] = len(shared)
+    got_inc = {
+        r["doc_id"]: r["n_shared_spans"]
+        for r in spans.incremental_span_contamination(df).collect()
+    }
+    assert got_inc == want_inc
+    duck_inc = {
+        r[0]: r[1]
+        for r in con.execute(
+            spans.sql_incremental_span_contamination("documents")
+        ).fetchall()
+    }
+    assert duck_inc == want_inc
