@@ -215,3 +215,54 @@ def test_recrawl_latest_is_single_aggregate_no_join(spark):
     plan = q._jdf.queryExecution().executedPlan().toString()
     assert "Join" not in plan and "Window" not in plan, plan
     assert "partial_max_by" in plan.lower() or "HashAggregate" in plan, plan
+
+
+def test_span_removal_dup_join_broadcasts_and_prunes(spark):
+    """duplicated_span_removal's membership join against the (small)
+    duplicated-span set must be a BroadcastHashJoin at test scale (AQE
+    sizes it; a regression to sort-merge would shuffle the full span
+    stream twice), and the documents scan must prune to doc_id+text."""
+    from language_diversity_common_crawler_spark.functions import spans
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    out = spans.duplicated_span_removal(docs)
+    out.collect()  # AQE final plan
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan, plan
+    scans = _scan_blocks(_formatted_plan(out))
+    for s in scans:
+        read = s.split("ReadSchema:")[1]
+        assert "lang" not in read and "source" not in read, s
+
+
+def test_dsir_weight_table_broadcasts(spark):
+    """The 256-row weight table must broadcast onto the token stream;
+    the only corpus-sized hash exchange is the doc_id aggregate (bucket
+    aggregates collapse to n_buckets rows map-side)."""
+    from language_diversity_common_crawler_spark.functions import sampling
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    out = sampling.dsir_weights(docs)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan, plan
+    assert "SortMergeJoin" not in plan, plan
+
+
+def test_budget_selection_window_is_post_aggregate(spark):
+    """budget_threshold_selection's window must run over the (lang, score)
+    aggregate, never the corpus: in the plan tree the Window node's
+    subtree must contain the bucket HashAggregate (i.e. a Window directly
+    over a scan/Generate would mean a per-language global sort of docs)."""
+    from language_diversity_common_crawler_spark.functions import sampling
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    out = sampling.budget_threshold_selection(docs)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    w = plan.find("Window")
+    g = plan.find("Generate")
+    assert w != -1 and g != -1, plan
+    # top-down print: the window's child chain is the segment between the
+    # Window node and the (deeper) Generate — a HashAggregate there means
+    # the window consumes the bucket aggregate, not the exploded corpus
+    assert w < g, plan
+    assert "HashAggregate" in plan[w:g], plan
