@@ -275,7 +275,10 @@ FROM c GROUP BY {id_col}
 # unigram-LM quality score (CCNet-style perplexity-filter stand-in)
 # ---------------------------------------------------------------------------
 
-def unigram_lm_score(docs: DataFrame, text_col: str = "text") -> DataFrame:
+def unigram_lm_score(
+    docs: DataFrame, text_col: str = "text",
+    extra_cols: tuple[str, ...] = (),
+) -> DataFrame:
     """Per-document average unigram log-probability under the corpus's own
     unigram distribution — the deterministic stand-in for CCNet's KenLM
     perplexity filter (low avg logprob = gibberish/rare-token soup, high =
@@ -293,15 +296,22 @@ def unigram_lm_score(docs: DataFrame, text_col: str = "text") -> DataFrame:
     cross-engine grid-boundary analysis). The final average divides two
     exact integers with an explicit floor(double) — floor, not integer
     division, because Spark's `div` truncates toward zero while DuckDB's
-    `//` floors, and the sums are negative."""
+    `//` floors, and the sums are negative.
+
+    ``extra_cols`` are carried through the per-doc aggregate unchanged
+    (functionally dependent on doc_id — e.g. lang for
+    sampling.budget_threshold_selection, which buckets THIS score; the
+    two operators must share one score recipe or a doc's score and its
+    budget bucket silently diverge)."""
     from .dedup import tokens_expr
 
     tok = docs.select(
-        "doc_id", F.expr(tokens_expr(text_col, "spark")).alias("toks")
+        "doc_id", *extra_cols,
+        F.expr(tokens_expr(text_col, "spark")).alias("toks"),
     )
-    t = tok.select("doc_id", F.explode("toks").alias("tok")).filter(
-        F.col("tok") != ""
-    )
+    t = tok.select(
+        "doc_id", *extra_cols, F.explode("toks").alias("tok")
+    ).filter(F.col("tok") != "")
     vocab = t.groupBy("tok").agg(F.count(F.lit(1)).alias("cnt"))
     total = vocab.agg(F.sum("cnt").alias("total"))
     v = vocab.crossJoin(F.broadcast(total)).select(
@@ -313,7 +323,7 @@ def unigram_lm_score(docs: DataFrame, text_col: str = "text") -> DataFrame:
     )
     agg = (
         t.join(F.broadcast(v), "tok")
-        .groupBy("doc_id")
+        .groupBy("doc_id", *extra_cols)
         .agg(
             F.count(F.lit(1)).cast("bigint").alias("n_tokens"),
             F.sum("term_milli").cast("bigint").alias("logprob_milli_sum"),
@@ -328,15 +338,19 @@ def unigram_lm_score(docs: DataFrame, text_col: str = "text") -> DataFrame:
     )
 
 
-def sql_unigram_lm_score(table: str, text_col: str = "text") -> str:
+def sql_unigram_lm_score(
+    table: str, text_col: str = "text",
+    extra_cols: tuple[str, ...] = (),
+) -> str:
     """DuckDB twin of unigram_lm_score."""
     from .dedup import tokens_expr
 
+    extra = "".join(f", {c}" for c in extra_cols)
     return f"""
 WITH tok AS (
-  SELECT doc_id, unnest({tokens_expr(text_col, 'duckdb')}) AS tok
+  SELECT doc_id{extra}, unnest({tokens_expr(text_col, 'duckdb')}) AS tok
   FROM {table}),
-t AS (SELECT doc_id, tok FROM tok WHERE tok <> ''),
+t AS (SELECT doc_id{extra}, tok FROM tok WHERE tok <> ''),
 vocab AS (SELECT tok, count(*) AS cnt FROM t GROUP BY tok),
 tot AS (SELECT sum(cnt) AS total FROM vocab),
 v AS (
@@ -344,10 +358,10 @@ v AS (
          CAST(round(1000.0 * log2(CAST(cnt AS DOUBLE)
               / CAST(total AS DOUBLE))) AS BIGINT) AS term_milli
   FROM vocab, tot)
-SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
+SELECT doc_id{extra}, CAST(count(*) AS BIGINT) AS n_tokens,
        CAST(sum(term_milli) AS BIGINT) AS logprob_milli_sum,
        CAST(floor(CAST(sum(term_milli) AS DOUBLE) / count(*)) AS BIGINT)
          AS avg_logprob_milli
 FROM t JOIN v USING (tok)
-GROUP BY doc_id
+GROUP BY doc_id{extra}
 """

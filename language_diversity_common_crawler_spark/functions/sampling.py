@@ -424,35 +424,16 @@ def budget_threshold_selection(
     (lang, score) relation whose cardinality is bounded by the score
     grid, not the corpus. Returns the per-language selection summary
     (selected docs are the broadcast-join fixpoint; the summary keeps
-    the result stable and small)."""
-    from .dedup import tokens_expr
+    the result stable and small).
 
-    tok = docs.select(
-        "doc_id", "lang", F.expr(tokens_expr("text", "spark")).alias("toks")
-    )
-    t = tok.select(
-        "doc_id", "lang", F.explode("toks").alias("tok")
-    ).filter(F.col("tok") != "")
-    vocab = t.groupBy("tok").agg(F.count(F.lit(1)).alias("cnt"))
-    total = vocab.agg(F.sum("cnt").alias("total"))
-    v = vocab.crossJoin(F.broadcast(total)).select(
-        "tok",
-        F.expr(
-            "CAST(round(1000.0 * log2(CAST(cnt AS DOUBLE) "
-            "/ CAST(total AS DOUBLE))) AS BIGINT)"
-        ).alias("term_milli"),
-    )
-    scored = (
-        t.join(F.broadcast(v), "tok")
-        .groupBy("doc_id", "lang")
-        .agg(
-            F.count(F.lit(1)).cast("bigint").alias("n_tokens"),
-            F.sum("term_milli").cast("bigint").alias("lp_sum"),
-        )
-        .withColumn(
-            "score",
-            F.expr("CAST(floor(CAST(lp_sum AS DOUBLE) / n_tokens) AS BIGINT)"),
-        )
+    The score comes from quality_rules.unigram_lm_score itself (with
+    lang carried through its aggregate) — ONE score recipe, so a doc's
+    standalone score always equals the bucket this selection placed it
+    in."""
+    from .quality_rules import unigram_lm_score
+
+    scored = unigram_lm_score(docs, extra_cols=("lang",)).withColumnRenamed(
+        "avg_logprob_milli", "score"
     )
     buckets = scored.groupBy("lang", "score").agg(
         F.sum("n_tokens").alias("bucket_tokens"),
@@ -476,25 +457,15 @@ def budget_threshold_selection(
 def sql_budget_threshold_selection(
     table: str, budget: int = LANG_TOKEN_BUDGET
 ) -> str:
-    """DuckDB twin of :func:`budget_threshold_selection`."""
-    from .dedup import tokens_expr
+    """DuckDB twin of :func:`budget_threshold_selection` (score CTE is
+    the sql_unigram_lm_score twin itself — one recipe, no drift)."""
+    from .quality_rules import sql_unigram_lm_score
 
+    score_sql = sql_unigram_lm_score(table, extra_cols=("lang",))
     return f"""
-WITH tok AS (
-  SELECT doc_id, lang, unnest({tokens_expr('text', 'duckdb')}) AS tok
-  FROM {table}),
-t AS (SELECT doc_id, lang, tok FROM tok WHERE tok <> ''),
-vocab AS (SELECT tok, count(*) AS cnt FROM t GROUP BY tok),
-tot AS (SELECT sum(cnt) AS total FROM vocab),
-v AS (SELECT tok, CAST(round(1000.0 * log2(CAST(cnt AS DOUBLE)
-             / CAST(total AS DOUBLE))) AS BIGINT) AS term_milli
-      FROM vocab, tot),
-scored AS (
-  SELECT doc_id, lang, CAST(count(*) AS BIGINT) AS n_tokens,
-         CAST(floor(CAST(sum(term_milli) AS DOUBLE) / count(*)) AS BIGINT)
-           AS score
-  FROM t JOIN v USING (tok)
-  GROUP BY doc_id, lang),
+WITH scored AS (
+  SELECT doc_id, lang, n_tokens, avg_logprob_milli AS score
+  FROM ({score_sql})),
 buckets AS (
   SELECT lang, score, sum(n_tokens) AS bucket_tokens,
          count(*) AS bucket_docs

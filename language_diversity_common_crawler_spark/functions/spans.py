@@ -46,24 +46,34 @@ MIN_DOCS = 2  # a span in >= MIN_DOCS distinct docs is "duplicated"
 # span grid expressions (dialect-shared)
 # ---------------------------------------------------------------------------
 
+def _span_at(toks: str, i: str, k: int, dialect: str) -> str:
+    """THE span-slice recipe, spelled once per dialect: the ``i``-th
+    (0-based) non-overlapping k-token span of a token-array expression.
+    Both the Spark lambda body (spans_from_tokens) and the DuckDB CTE
+    (_sql_span_cte) build from this, so the grid cannot drift between
+    engines. Both engines' slices clamp at the array end (last span may
+    be shorter than k)."""
+    if dialect == "duckdb":
+        return f"array_to_string(({toks})[(({i})*{k}+1):(({i})*{k}+{k})], ' ')"
+    return f"concat_ws(' ', slice({toks}, ({i})*{k}+1, {k}))"
+
+
 def spans_from_tokens(toks: str, dialect: str, k: int = SPAN_K) -> str:
     """Array of non-overlapping k-token spans from a TOKEN-ARRAY COLUMN
     reference (same staged-array rule as dedup.shingles_from_tokens: pass
     a column name, not the split expression, so the tokenizer runs once).
 
-    The grid covers every token: the last span may be shorter than ``k``
-    (both engines' array slices clamp at the end). Empty/whitespace text
-    normalizes to a single-element token array, i.e. one empty span —
-    deterministic in both dialects."""
+    The grid covers every token; empty/whitespace text normalizes to a
+    single-element token array, i.e. one empty span — deterministic in
+    both dialects."""
     if dialect == "duckdb":
         return (
             f"list_transform(range(0, CAST(ceil(len({toks}) / {k}.0) AS "
-            f"BIGINT)), i -> array_to_string(({toks})[(i*{k}+1):(i*{k}+{k})]"
-            f", ' '))"
+            f"BIGINT)), i -> {_span_at(toks, 'i', k, 'duckdb')})"
         )
     return (
         f"transform(sequence(0, CAST(ceil(size({toks}) / {k}.0) AS INT) - 1)"
-        f", i -> concat_ws(' ', slice({toks}, i*{k}+1, {k})))"
+        f", i -> {_span_at(toks, 'i', k, 'spark')})"
     )
 
 
@@ -72,9 +82,11 @@ def _span_table(docs: DataFrame, k: int, extra_cols: list[str]) -> DataFrame:
     shuffle. The token array is staged in its own projection so the
     normalize-regex runs once per row (CollapseProject keeps the
     multiply-referenced alias separate)."""
+    # NULL text coalesces to '' (one empty span) so a decode-failure doc
+    # keeps its output row instead of silently vanishing from the grid
     tok = docs.select(
         "doc_id", *extra_cols,
-        F.expr(tokens_expr("text", "spark")).alias("toks"),
+        F.expr(tokens_expr("coalesce(text, '')", "spark")).alias("toks"),
     )
     sp = tok.select(
         "doc_id", *extra_cols,
@@ -89,10 +101,11 @@ def _sql_span_cte(table: str, k: int, extra: str = "") -> str:
     """DuckDB CTE fragment ``tok AS (...), sp AS (...)`` building the same
     span table (span_idx 0-based like posexplode)."""
     return f"""
-tok AS (SELECT doc_id{extra}, {tokens_expr('text', 'duckdb')} AS toks
+tok AS (SELECT doc_id{extra},
+               {tokens_expr("coalesce(text, '')", 'duckdb')} AS toks
         FROM {table}),
 sp0 AS (SELECT doc_id{extra}, i AS span_idx,
-               array_to_string(toks[(i*{k}+1):(i*{k}+{k})], ' ') AS span
+               {_span_at('toks', 'i', k, 'duckdb')} AS span
         FROM tok, unnest(range(0, CAST(ceil(len(toks) / {k}.0) AS BIGINT)))
              AS t(i)),
 sp AS (SELECT *, {sql_md5_60('span', 'duckdb')} AS span_h FROM sp0)"""
@@ -165,6 +178,18 @@ GROUP BY sp.doc_id
 # incremental cross-snapshot contamination
 # ---------------------------------------------------------------------------
 
+def snap_ord_expr(source: str, dialect: str) -> str:
+    """Snapshot ordering key for a source/segment name: its trailing
+    integer (so ``src10`` is NEWER than ``src9`` — lexicographic max
+    would invert half the shipped sources), -1 when the name carries no
+    trailing digits. TRY_CAST('') is NULL in both engines; the pattern
+    has no backslashes, so the literal is dialect-identical."""
+    return (
+        f"coalesce(TRY_CAST(regexp_extract({source}, '([0-9]+)$', 1)"
+        f" AS BIGINT), -1)"
+    )
+
+
 def incremental_span_contamination(
     docs: DataFrame, k: int = SPAN_K
 ) -> DataFrame:
@@ -174,18 +199,27 @@ def incremental_span_contamination(
     accumulated span index. Returns (doc_id, n_shared_spans) for
     contaminated new-snapshot docs only.
 
+    "Newest" orders sources by (trailing integer, name) — see
+    snap_ord_expr; history = every source strictly below that pair
+    (row-wise struct comparison, identical in both engines).
+
     Plan: the newest-source scalar broadcasts (1-row cross join); the
     historical span index is ONE distinct aggregate on span_h; the new
     snapshot (a small fraction of the corpus) joins against it hash-on-hash.
     """
-    sp = _span_table(docs, k, ["source"])
-    mx = docs.agg(F.max("source").alias("mx_source"))
-    sp = sp.crossJoin(F.broadcast(mx))
-    old_spans = (
-        sp.filter(F.col("source") < F.col("mx_source"))
-        .select("span_h")
-        .distinct()
+    sp = _span_table(docs, k, ["source"]).withColumn(
+        "snap_ord", F.expr(snap_ord_expr("source", "spark"))
     )
+    mx = docs.select(
+        F.expr(snap_ord_expr("source", "spark")).alias("o"), "source"
+    ).agg(F.max(F.struct("o", "source")).alias("m")).select(
+        F.col("m.o").alias("mx_ord"), F.col("m.source").alias("mx_source")
+    )
+    sp = sp.crossJoin(F.broadcast(mx))
+    is_old = F.struct(F.col("snap_ord"), F.col("source")) < F.struct(
+        F.col("mx_ord"), F.col("mx_source")
+    )
+    old_spans = sp.filter(is_old).select("span_h").distinct()
     new_sp = sp.filter(F.col("source") == F.col("mx_source"))
     return (
         new_sp.join(old_spans, "span_h")
@@ -196,11 +230,14 @@ def incremental_span_contamination(
 
 def sql_incremental_span_contamination(table: str, k: int = SPAN_K) -> str:
     """DuckDB twin of incremental_span_contamination."""
+    ord_src = snap_ord_expr("source", "duckdb")
+    ord_sp = snap_ord_expr("sp.source", "duckdb")
     return f"""
 WITH {_sql_span_cte(table, k, extra=", source")},
-mx AS (SELECT max(source) AS mx_source FROM {table}),
+mx AS (SELECT {ord_src} AS mx_ord, source AS mx_source FROM {table}
+       ORDER BY 1 DESC, 2 DESC LIMIT 1),
 old_spans AS (SELECT DISTINCT span_h FROM sp, mx
-              WHERE sp.source < mx.mx_source)
+              WHERE ({ord_sp}, sp.source) < (mx.mx_ord, mx.mx_source))
 SELECT sp.doc_id,
        CAST(count(DISTINCT sp.span_h) AS BIGINT) AS n_shared_spans
 FROM sp

@@ -219,9 +219,15 @@ def test_span_removal_fuzz_three_way(spark):
         return rng.choice(ws).join(parts) if parts else rng.choice(ws)
 
     texts = {i: doc() for i in range(200)}
-    want = _py_removal(texts)
+    for i in range(0, 200, 41):  # NULL text == empty doc, keeps its row
+        texts[i] = None
+    want = _py_removal({i: t if t is not None else ""
+                        for i, t in texts.items()})
 
-    rows = [(i, t, "en", f"src{i % 3}") for i, t in texts.items()]
+    # 12 sources so src10/src11 exist: numeric-suffix order says src11 is
+    # newest while lexicographic max() would pick src9 — the regression
+    # the snap_ord fix closed
+    rows = [(i, t, "en", f"src{i % 12}") for i, t in texts.items()]
     df = spark.createDataFrame(
         rows, "doc_id bigint, text string, lang string, source string"
     )
@@ -245,13 +251,15 @@ def test_span_removal_fuzz_three_way(spark):
     }
     assert duck == want
 
-    # incremental contamination on the same corpus: newest source = src2
+    # incremental contamination on the same corpus: newest source = src11
+    # by numeric-suffix order (lexicographic max would say src9)
+    py_texts = {i: t if t is not None else "" for i, t in texts.items()}
     old_spans = {
-        s for i, t in texts.items() if i % 3 < 2 for s in _py_spans(t)
+        s for i, t in py_texts.items() if i % 12 != 11 for s in _py_spans(t)
     }
     want_inc = {}
-    for i, t in texts.items():
-        if i % 3 == 2:
+    for i, t in py_texts.items():
+        if i % 12 == 11:
             shared = {s for s in _py_spans(t)} & old_spans
             if shared:
                 want_inc[i] = len(shared)
