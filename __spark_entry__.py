@@ -33,6 +33,7 @@ from language_diversity_common_crawler_spark.functions import (  # noqa: E402
     quality_rules,
     sampling,
     similarity,
+    sketches,
     spans,
     text_analysis,
 )
@@ -1346,6 +1347,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["budget_threshold_selection"] = budget_threshold_selection
 
+    def kmv_shingle_cardinality(spark, sf_dir):
+        """KMV order-statistics cardinality sketch: per-language distinct
+        3-token-shingle estimate whose k-th-smallest-hash statistic is
+        deterministic cross-engine (unlike HLL), so the oracle verifies
+        the sketch itself; WindowGroupLimit keeps the top-k map-side
+        (functions/sketches.py)."""
+        tune_session(spark)
+        return sketches.kmv_shingle_cardinality(_docs_par(spark, sf_dir))
+
+    q["kmv_shingle_cardinality"] = kmv_shingle_cardinality
+
     return q
 
 
@@ -1918,6 +1930,9 @@ FROM documents
     o["dsir_weights"] = sampling.sql_dsir_weights("documents")
     o["budget_threshold_selection"] = (
         sampling.sql_budget_threshold_selection("documents")
+    )
+    o["kmv_shingle_cardinality"] = sketches.sql_kmv_shingle_cardinality(
+        "documents"
     )
 
     return o

