@@ -110,6 +110,7 @@ HEADLINE = [
     "tfidf_top_terms",
     "duplicated_span_removal",
     "dsir_weights",
+    "kmv_shingle_cardinality",
 ]
 
 
