@@ -1358,6 +1358,29 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["kmv_shingle_cardinality"] = kmv_shingle_cardinality
 
+    def line_dedup(spark, sf_dir):
+        """CCNet-style duplicated-line removal over WET-style page text:
+        first occurrence in global (doc_id, pos) order survives, every
+        later copy (boilerplate footers, template lines) is cut; one
+        map-side-combined line-hash aggregate + membership join + one
+        doc reassembly aggregate (functions/lines.py)."""
+        tune_session(spark)
+        from language_diversity_common_crawler_spark.functions import lines
+
+        return lines.line_dedup(_docs_par(spark, sf_dir))
+
+    q["line_dedup"] = line_dedup
+
+    def lang_deficit_budget(spark, sf_dir):
+        """Language-deficit crawl budgets: the reference's diversity
+        measurement fed back into the frontier — sources supplying
+        under-represented languages get more fetch slots; exact-integer
+        deficit math, ONE corpus exchange (functions/sampling.py)."""
+        tune_session(spark)
+        return sampling.lang_deficit_budget(_docs_par(spark, sf_dir))
+
+    q["lang_deficit_budget"] = lang_deficit_budget
+
     return q
 
 
@@ -1934,5 +1957,10 @@ FROM documents
     o["kmv_shingle_cardinality"] = sketches.sql_kmv_shingle_cardinality(
         "documents"
     )
+
+    from language_diversity_common_crawler_spark.functions import lines as _lines
+
+    o["line_dedup"] = _lines.sql_line_dedup("documents")
+    o["lang_deficit_budget"] = sampling.sql_lang_deficit_budget("documents")
 
     return o
