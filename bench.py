@@ -111,6 +111,8 @@ HEADLINE = [
     "duplicated_span_removal",
     "dsir_weights",
     "kmv_shingle_cardinality",
+    "line_dedup",
+    "lang_deficit_budget",
 ]
 
 

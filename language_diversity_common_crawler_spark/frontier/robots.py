@@ -5,8 +5,10 @@ The rules table is tiny relative to the frontier (one row per host, even at
 10^8 hosts it is GBs not TBs; per-batch it is the hosts touched by the
 round's candidates — typically small enough to broadcast). We broadcast-join
 it against candidate URLs so the 10^10-row side never shuffles for the
-robots check; the prefix test itself is ``F.exists`` over the host's
-disallow-prefix array, JVM-side.
+robots check; the rule test itself is a JVM-side array aggregate over the
+host's match specs — codegen ``startswith`` for plain prefixes, anchored
+regex (compiled once per host at parse time) for RFC 9309 §2.2.3
+wildcard rules.
 
 Parsing robots.txt bodies is string work over a per-host text column — a
 vectorized pandas transformation inside ``mapInPandas`` (no per-row Python
@@ -24,14 +26,52 @@ from pyspark.sql.types import ArrayType, StringType, StructField, StructType
 
 from pyspark.sql.types import IntegerType  # noqa: E402
 
+from pyspark.sql.types import BooleanType  # noqa: E402
+
+# Match-ready rule spec, precomputed ONCE PER HOST at parse time (the rules
+# table is tiny; the 10^10-URL side must never pay pattern compilation):
+# pat = raw robots pattern, ln = its octet length (RFC 9309 §2.2.2
+# specificity: the longest pattern wins), wild = contains '*' or ends in
+# '$' (RFC §2.2.3 special characters), rx = the anchored regex a wildcard
+# pattern matches with (NULL for plain prefixes, which use startswith).
+_MATCH_SPEC = StructType(
+    [
+        StructField("pat", StringType(), False),
+        StructField("ln", IntegerType(), False),
+        StructField("wild", BooleanType(), False),
+        StructField("rx", StringType(), True),
+    ]
+)
+
 RULES_SCHEMA = StructType(
     [
         StructField("host", StringType(), False),
         StructField("disallow", ArrayType(StringType(), False), False),
         StructField("allow", ArrayType(StringType(), False), False),
         StructField("crawl_delay", IntegerType(), True),
+        StructField("disallow_m", ArrayType(_MATCH_SPEC, False), False),
+        StructField("allow_m", ArrayType(_MATCH_SPEC, False), False),
     ]
 )
+
+
+def _match_spec(pattern: str) -> dict:
+    """Parse-time regexification of one robots path pattern (RFC 9309
+    §2.2.3): '*' matches any octet sequence, a TRAILING '$' anchors the
+    end; both are literal anywhere else. re.escape's output uses only
+    escapes Java regex reads identically, so ONE rx string serves the
+    Spark executor (Java) and the Python oracle."""
+    import re
+
+    wild = "*" in pattern or pattern.endswith("$")
+    rx = None
+    if wild:
+        esc = re.escape(pattern).replace(r"\*", ".*")
+        if esc.endswith(r"\$"):
+            rx = "^" + esc[:-2] + "$"
+        else:
+            rx = "^" + esc
+    return {"pat": pattern, "ln": len(pattern), "wild": wild, "rx": rx}
 
 
 def parse_robots_txt(body: str, user_agent: str = "*") -> tuple[list[str], list[str]]:
@@ -135,6 +175,12 @@ def rules_from_bodies(
                     "disallow": [p[0] for p in parsed],
                     "allow": [p[1] for p in parsed],
                     "crawl_delay": pd.array(delays, dtype="Int32"),
+                    "disallow_m": [
+                        [_match_spec(x) for x in p[0]] for p in parsed
+                    ],
+                    "allow_m": [
+                        [_match_spec(x) for x in p[1]] for p in parsed
+                    ],
                 }
             )
 
@@ -167,11 +213,18 @@ def url_path(url_col: str = "url_canon") -> F.Column:
 
 
 def _longest_match_len(arr_col: str) -> F.Column:
-    """Length of the longest prefix in ``arr_col`` matching the
-    ``__path_tmp`` column (0 when none match) — JVM-side array aggregate."""
+    """Length (RFC 9309 §2.2.2 specificity = pattern octet count) of the
+    longest rule in the ``arr_col`` match-spec array matching the
+    ``__path_tmp`` column (0 when none match) — JVM-side array aggregate.
+    Plain prefixes (the overwhelming majority of real rules) stay on the
+    codegen ``startswith`` fast path; only rules that actually carry a
+    wildcard pay the per-row regex (``rx`` was compiled to its final form
+    once per host at parse time)."""
     return F.expr(
-        f"aggregate(filter({arr_col}, p -> startswith(__path_tmp, p)), "
-        f"0, (acc, p) -> greatest(acc, length(p)))"
+        f"aggregate(filter({arr_col}, x -> CASE WHEN x.wild "
+        f"THEN __path_tmp RLIKE x.rx "
+        f"ELSE startswith(__path_tmp, x.pat) END), "
+        f"0, (acc, x) -> greatest(acc, x.ln))"
     )
 
 
@@ -182,12 +235,14 @@ def filter_allowed(
     host_col: str = "host",
 ) -> DataFrame:
     """REP longest-match: the most specific matching rule wins; Allow wins
-    ties; no matching Disallow means allowed. Broadcast join on host; the
-    longest-match lengths are JVM-side array aggregates."""
+    ties; no matching Disallow means allowed. RFC 9309 §2.2.3 wildcards
+    ('*' anywhere, trailing '$') are honored via the parse-time match
+    specs. Broadcast join on host; the longest-match lengths are JVM-side
+    array aggregates."""
     r = rules.select(
         F.col("host").alias("__r_host"),
-        F.col("disallow").alias("__r_disallow"),
-        F.col("allow").alias("__r_allow"),
+        F.col("disallow_m").alias("__r_disallow"),
+        F.col("allow_m").alias("__r_allow"),
     )
     joined = candidates.join(
         F.broadcast(r), candidates[host_col] == r["__r_host"], "left"
@@ -202,16 +257,28 @@ def filter_allowed(
     )
 
 
+def _py_match(path: str, pattern: str) -> bool:
+    """Python mirror of one match-spec test (same regexification as
+    :func:`_match_spec`; re.match anchors at the start like the '^')."""
+    import re
+
+    if "*" in pattern or pattern.endswith("$"):
+        esc = re.escape(pattern).replace(r"\*", ".*")
+        rxs = esc[:-2] + "$" if esc.endswith(r"\$") else esc
+        return re.match(rxs, path) is not None
+    return path.startswith(pattern)
+
+
 def py_allowed(url: str, disallow: list[str], allow: list[str]) -> bool:
     """Python equivalent of :func:`filter_allowed`'s predicate (oracle):
-    longest matching rule wins, Allow wins ties, no Disallow match =
-    allowed."""
+    longest matching rule wins (specificity = pattern length), Allow wins
+    ties, no Disallow match = allowed; wildcards per RFC 9309 §2.2.3."""
     import re
 
     m = re.match(r"^[a-z][a-z0-9+.-]*://[^/]*(/.*)$", url)
     path = m.group(1) if m else ""
-    max_dis = max((len(p) for p in disallow if path.startswith(p)), default=0)
-    max_alw = max((len(p) for p in allow if path.startswith(p)), default=0)
+    max_dis = max((len(p) for p in disallow if _py_match(path, p)), default=0)
+    max_alw = max((len(p) for p in allow if _py_match(path, p)), default=0)
     return max_dis == 0 or max_alw >= max_dis
 
 

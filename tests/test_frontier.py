@@ -1077,3 +1077,75 @@ def test_sitemaps_expr_three_way(spark):
         assert list(duck[i]) == want, (i, duck[i], want)
     assert got[1] == ["https://h.ex/a.xml", "https://h.ex/b.xml"]
     assert got[3] == [] and got[4] == []
+
+
+# ---------------------------------------------------------------------------
+# RFC 9309 §2.2.3 wildcards ('*' anywhere, trailing '$')
+# ---------------------------------------------------------------------------
+
+def test_robots_wildcard_patterns(spark):
+    body = (
+        "User-agent: *\n"
+        "Disallow: /*.php$\n"
+        "Disallow: /tmp*\n"
+        "Allow: /tmp/keep\n"
+        "Disallow: /lit$eral\n"   # '$' mid-pattern is literal
+    )
+    cand = spark.createDataFrame(
+        [
+            ("https://a.ex/index.php", "a.ex"),        # *.php$ -> blocked
+            ("https://a.ex/index.php?x=1", "a.ex"),    # not anchored match
+            ("https://a.ex/tmp/junk", "a.ex"),         # /tmp* -> blocked
+            ("https://a.ex/tmp/keep/x", "a.ex"),       # Allow longer -> kept
+            ("https://a.ex/lit$eral/x", "a.ex"),       # literal $ -> blocked
+            ("https://a.ex/literal", "a.ex"),          # no match -> kept
+        ],
+        ["url_canon", "host"],
+    )
+    rules = robots.rules_from_bodies(
+        spark.createDataFrame([("a.ex", body)], ["host", "robots_txt"])
+    )
+    kept = {
+        r["url_canon"] for r in robots.filter_allowed(cand, rules).collect()
+    }
+    assert kept == {
+        "https://a.ex/index.php?x=1",
+        "https://a.ex/tmp/keep/x",
+        "https://a.ex/literal",
+    }
+    # python mirror agrees on every candidate
+    dis, alw = robots.parse_robots_txt(body)
+    for r in cand.collect():
+        assert robots.py_allowed(r["url_canon"], dis, alw) == (
+            r["url_canon"] in kept
+        ), r["url_canon"]
+
+
+def test_robots_wildcard_spark_python_parity_fuzz(spark):
+    # adversarial pattern soup: regex metachars, *, trailing/mid $,
+    # empty-ish paths — Spark's JVM match and py_allowed must agree
+    patterns = [
+        "/a*b$", "/*.x$", "/q?y", "/p(1)", "/b[2]", "/c{3}", "/d|e",
+        "/f\\g", "/*", "/$", "/exact$", "/pre",
+    ]
+    body = "User-agent: *\n" + "".join(
+        f"Disallow: {p}\n" for p in patterns
+    )
+    paths = [
+        "/a_middle_b", "/a_middle_b/tail", "/z.x", "/z.x/t", "/q?y",
+        "/p(1)", "/b[2]", "/c{3}", "/d|e", "/f\\g", "/anything", "/",
+        "/exact", "/exact/no", "/pre", "/prefix",
+    ]
+    cand = spark.createDataFrame(
+        [(f"https://w.ex{p}", "w.ex") for p in paths], ["url_canon", "host"]
+    )
+    rules = robots.rules_from_bodies(
+        spark.createDataFrame([("w.ex", body)], ["host", "robots_txt"])
+    )
+    kept = {
+        r["url_canon"] for r in robots.filter_allowed(cand, rules).collect()
+    }
+    dis, alw = robots.parse_robots_txt(body)
+    for p in paths:
+        url = f"https://w.ex{p}"
+        assert robots.py_allowed(url, dis, alw) == (url in kept), p
