@@ -1381,7 +1381,98 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["lang_deficit_budget"] = lang_deficit_budget
 
+    def snapshot_url_diff(spark, sf_dir):
+        """Incremental crawl-index diff: classify every URL across two
+        crawl snapshots (fetches up to vs after a boundary day) as
+        added / removed / changed / unchanged, 'changed' decided by the
+        integer content-version epochs of recrawl_priority. ONE
+        conditional-aggregate pass over the fetch log — no join, no
+        second scan: max(CASE day<=split) and max(CASE day>split) ride
+        the same map-side-combined url-keyed aggregate, so at 10^10 log
+        rows the shuffle carries one row per distinct URL."""
+        tune_session(spark)
+        log = _crawl_log_df(spark, sf_dir)
+        split = _SNAPSHOT_SPLIT_DAY
+        agg = log.groupBy("url").agg(
+            F.max(
+                F.when(F.col("crawl_day") <= split, F.col("crawl_day"))
+            ).cast("bigint").alias("a_day"),
+            F.max(
+                F.when(F.col("crawl_day") > split, F.col("crawl_day"))
+            ).cast("bigint").alias("b_day"),
+            F.max("period").cast("bigint").alias("period"),
+        )
+
+        def _ver(c):
+            return F.col(c) - F.col(c) % F.col("period")
+
+        status = (
+            F.when(F.col("a_day").isNull(), F.lit("added"))
+            .when(F.col("b_day").isNull(), F.lit("removed"))
+            .when(_ver("a_day") != _ver("b_day"), F.lit("changed"))
+            .otherwise(F.lit("unchanged"))
+        )
+        return agg.select(
+            "url", "a_day", "b_day", status.alias("status")
+        )
+
+    q["snapshot_url_diff"] = snapshot_url_diff
+
+    def domain_politeness_schedule(spark, sf_dir):
+        """Politeness at the REGISTERED-DOMAIN grain (PSL-lite,
+        urlgen.regdomain_expr): subdomains of one registrable domain share
+        one fetch budget, so a sharded origin (shard1.shop.co.uk,
+        shard2.shop.co.uk) is not hit at budget x subdomain-count. The
+        candidate set is TLD-diverse (suffix cycles through .com /
+        .co.uk / .com.cn / .org by nationkey) so the multi-part-suffix
+        branch is exercised; the scheduler is the same salted two-phase
+        top-k — WindowGroupLimit intact, keyed on domain."""
+        tune_session(spark)
+        from language_diversity_common_crawler_spark.frontier import (
+            scheduler,
+        )
+
+        cust = spark.read.parquet(f"{sf_dir}/customer.parquet").repartition(
+            spark.sparkContext.defaultParallelism
+        )
+        host = F.expr(_DOMAIN_HOST_EXPR_SPARK)
+        cands = cust.select(
+            host.alias("host"),
+            F.concat(
+                F.lit("https://"), host, F.lit("/c/"),
+                F.col("c_custkey").cast("string"),
+            ).alias("url_canon"),
+        ).withColumn(
+            "domain", F.expr(urlgen.regdomain_expr("host", "spark"))
+        )
+        return scheduler.politeness_schedule(
+            cands, budget=4, host_col="domain"
+        ).select("domain", "url_canon", "priority", "slot")
+
+    q["domain_politeness_schedule"] = domain_politeness_schedule
+
     return q
+
+
+# snapshot boundary for snapshot_url_diff: a parameter in production (the
+# previous crawl's cut day); here a constant mid-range of the synthetic
+# log's 1992-1998 order dates so both snapshots are non-trivial.
+_SNAPSHOT_SPLIT_DAY = 9282
+
+# TLD-diverse synthetic host over `customer` (shared Spark/DuckDB recipe
+# for domain_politeness_schedule).
+_DOMAIN_HOST_EXPR_SPARK = (
+    "concat('shop', CAST(c_custkey % 40 AS STRING), "
+    "CASE CAST(c_nationkey % 4 AS INT) WHEN 0 THEN '.example.com' "
+    "WHEN 1 THEN '.example.co.uk' WHEN 2 THEN '.example.com.cn' "
+    "ELSE '.example.org' END)"
+)
+_DOMAIN_HOST_EXPR_DUCKDB = (
+    "concat('shop', CAST(c_custkey % 40 AS VARCHAR), "
+    "CASE CAST(c_nationkey % 4 AS INT) WHEN 0 THEN '.example.com' "
+    "WHEN 1 THEN '.example.co.uk' WHEN 2 THEN '.example.com.cn' "
+    "ELSE '.example.org' END)"
+)
 
 
 # ---------------------------------------------------------------------------
@@ -1962,5 +2053,46 @@ FROM documents
 
     o["line_dedup"] = _lines.sql_line_dedup("documents")
     o["lang_deficit_budget"] = sampling.sql_lang_deficit_budget("documents")
+
+    o["snapshot_url_diff"] = f"""
+WITH log AS ({_CRAWL_LOG_SQL}),
+agg AS (
+  SELECT url,
+         CAST(max(CASE WHEN crawl_day <= {_SNAPSHOT_SPLIT_DAY}
+                       THEN crawl_day END) AS BIGINT) AS a_day,
+         CAST(max(CASE WHEN crawl_day > {_SNAPSHOT_SPLIT_DAY}
+                       THEN crawl_day END) AS BIGINT) AS b_day,
+         CAST(max(period) AS BIGINT) AS period
+  FROM log GROUP BY url)
+SELECT url, a_day, b_day,
+       CASE WHEN a_day IS NULL THEN 'added'
+            WHEN b_day IS NULL THEN 'removed'
+            WHEN (a_day - a_day % period) <> (b_day - b_day % period)
+              THEN 'changed'
+            ELSE 'unchanged' END AS status
+FROM agg
+"""
+
+    from language_diversity_common_crawler_spark.frontier.scheduler import (
+        sql_priority as _sql_priority,
+    )
+
+    o["domain_politeness_schedule"] = f"""
+WITH cand AS (
+  SELECT {_DOMAIN_HOST_EXPR_DUCKDB} AS host,
+         concat('https://', {_DOMAIN_HOST_EXPR_DUCKDB}, '/c/',
+                CAST(c_custkey AS VARCHAR)) AS url_canon
+  FROM customer),
+p AS (
+  SELECT {urlgen.regdomain_expr("host", "duckdb")} AS domain, url_canon,
+         {_sql_priority("url_canon")} AS priority
+  FROM cand)
+SELECT domain, url_canon, priority, slot FROM (
+  SELECT domain, url_canon, priority,
+         row_number() OVER (PARTITION BY domain
+                            ORDER BY priority DESC, url_canon ASC) AS slot
+  FROM p)
+WHERE slot <= 4
+"""
 
     return o

@@ -113,6 +113,8 @@ HEADLINE = [
     "kmv_shingle_cardinality",
     "line_dedup",
     "lang_deficit_budget",
+    "snapshot_url_diff",
+    "domain_politeness_schedule",
 ]
 
 

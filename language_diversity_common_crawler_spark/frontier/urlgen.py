@@ -292,3 +292,66 @@ def surt_expr(canon_url: str, dialect: str) -> str:
         f"WHEN {host} = '' THEN '' "
         f"ELSE concat({rev}, {port}, ')', {path}) END"
     )
+
+
+# ---------------------------------------------------------------------------
+# registered domain (public-suffix-lite)
+# ---------------------------------------------------------------------------
+
+# Multi-part public suffixes recognized by the stand-in list. The real
+# public-suffix list is ~9k entries and updates continuously; at deploy
+# time it would be loaded the same way (a literal IN set compiled into the
+# expression, or a broadcast dim for the full list). The subset covers the
+# common ccTLD second-level registries so the "last 2 vs last 3 labels"
+# branch is actually exercised.
+MULTI_PART_SUFFIXES = (
+    "co.uk", "org.uk", "ac.uk", "gov.uk",
+    "co.jp", "ne.jp", "or.jp",
+    "com.cn", "net.cn", "org.cn",
+    "com.au", "net.au", "org.au",
+    "com.br", "co.in", "co.kr", "com.mx", "co.za", "com.tr", "com.ar",
+)
+
+
+def regdomain_expr(host: str, dialect: str) -> str:
+    """Registered (pay-level) domain of a host: last two labels, or last
+    THREE when the last two form a multi-part public suffix (PSL-lite,
+    :data:`MULTI_PART_SUFFIXES`). Hosts with fewer than three labels pass
+    through unchanged (they ARE a registrable domain or a bare suffix).
+
+    This is the politeness grain many crawlers use above host level —
+    one origin server often spans subdomains (shard1.shop.com,
+    shard2.shop.com), and per-HOST budgets would multiply the fetch rate
+    against it by the subdomain count. Pure JVM/SQL expression (split +
+    negative element_at), dialect-identical."""
+    if dialect == "duckdb":
+        arr = f"string_split({host}, '.')"
+        el = "{a}[{i}]"
+        n = f"len({arr})"
+    else:
+        arr = f"split({host}, {rx(chr(92) + '.', dialect)})"
+        el = "element_at({a}, {i})"
+        n = f"size({arr})"
+    last2 = (
+        f"concat({el.format(a=arr, i=-2)}, '.', {el.format(a=arr, i=-1)})"
+    )
+    last3 = (
+        f"concat({el.format(a=arr, i=-3)}, '.', {el.format(a=arr, i=-2)},"
+        f" '.', {el.format(a=arr, i=-1)})"
+    )
+    suffixes = ", ".join(f"'{s}'" for s in MULTI_PART_SUFFIXES)
+    return (
+        f"CASE WHEN {n} < 3 THEN {host} "
+        f"WHEN {last2} IN ({suffixes}) THEN {last3} "
+        f"ELSE {last2} END"
+    )
+
+
+def py_regdomain(host: str) -> str:
+    """Python mirror of :func:`regdomain_expr`."""
+    labels = host.split(".")
+    if len(labels) < 3:
+        return host
+    if ".".join(labels[-2:]) in MULTI_PART_SUFFIXES:
+        return ".".join(labels[-3:])
+    return ".".join(labels[-2:])

@@ -1149,3 +1149,76 @@ def test_robots_wildcard_spark_python_parity_fuzz(spark):
     for p in paths:
         url = f"https://w.ex{p}"
         assert robots.py_allowed(url, dis, alw) == (url in kept), p
+
+
+# ---------------------------------------------------------------------------
+# registered domain (PSL-lite) + domain-grain politeness
+# ---------------------------------------------------------------------------
+
+def test_regdomain_spark_python_parity(spark):
+    hosts = [
+        "a.shop.co.uk", "x.y.example.com", "example.com", "co.uk",
+        "deep.a.b.com.cn", "localhost", "shard1.news.org.au", "w.co.kr",
+    ]
+    df = spark.createDataFrame([(h,) for h in hosts], ["host"])
+    got = {
+        r["host"]: r["d"]
+        for r in df.select(
+            "host",
+            F.expr(urlgen.regdomain_expr("host", "spark")).alias("d"),
+        ).collect()
+    }
+    for h in hosts:
+        assert got[h] == urlgen.py_regdomain(h), h
+
+
+def test_domain_politeness_groups_subdomains(spark):
+    # 6 subdomains of one registrable domain, budget 2: only 2 fetch
+    # slots total (per-host politeness would have granted 6)
+    from language_diversity_common_crawler_spark.frontier import scheduler
+
+    cands = spark.createDataFrame(
+        [(f"https://s{i}.shop.co.uk/p", f"s{i}.shop.co.uk")
+         for i in range(6)],
+        ["url_canon", "host"],
+    ).withColumn("domain", F.expr(urlgen.regdomain_expr("host", "spark")))
+    out = scheduler.politeness_schedule(
+        cands, budget=2, host_col="domain"
+    ).collect()
+    assert len(out) == 2
+    assert {r["domain"] for r in out} == {"shop.co.uk"}
+    assert sorted(r["slot"] for r in out) == [1, 2]
+
+
+def test_snapshot_url_diff_matches_python(spark):
+    import __spark_entry__ as entrymod
+
+    sf = "/root/testdata/sf0.001"
+    got = {
+        r["url"]: (r["a_day"], r["b_day"], r["status"])
+        for r in entrymod.queries()["snapshot_url_diff"](spark, sf).collect()
+    }
+    log = entrymod._crawl_log_df(spark, sf).collect()
+    split = entrymod._SNAPSHOT_SPLIT_DAY
+    per: dict[str, dict] = {}
+    for r in log:
+        d = per.setdefault(r["url"], {"a": None, "b": None, "p": r["period"]})
+        if r["crawl_day"] <= split:
+            d["a"] = max(d["a"] or 0, r["crawl_day"])
+        else:
+            d["b"] = max(d["b"] or 0, r["crawl_day"])
+    assert set(got) == set(per)
+    statuses = set()
+    for url, d in per.items():
+        if d["a"] is None:
+            want = "added"
+        elif d["b"] is None:
+            want = "removed"
+        elif d["a"] - d["a"] % d["p"] != d["b"] - d["b"] % d["p"]:
+            want = "changed"
+        else:
+            want = "unchanged"
+        assert got[url] == (d["a"], d["b"], want), url
+        statuses.add(want)
+    # the synthetic log must exercise more than one class
+    assert len(statuses) >= 2, statuses
