@@ -1435,7 +1435,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         cust = spark.read.parquet(f"{sf_dir}/customer.parquet").repartition(
             spark.sparkContext.defaultParallelism
         )
-        host = F.expr(_DOMAIN_HOST_EXPR_SPARK)
+        host = F.expr(_domain_host_expr("spark"))
         cands = cust.select(
             host.alias("host"),
             F.concat(
@@ -1459,20 +1459,20 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 # log's 1992-1998 order dates so both snapshots are non-trivial.
 _SNAPSHOT_SPLIT_DAY = 9282
 
-# TLD-diverse synthetic host over `customer` (shared Spark/DuckDB recipe
-# for domain_politeness_schedule).
-_DOMAIN_HOST_EXPR_SPARK = (
-    "concat('shop', CAST(c_custkey % 40 AS STRING), "
-    "CASE CAST(c_nationkey % 4 AS INT) WHEN 0 THEN '.example.com' "
-    "WHEN 1 THEN '.example.co.uk' WHEN 2 THEN '.example.com.cn' "
-    "ELSE '.example.org' END)"
-)
-_DOMAIN_HOST_EXPR_DUCKDB = (
-    "concat('shop', CAST(c_custkey % 40 AS VARCHAR), "
-    "CASE CAST(c_nationkey % 4 AS INT) WHEN 0 THEN '.example.com' "
-    "WHEN 1 THEN '.example.co.uk' WHEN 2 THEN '.example.com.cn' "
-    "ELSE '.example.org' END)"
-)
+# TLD-diverse synthetic host over `customer` — ONE dialect-parameterized
+# recipe so the Spark query and the DuckDB oracle can never drift
+# independently (same rationale as _crawl_log_df/_CRAWL_LOG_SQL).
+def _domain_host_expr(dialect: str) -> str:
+    from language_diversity_common_crawler_spark.functions.dialect import (
+        cast_str,
+    )
+
+    return (
+        f"concat('shop', {cast_str('c_custkey % 40', dialect)}, "
+        "CASE CAST(c_nationkey % 4 AS INT) WHEN 0 THEN '.example.com' "
+        "WHEN 1 THEN '.example.co.uk' WHEN 2 THEN '.example.com.cn' "
+        "ELSE '.example.org' END)"
+    )
 
 
 # ---------------------------------------------------------------------------
@@ -2079,8 +2079,8 @@ FROM agg
 
     o["domain_politeness_schedule"] = f"""
 WITH cand AS (
-  SELECT {_DOMAIN_HOST_EXPR_DUCKDB} AS host,
-         concat('https://', {_DOMAIN_HOST_EXPR_DUCKDB}, '/c/',
+  SELECT {_domain_host_expr("duckdb")} AS host,
+         concat('https://', {_domain_host_expr("duckdb")}, '/c/',
                 CAST(c_custkey AS VARCHAR)) AS url_canon
   FROM customer),
 p AS (

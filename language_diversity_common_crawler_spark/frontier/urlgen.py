@@ -323,7 +323,12 @@ def regdomain_expr(host: str, dialect: str) -> str:
     one origin server often spans subdomains (shard1.shop.com,
     shard2.shop.com), and per-HOST budgets would multiply the fetch rate
     against it by the subdomain count. Pure JVM/SQL expression (split +
-    negative element_at), dialect-identical."""
+    negative element_at), dialect-identical. The host is lowercased
+    inside the expression (suffix matching is case-blind and a
+    'Shard1.Example.CO.UK' straggler must not bucket separately from its
+    canonical form); canonical hosts are already lowercase so the
+    lower() folds into the same codegen stage."""
+    host = f"lower({host})"
     if dialect == "duckdb":
         arr = f"string_split({host}, '.')"
         el = "{a}[{i}]"
@@ -349,7 +354,7 @@ def regdomain_expr(host: str, dialect: str) -> str:
 
 def py_regdomain(host: str) -> str:
     """Python mirror of :func:`regdomain_expr`."""
-    labels = host.split(".")
+    labels = host.lower().split(".")
     if len(labels) < 3:
         return host
     if ".".join(labels[-2:]) in MULTI_PART_SUFFIXES:
