@@ -1451,6 +1451,39 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["domain_politeness_schedule"] = domain_politeness_schedule
 
+    def containment_decontamination(spark, sf_dir):
+        """Fuzzy decontamination: per-doc CONTAINMENT ratio of distinct
+        word-8-grams found in the eval set (graded complement of the
+        binary benchmark_decontamination flag). Broadcast eval set with
+        hit marker, corpus LEFT-joins shuffle-free, both distinct counts
+        ride the one doc_id aggregate; exact integer millis
+        (functions/dedup.py:containment_decontaminate)."""
+        tune_session(spark)
+        return dedup.containment_decontaminate(_docs_par(spark, sf_dir))
+
+    q["containment_decontamination"] = containment_decontamination
+
+    def url_spam_filter(spark, sf_dir):
+        """Crawl-hygiene URL spam scoring: structural signals (path
+        depth, parameter count, digit soup, length) as exact integers +
+        a linear threshold verdict — the cheap pre-fetch filter that
+        keeps calendar/faceted-navigation traps out of the frontier.
+        Shuffle-free whole-stage codegen (urlgen.url_spam_exprs)."""
+        tune_session(spark)
+        seeds = _seeds_df(spark, sf_dir)
+        ex = urlgen.url_spam_exprs("url_canon", "spark")
+        return seeds.select(
+            "seed_id", "url_canon",
+            *[F.expr(e).alias(k) for k, e in ex.items()],
+        ).withColumn(
+            "keep",
+            F.when(
+                F.col("spam_score") < urlgen.URL_SPAM_THRESHOLD, F.lit(1)
+            ).otherwise(F.lit(0)).cast("bigint"),
+        )
+
+    q["url_spam_filter"] = url_spam_filter
+
     return q
 
 
@@ -2093,6 +2126,21 @@ SELECT domain, url_canon, priority, slot FROM (
                             ORDER BY priority DESC, url_canon ASC) AS slot
   FROM p)
 WHERE slot <= 4
+"""
+
+    o["containment_decontamination"] = (
+        dedup.sql_containment_decontaminate("documents")
+    )
+
+    _spam = urlgen.url_spam_exprs("url_canon", "duckdb")
+    _spam_cols = ",\n       ".join(f"{e} AS {k}" for k, e in _spam.items())
+    o["url_spam_filter"] = f"""
+WITH seeds AS ({_SEEDS_SQL})
+SELECT seed_id, url_canon,
+       {_spam_cols},
+       CAST(CASE WHEN {_spam['spam_score']} < {urlgen.URL_SPAM_THRESHOLD}
+                 THEN 1 ELSE 0 END AS BIGINT) AS keep
+FROM seeds
 """
 
     return o

@@ -115,6 +115,8 @@ HEADLINE = [
     "lang_deficit_budget",
     "snapshot_url_diff",
     "domain_politeness_schedule",
+    "containment_decontamination",
+    "url_spam_filter",
 ]
 
 

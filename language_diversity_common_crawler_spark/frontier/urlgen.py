@@ -360,3 +360,67 @@ def py_regdomain(host: str) -> str:
     if ".".join(labels[-2:]) in MULTI_PART_SUFFIXES:
         return ".".join(labels[-3:])
     return ".".join(labels[-2:])
+
+
+# ---------------------------------------------------------------------------
+# URL quality heuristics (crawl-hygiene spam scoring)
+# ---------------------------------------------------------------------------
+
+URL_SPAM_THRESHOLD = 40
+
+
+def url_spam_exprs(url: str, dialect: str) -> dict[str, str]:
+    """Structural URL spam signals (the cheap pre-fetch hygiene filter
+    every crawler runs: calendar/faceted-navigation traps and SEO spam
+    show up as deep paths, parameter explosions, and digit soup long
+    before content is fetched). All signals are exact integers computed
+    with length-difference counting — shuffle-free whole-stage-codegen,
+    identical text in both dialects:
+
+    - ``path_depth``: '/' count after the scheme's '//';
+    - ``n_params``: query parameters ('?' presence + '&' count);
+    - ``n_digits``: digit count in the full URL;
+    - ``url_len``: total length;
+    - ``spam_score``: 2*path_depth + 5*n_params + n_digits + url_len/10
+      (integer DIV). The weights are a documented heuristic dial, not a
+      trained model — production would tune them per corpus; the
+      structure (exact integer linear score + threshold) is the scale
+      contract.
+    """
+    def cnt(ch: str) -> str:
+        return f"(length({url}) - length(replace({url}, '{ch}', '')))"
+
+    depth = f"({cnt('/')} - 2)"  # scheme '//' contributes two
+    q = f"CASE WHEN position('?' IN {url}) > 0 THEN 1 ELSE 0 END"
+    n_params = f"({q} + {cnt('&')})"
+    digits = (
+        f"(length({url}) - length(regexp_replace({url}, "
+        f"{rx('[0-9]', dialect)}, ''{g_flag(dialect)})))"
+    )
+    div = "//" if dialect == "duckdb" else "DIV"
+    spam = (
+        f"(2 * ({depth}) + 5 * ({n_params}) + ({digits})"
+        f" + length({url}) {div} 10)"
+    )
+    return {
+        "url_len": f"CAST(length({url}) AS BIGINT)",
+        "path_depth": f"CAST({depth} AS BIGINT)",
+        "n_params": f"CAST({n_params} AS BIGINT)",
+        "n_digits": f"CAST({digits} AS BIGINT)",
+        "spam_score": f"CAST({spam} AS BIGINT)",
+    }
+
+
+def py_url_spam(url: str) -> dict[str, int]:
+    """Python mirror of :func:`url_spam_exprs`."""
+    depth = url.count("/") - 2
+    n_params = (1 if "?" in url else 0) + url.count("&")
+    digits = sum(c.isdigit() for c in url)
+    spam = 2 * depth + 5 * n_params + digits + len(url) // 10
+    return {
+        "url_len": len(url),
+        "path_depth": depth,
+        "n_params": n_params,
+        "n_digits": digits,
+        "spam_score": spam,
+    }

@@ -727,3 +727,81 @@ SELECT doc_id, CAST(count(DISTINCT sh) AS BIGINT) AS n_eval_ngrams
 FROM csh WHERE sh IN (SELECT sh FROM bsh)
 GROUP BY doc_id
 """
+
+
+def containment_decontaminate(
+    docs: DataFrame, bench_mod: int = 97, prefix_chars: int = 160,
+    k: int = 8,
+) -> DataFrame:
+    """Fuzzy decontamination by CONTAINMENT ratio: the fraction of a
+    document's distinct word-k-grams that appear in the eval set — the
+    graded complement of :func:`decontaminate`'s binary n-gram flag
+    (pipelines threshold the ratio rather than dropping on any single
+    collision; cf. the n-gram-overlap dedup of GPT-3 App. C, which
+    removes docs sharing enough of an eval example, not any of it).
+
+    Same deterministic stand-in eval set (doc_id % bench_mod prefixes);
+    same broadcast shape: the eval shingle set broadcasts with a hit
+    marker and the corpus side LEFT-joins it shuffle-free, so the ONLY
+    exchange is the final doc_id aggregate. Both distinct counts
+    (total shingles / eval hits) ride that one aggregate (Spark plans
+    multi-distinct via Expand — still a single exchange). The ratio is
+    exact integer millis: (1000 * n_hits) DIV n_total. Output: one row
+    per doc with at least one eval hit."""
+    bench = docs.filter((F.col("doc_id") % bench_mod) == 0).select(
+        F.expr(f"substring(text, 1, {prefix_chars})").alias("btext")
+    )
+    btoks = bench.select(F.expr(tokens_expr("btext", "spark")).alias("toks"))
+    bsh = btoks.select(
+        F.explode(F.expr(shingles_from_tokens("toks", "spark", k))).alias("s")
+    ).select(F.expr(sql_md5_60("s", "spark")).alias("sh")).distinct() \
+        .withColumn("__hit", F.lit(1))
+    ctoks = docs.select(
+        "doc_id", F.expr(tokens_expr("text", "spark")).alias("toks")
+    )
+    csh = ctoks.select(
+        "doc_id",
+        F.explode(F.expr(shingles_from_tokens("toks", "spark", k))).alias("s"),
+    ).select("doc_id", F.expr(sql_md5_60("s", "spark")).alias("sh"))
+    marked = csh.join(F.broadcast(bsh), "sh", "left")
+    agg = marked.groupBy("doc_id").agg(
+        F.countDistinct("sh").cast("bigint").alias("n_shingles"),
+        F.countDistinct(
+            F.when(F.col("__hit").isNotNull(), F.col("sh"))
+        ).cast("bigint").alias("n_eval_hits"),
+    )
+    return agg.filter(F.col("n_eval_hits") > 0).select(
+        "doc_id", "n_shingles", "n_eval_hits",
+        F.expr("(1000 * n_eval_hits) DIV n_shingles")
+        .alias("containment_milli"),
+    )
+
+
+def sql_containment_decontaminate(
+    table: str, bench_mod: int = 97, prefix_chars: int = 160, k: int = 8
+) -> str:
+    """DuckDB twin of :func:`containment_decontaminate`."""
+    h = sql_md5_60("s", "duckdb")
+    return f"""
+WITH bench AS (
+  SELECT substring(text, 1, {prefix_chars}) AS btext
+  FROM {table} WHERE doc_id % {bench_mod} = 0),
+bt AS (SELECT {tokens_expr('btext', 'duckdb')} AS toks FROM bench),
+bsh AS (
+  SELECT DISTINCT {h} AS sh FROM (
+    SELECT unnest({shingles_from_tokens('toks', 'duckdb', k)}) AS s FROM bt)),
+ct AS (SELECT doc_id, {tokens_expr('text', 'duckdb')} AS toks FROM {table}),
+csh AS (
+  SELECT doc_id, {h} AS sh FROM (
+    SELECT doc_id, unnest({shingles_from_tokens('toks', 'duckdb', k)}) AS s
+    FROM ct)),
+agg AS (
+  SELECT doc_id,
+         CAST(count(DISTINCT sh) AS BIGINT) AS n_shingles,
+         CAST(count(DISTINCT CASE WHEN sh IN (SELECT sh FROM bsh)
+                                  THEN sh END) AS BIGINT) AS n_eval_hits
+  FROM csh GROUP BY doc_id)
+SELECT doc_id, n_shingles, n_eval_hits,
+       (1000 * n_eval_hits) // n_shingles AS containment_milli
+FROM agg WHERE n_eval_hits > 0
+"""

@@ -1222,3 +1222,32 @@ def test_snapshot_url_diff_matches_python(spark):
         statuses.add(want)
     # the synthetic log must exercise more than one class
     assert len(statuses) >= 2, statuses
+
+
+# ---------------------------------------------------------------------------
+# URL spam scoring
+# ---------------------------------------------------------------------------
+
+def test_url_spam_spark_python_parity(spark):
+    urls = [
+        "https://a.ex/",
+        "https://a.ex/one/two/three/four/five/six",
+        "https://a.ex/p?id=1&utm=2&x=3&y=4",
+        "https://spam.ex/2024/01/02/0123456789/0123456789",
+        "https://a.ex/" + "d" * 300,
+    ]
+    df = spark.createDataFrame([(u,) for u in urls], ["url_canon"])
+    ex = urlgen.url_spam_exprs("url_canon", "spark")
+    got = {
+        r["url_canon"]: r
+        for r in df.select(
+            "url_canon", *[F.expr(e).alias(k) for k, e in ex.items()]
+        ).collect()
+    }
+    for u in urls:
+        want = urlgen.py_url_spam(u)
+        for k, v in want.items():
+            assert got[u][k] == v, (u, k, got[u][k], v)
+    # the deep/parametrized/digit-soup URLs must actually score higher
+    assert got[urls[1]]["spam_score"] > got[urls[0]]["spam_score"]
+    assert got[urls[3]]["spam_score"] > got[urls[0]]["spam_score"]

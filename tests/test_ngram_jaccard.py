@@ -127,3 +127,36 @@ def test_decontaminate_flags_planted_overlap(spark):
     assert 2 not in got and 3 not in got
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastHashJoin" in plan and "LeftSemi" in plan, plan
+
+
+def test_containment_decontaminate_planted(spark):
+    """A doc that embeds an eval doc's prefix verbatim must show high
+    containment; an unrelated doc must not appear at all."""
+    from pyspark.sql import Row
+
+    from language_diversity_common_crawler_spark.functions import dedup
+
+    eval_text = " ".join(f"ev{i}" for i in range(20))  # doc_id 0 -> eval
+    contaminated = eval_text + " tail tail2 tail3"
+    clean = " ".join(f"cl{i}" for i in range(30))
+    df = spark.createDataFrame(
+        [
+            Row(doc_id=0, text=eval_text),
+            Row(doc_id=1, text=contaminated),
+            Row(doc_id=2, text=clean),
+        ]
+    )
+    got = {
+        r["doc_id"]: r
+        for r in dedup.containment_decontaminate(
+            df, bench_mod=97, prefix_chars=160, k=8
+        ).collect()
+    }
+    assert 2 not in got
+    assert 1 in got and 0 in got
+    # doc 0 IS the eval doc: full containment of its in-prefix shingles
+    assert got[0]["containment_milli"] == 1000
+    # doc 1 contains the whole eval prefix; its extra tail shingles keep
+    # the ratio below 1000 but well above zero
+    assert 0 < got[1]["containment_milli"] < 1000
+    assert got[1]["n_eval_hits"] > 5
