@@ -1484,6 +1484,40 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["url_spam_filter"] = url_spam_filter
 
+    def url_template_traps(spark, sf_dir):
+        """Crawl-trap detection by URL template: digit runs collapse to
+        '{n}' so pagination/calendar/session URLs share one key; a
+        template with an exploding URL count is a trap. ONE
+        map-side-combined aggregate on template (countDistinct host
+        rides it via Expand); flag = integer threshold."""
+        tune_session(spark)
+        seeds = _seeds_df(spark, sf_dir)
+        t = F.expr(urlgen.url_template_expr("url_canon", "spark"))
+        agg = seeds.select(t.alias("template"), "host").groupBy(
+            "template"
+        ).agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_urls"),
+            F.countDistinct("host").cast("bigint").alias("n_hosts"),
+        )
+        return agg.withColumn(
+            "is_trap",
+            F.when(
+                F.col("n_urls") >= urlgen.TRAP_MIN_URLS, F.lit(1)
+            ).otherwise(F.lit(0)).cast("bigint"),
+        )
+
+    q["url_template_traps"] = url_template_traps
+
+    def sampled_length_quantiles(spark, sf_dir):
+        """Per-language length quantiles over a DETERMINISTIC 1/4 hash
+        sample — the scale dial for exact percentile_disc at 10^10 rows;
+        the sample is a pure function of doc_id so the oracle recomputes
+        it exactly (operators/stats.py)."""
+        tune_session(spark)
+        return stats.sampled_length_quantiles(_docs(spark, sf_dir))
+
+    q["sampled_length_quantiles"] = sampled_length_quantiles
+
     return q
 
 
@@ -2142,5 +2176,20 @@ SELECT seed_id, url_canon,
                  THEN 1 ELSE 0 END AS BIGINT) AS keep
 FROM seeds
 """
+
+    o["url_template_traps"] = f"""
+WITH seeds AS ({_SEEDS_SQL}),
+agg AS (
+  SELECT {urlgen.url_template_expr("url_canon", "duckdb")} AS template,
+         CAST(count(*) AS BIGINT) AS n_urls,
+         CAST(count(DISTINCT host) AS BIGINT) AS n_hosts
+  FROM seeds GROUP BY 1)
+SELECT template, n_urls, n_hosts,
+       CAST(CASE WHEN n_urls >= {urlgen.TRAP_MIN_URLS} THEN 1 ELSE 0 END
+            AS BIGINT) AS is_trap
+FROM agg
+"""
+
+    o["sampled_length_quantiles"] = stats.sql_sampled_length_quantiles()
 
     return o

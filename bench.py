@@ -117,6 +117,8 @@ HEADLINE = [
     "domain_politeness_schedule",
     "containment_decontamination",
     "url_spam_filter",
+    "url_template_traps",
+    "sampled_length_quantiles",
 ]
 
 

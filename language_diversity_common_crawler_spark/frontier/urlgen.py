@@ -424,3 +424,29 @@ def py_url_spam(url: str) -> dict[str, int]:
         "n_digits": digits,
         "spam_score": spam,
     }
+
+
+# ---------------------------------------------------------------------------
+# URL-template crawl-trap detection
+# ---------------------------------------------------------------------------
+
+TRAP_MIN_URLS = 1000
+
+
+def url_template_expr(url: str, dialect: str) -> str:
+    """Collapse every digit run to '{n}' — URLs minted by the same
+    calendar/pagination/session template land on one key, so a template
+    whose URL count explodes is a crawl trap (infinite calendars,
+    faceted-nav cross products, session-id mirrors). One regex pass,
+    identical in both dialects."""
+    return (
+        f"regexp_replace({url}, {rx('[0-9]+', dialect)}, "
+        f"'{{n}}'{g_flag(dialect)})"
+    )
+
+
+def py_url_template(url: str) -> str:
+    """Python mirror of :func:`url_template_expr`."""
+    import re
+
+    return re.sub(r"[0-9]+", "{n}", url)

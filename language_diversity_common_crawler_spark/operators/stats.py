@@ -186,3 +186,48 @@ def sql_length_percentiles(
         )
     sel = ",\n       ".join(cols)
     return f"SELECT {group_col},\n       {sel}\nFROM {table} GROUP BY {group_col}"
+
+
+def sampled_length_quantiles(
+    df: DataFrame, value_col: str = "n_chars", group_col: str = "lang",
+    probs: tuple[float, ...] = (0.25, 0.5, 0.75, 0.95),
+    rate_inv: int = 4,
+) -> DataFrame:
+    """:func:`length_percentiles` over a DETERMINISTIC 1/``rate_inv``
+    hash sample — the production dial for quantiles at 10^10 rows, where
+    even percentile_disc's per-group sort is too hot. The sample is a
+    pure function of doc_id (salted 60-bit md5 under a threshold), so
+    unlike rand()-sampling it is reproducible across engines, runs and
+    cluster sizes — the DuckDB oracle recomputes the IDENTICAL sample
+    and the value-hash gate checks the sketch, mirroring the KMV
+    rationale (functions/sketches.py). The filter is shuffle-free
+    whole-stage codegen; sort volume drops by rate_inv."""
+    from ..functions.hashing import HASH_SPACE, sql_md5_60_salted
+
+    thresh = HASH_SPACE // rate_inv
+    keep = (
+        F.expr(
+            sql_md5_60_salted("CAST(doc_id AS STRING)", "qs", "spark")
+        ) < F.lit(thresh)
+    )
+    return length_percentiles(
+        df.filter(keep), value_col, group_col, probs
+    ).withColumnRenamed("n_docs", "n_sampled")
+
+
+def sql_sampled_length_quantiles(
+    table: str = "documents", value_col: str = "n_chars",
+    group_col: str = "lang",
+    probs: tuple[float, ...] = (0.25, 0.5, 0.75, 0.95),
+    rate_inv: int = 4,
+) -> str:
+    """DuckDB twin of :func:`sampled_length_quantiles`."""
+    from ..functions.hashing import HASH_SPACE, sql_md5_60_salted
+
+    thresh = HASH_SPACE // rate_inv
+    keep = sql_md5_60_salted("CAST(doc_id AS VARCHAR)", "qs", "duckdb")
+    inner = sql_length_percentiles(
+        f"(SELECT * FROM {table} WHERE {keep} < {thresh})",
+        value_col, group_col, probs,
+    )
+    return inner.replace("AS n_docs", "AS n_sampled")

@@ -134,3 +134,36 @@ def test_sql_twin_matches_spark(spark):
         (r[0],): tuple(r[1:]) for r in con.execute(sql).fetchall()
     }
     assert spark_rows == duck_rows
+
+
+def test_sampled_length_quantiles_matches_python(spark):
+    """The hash sample is deterministic: recompute the sample and its
+    discrete percentiles in Python and compare exactly."""
+    from language_diversity_common_crawler_spark.functions.hashing import (
+        HASH_SPACE,
+        py_md5_60,
+    )
+    from language_diversity_common_crawler_spark.operators import stats
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    got = {
+        r["lang"]: r
+        for r in stats.sampled_length_quantiles(docs).collect()
+    }
+    rows = docs.select("doc_id", "lang", "n_chars").collect()
+    thresh = HASH_SPACE // 4
+    per: dict[str, list[int]] = {}
+    for r in rows:
+        if py_md5_60(str(r["doc_id"]), salt="qs") < thresh:
+            per.setdefault(r["lang"], []).append(r["n_chars"])
+    assert set(got) == set(per)
+    for lang, vals in per.items():
+        vals.sort()
+        n = len(vals)
+        assert got[lang]["n_sampled"] == n
+        for p, col in ((0.25, "p25"), (0.5, "p50"), (0.75, "p75"),
+                       (0.95, "p95")):
+            import math
+
+            idx = max(0, math.ceil(p * n) - 1)  # percentile_disc semantics
+            assert got[lang][col] == vals[idx], (lang, col)

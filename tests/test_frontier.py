@@ -1251,3 +1251,26 @@ def test_url_spam_spark_python_parity(spark):
     # the deep/parametrized/digit-soup URLs must actually score higher
     assert got[urls[1]]["spam_score"] > got[urls[0]]["spam_score"]
     assert got[urls[3]]["spam_score"] > got[urls[0]]["spam_score"]
+
+
+def test_url_template_trap_detection(spark):
+    # 1200 pagination URLs on one template + 3 one-off URLs: only the
+    # template crosses the trap threshold
+    urls = [(f"https://t.ex/page/{i}?cal=2024-{i % 12}", "t.ex")
+            for i in range(1200)]
+    urls += [(f"https://t.ex/{w}", "t.ex") for w in ("a", "b", "c")]
+    df = spark.createDataFrame(urls, ["url_canon", "host"])
+    t = F.expr(urlgen.url_template_expr("url_canon", "spark"))
+    agg = (
+        df.select(t.alias("template"))
+        .groupBy("template")
+        .count()
+        .collect()
+    )
+    by_t = {r["template"]: r["count"] for r in agg}
+    assert by_t["https://t.ex/page/{n}?cal={n}-{n}"] == 1200
+    # python mirror agrees on the template key
+    assert (
+        urlgen.py_url_template("https://t.ex/page/7?cal=2024-7")
+        == "https://t.ex/page/{n}?cal={n}-{n}"
+    )
