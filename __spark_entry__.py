@@ -1518,6 +1518,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["sampled_length_quantiles"] = sampled_length_quantiles
 
+    def filter_funnel_report(spark, sf_dir):
+        """FineWeb-style ablation table: per-stage removal counts for the
+        full quality funnel (empty → seven Gopher gates in order →
+        exact-dedup), every doc charged to the FIRST gate it fails. Two
+        exchanges at any scale (functions/quality_rules.py)."""
+        tune_session(spark)
+        return quality_rules.filter_funnel_report(_docs_par(spark, sf_dir))
+
+    q["filter_funnel_report"] = filter_funnel_report
+
     return q
 
 
@@ -2191,5 +2201,8 @@ FROM agg
 """
 
     o["sampled_length_quantiles"] = stats.sql_sampled_length_quantiles()
+    o["filter_funnel_report"] = quality_rules.sql_filter_funnel_report(
+        "documents"
+    )
 
     return o

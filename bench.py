@@ -119,6 +119,7 @@ HEADLINE = [
     "url_spam_filter",
     "url_template_traps",
     "sampled_length_quantiles",
+    "filter_funnel_report",
 ]
 
 

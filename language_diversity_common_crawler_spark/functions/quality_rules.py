@@ -20,6 +20,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window
 
 from .text_analysis import _sql_count_char, _sql_norm
 
@@ -364,4 +365,94 @@ SELECT doc_id{extra}, CAST(count(*) AS BIGINT) AS n_tokens,
          AS avg_logprob_milli
 FROM t JOIN v USING (tok)
 GROUP BY doc_id{extra}
+"""
+
+
+# --- filter-funnel report (FineWeb-style per-stage ablation counts) --------
+
+def funnel_stages() -> list[tuple[int, str, str]]:
+    """Ordered funnel: (stage_idx, stage_name, fail-predicate over the
+    gopher flag/signal COLUMNS plus the ``__dedup_keep`` flag). ONE
+    definition drives the Spark CASE and the DuckDB CASE — the funnel
+    order IS the semantics (a doc is charged to the FIRST gate it fails,
+    the way pipeline ablation tables attribute removals)."""
+    stages = [(1, "empty", "n_words < 1")]
+    idx = 2
+    for name in gopher_flag_exprs():
+        if name == "gopher_pass":
+            continue
+        stages.append((idx, name.removesuffix("_ok"), f"NOT ({name})"))
+        idx += 1
+    stages.append((idx, "exact_dup", "NOT (__dedup_keep)"))
+    return stages
+
+
+def _funnel_case() -> tuple[str, str]:
+    """(stage_idx CASE, stage_name CASE) — identical text both dialects."""
+    idx_arms, name_arms = [], []
+    for idx, name, fail in funnel_stages():
+        idx_arms.append(f"WHEN {fail} THEN {idx}")
+        name_arms.append(f"WHEN {fail} THEN '{name}'")
+    return (
+        "CASE " + " ".join(idx_arms) + " ELSE 0 END",
+        "CASE " + " ".join(name_arms) + " ELSE 'survived' END",
+    )
+
+
+def filter_funnel_report(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Per-stage removal counts for the full quality funnel (the ablation
+    table FineWeb/Dolma publish per filter): every doc is charged to the
+    FIRST gate it fails — empty → the seven Gopher rules in order →
+    exact-dedup survivorship — or to 'survived'.
+
+    Scale shape: the Gopher gates are the same shuffle-free staged codegen
+    as with_gopher_quality; exact-dedup survivorship is ONE window over
+    md5(text) (hash-partitioned; duplicate groups are politeness-bounded
+    in practice and AQE covers pathological ones); the report aggregate
+    is a tiny groupBy on stage_idx. Two exchanges total at any corpus
+    size, both carrying either the dedup key or ~10 rows."""
+    staged = with_gopher_quality(
+        df.select("doc_id", F.coalesce(F.col(text_col), F.lit("")).alias(
+            text_col
+        )),
+        text_col,
+    )
+    w = Window.partitionBy(F.md5(F.col(text_col)))
+    marked = staged.withColumn(
+        "__dedup_keep", F.col("doc_id") == F.min("doc_id").over(w)
+    )
+    idx_case, name_case = _funnel_case()
+    charged = marked.select(
+        F.expr(idx_case).alias("stage_idx"),
+        F.expr(name_case).alias("stage"),
+    )
+    return charged.groupBy("stage_idx", "stage").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs")
+    )
+
+
+def sql_filter_funnel_report(
+    table: str = "documents", text_col: str = "text"
+) -> str:
+    """DuckDB twin of :func:`filter_funnel_report` (the flag CTE is
+    sql_gopher_quality itself — one recipe; NULL text coalesces to ''
+    exactly like the Spark side)."""
+    idx_case, name_case = _funnel_case()
+    inner = sql_gopher_quality(
+        f"(SELECT doc_id, coalesce({text_col}, '') AS {text_col} "
+        f"FROM {table})",
+        text_col=text_col,
+    )
+    return f"""
+WITH flags AS ({inner}),
+keys AS (
+  SELECT doc_id, md5(coalesce({text_col}, '')) AS __k FROM {table}),
+marked AS (
+  SELECT f.*, f.doc_id = min(f.doc_id) OVER (PARTITION BY k.__k)
+           AS __dedup_keep
+  FROM flags f JOIN keys k USING (doc_id)),
+charged AS (
+  SELECT {idx_case} AS stage_idx, {name_case} AS stage FROM marked)
+SELECT stage_idx, stage, CAST(count(*) AS BIGINT) AS n_docs
+FROM charged GROUP BY stage_idx, stage
 """

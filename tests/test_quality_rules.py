@@ -171,3 +171,57 @@ def test_unigram_lm_score_rare_tokens_score_lower(spark):
         for r in quality_rules.unigram_lm_score(df).collect()
     }
     assert got[9] < got[1]
+
+
+def test_filter_funnel_all_stages(spark):
+    """Crafted docs hit every funnel stage exactly once; first-failing
+    gate gets the charge; identical text dedups to one survivor."""
+    from pyspark.sql import Row
+
+    from language_diversity_common_crawler_spark.functions import (
+        quality_rules as qr,
+    )
+
+    stop = "the be to of and that have with"  # >= MIN_STOPWORD_HITS
+    good = ("word " * 60).strip() + " " + stop
+    docs = [
+        Row(doc_id=0, text=None),                       # -> empty
+        Row(doc_id=1, text="tiny doc"),                 # -> words (too few)
+        Row(doc_id=2, text=("a " * 60).strip() + " " + stop),  # word_len low
+        Row(doc_id=3, text=("word " * 60).strip() + " " + "#" * 12 + " "
+            + stop),
+        Row(doc_id=4, text=good),                       # -> survived
+        Row(doc_id=5, text=good),                       # dup -> exact_dup
+    ]
+    got = {
+        r["stage"]: r["n_docs"]
+        for r in qr.filter_funnel_report(
+            spark.createDataFrame(docs)
+        ).collect()
+    }
+    assert got["empty"] == 1
+    assert got["words"] == 1
+    assert got["word_len"] == 1
+    assert got["symbol"] == 1
+    assert got["survived"] == 1
+    assert got["exact_dup"] == 1
+    assert sum(got.values()) == len(docs)
+
+
+def test_funnel_stage_order_is_first_fail(spark):
+    """A doc failing BOTH word_len and symbol is charged to word_len
+    (the earlier gate)."""
+    from pyspark.sql import Row
+
+    from language_diversity_common_crawler_spark.functions import (
+        quality_rules as qr,
+    )
+
+    bad_both = ("a " * 60).strip() + " #####"
+    got = {
+        r["stage"]: r["n_docs"]
+        for r in qr.filter_funnel_report(
+            spark.createDataFrame([Row(doc_id=0, text=bad_both)])
+        ).collect()
+    }
+    assert got == {"word_len": 1}
