@@ -1528,6 +1528,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["filter_funnel_report"] = filter_funnel_report
 
+    def mixing_epoch_plan(spark, sf_dir):
+        """LLaMA-style training-mix table: per-language epochs for a
+        fixed token budget with T^alpha mixing weights — the upsampling
+        dual of temperature rebalancing. ONE corpus exchange; weights
+        normalize via windows over the |languages|-row relation
+        (functions/sampling.py)."""
+        tune_session(spark)
+        return sampling.mixing_epoch_plan(_docs_par(spark, sf_dir))
+
+    q["mixing_epoch_plan"] = mixing_epoch_plan
+
     return q
 
 
@@ -2204,5 +2215,6 @@ FROM agg
     o["filter_funnel_report"] = quality_rules.sql_filter_funnel_report(
         "documents"
     )
+    o["mixing_epoch_plan"] = sampling.sql_mixing_epoch_plan("documents")
 
     return o

@@ -120,6 +120,7 @@ HEADLINE = [
     "url_template_traps",
     "sampled_length_quantiles",
     "filter_funnel_report",
+    "mixing_epoch_plan",
 ]
 
 

@@ -603,3 +603,91 @@ SELECT source, n_docs, score,
                                 AS BIGINT) AS budget
 FROM s2
 """
+
+
+# ---------------------------------------------------------------------------
+# training-mix epoch plan (upsampling dual of temperature rebalancing)
+# ---------------------------------------------------------------------------
+
+MIX_ALPHA = 0.5
+MIX_BUDGET_TOKENS = 2_000_000
+
+
+def mixing_epoch_plan(
+    docs: DataFrame, alpha: float = MIX_ALPHA,
+    budget: int = MIX_BUDGET_TOKENS,
+) -> DataFrame:
+    """LLaMA-style data-mixing table: given the per-language token
+    supply, how many EPOCHS of each language a ``budget``-token training
+    run should take, with mixing weights w_l proportional to T_l^alpha
+    (alpha<1 flattens the mix toward low-resource languages — the
+    upsampling dual of :func:`temperature_rebalanced_sample`, which
+    discards; real runs repeat scarce languages instead).
+
+    epochs_milli = round(1000 * budget * w_l / T_l); planned_tokens =
+    epochs_milli * T_l // 1000 (exact integer from the quantized epochs,
+    so the plan's token accounting is engine-identical). The pow carries
+    the same documented last-ulp caveat as temperature_rebalanced_sample
+    (repr-shared literals; a flip needs the product to sit within ~1e-11
+    of a .5 boundary on fixed gate data).
+
+    Scale shape: ONE corpus exchange (the lang aggregate with map-side
+    combine); weights and normalization are windows over the
+    |languages|-row relation in the same plan branch."""
+    from .text_analysis import token_stats_exprs
+
+    exprs = token_stats_exprs("text", "spark")
+    per = docs.select(
+        "lang", F.expr(exprs["n_bpe_tokens"]).alias("toks")
+    )
+    agg = per.groupBy("lang").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.sum("toks").cast("bigint").alias("total_tokens"),
+    )
+    w_all = Window.partitionBy()
+    wnum = F.pow(F.col("total_tokens").cast("double"), F.lit(float(alpha)))
+    staged = agg.withColumn("wnum", wnum).withColumn(
+        "wsum", F.sum("wnum").over(w_all)
+    )
+    epochs = F.round(
+        F.lit(float(1000 * budget)) * F.col("wnum")
+        / F.col("wsum") / F.col("total_tokens").cast("double")
+    ).cast("bigint")
+    return staged.select(
+        "lang", "n_docs", "total_tokens",
+        epochs.alias("epochs_milli"),
+    ).withColumn(
+        "planned_tokens",
+        F.expr("(epochs_milli * total_tokens) DIV 1000"),
+    )
+
+
+def sql_mixing_epoch_plan(
+    table: str = "documents", alpha: float = MIX_ALPHA,
+    budget: int = MIX_BUDGET_TOKENS,
+) -> str:
+    """DuckDB twin of :func:`mixing_epoch_plan` (repr-shared float
+    literals; // matches DIV on non-negative operands)."""
+    from .text_analysis import token_stats_exprs
+
+    toks = token_stats_exprs("text", "duckdb")["n_bpe_tokens"]
+    return f"""
+WITH per AS (SELECT lang, {toks} AS toks FROM {table}),
+agg AS (
+  SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
+         CAST(sum(toks) AS BIGINT) AS total_tokens
+  FROM per GROUP BY lang),
+staged AS (
+  SELECT *, pow(CAST(total_tokens AS DOUBLE), {float(alpha)!r}) AS wnum
+  FROM agg),
+normed AS (SELECT *, sum(wnum) OVER () AS wsum FROM staged),
+planned AS (
+  SELECT lang, n_docs, total_tokens,
+         CAST(round({float(1000 * budget)!r} * wnum / wsum
+                    / CAST(total_tokens AS DOUBLE)) AS BIGINT)
+           AS epochs_milli
+  FROM normed)
+SELECT lang, n_docs, total_tokens, epochs_milli,
+       (epochs_milli * total_tokens) // 1000 AS planned_tokens
+FROM planned
+"""

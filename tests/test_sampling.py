@@ -156,3 +156,27 @@ def test_temperature_rebalance_corpus_side_is_shuffle_free(spark):
         ._jdf.queryExecution().executedPlan().toString()
     )
     assert "BroadcastHashJoin" in plan or "BroadcastNestedLoopJoin" in plan
+
+
+def test_mixing_epoch_plan_flattens_mix(spark):
+    """alpha<1: low-resource languages get MORE epochs than high-resource
+    ones, and the planned token mix is flatter than the supply mix."""
+    from language_diversity_common_crawler_spark.functions import sampling
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    rows = sampling.mixing_epoch_plan(docs).collect()
+    by_lang = {r["lang"]: r for r in rows}
+    hi = max(rows, key=lambda r: r["total_tokens"])
+    lo = min(rows, key=lambda r: r["total_tokens"])
+    assert lo["epochs_milli"] > hi["epochs_milli"]
+    # planned share of the low-resource language exceeds its supply share
+    tot_sup = sum(r["total_tokens"] for r in rows)
+    tot_plan = sum(r["planned_tokens"] for r in rows)
+    assert (
+        lo["planned_tokens"] / tot_plan > lo["total_tokens"] / tot_sup
+    )
+    # budget accounting: planned totals land near the budget (quantized)
+    assert abs(tot_plan - sampling.MIX_BUDGET_TOKENS) < 0.02 * (
+        sampling.MIX_BUDGET_TOKENS
+    )
+    assert all(r["epochs_milli"] > 0 for r in rows), by_lang
