@@ -1485,19 +1485,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["url_spam_filter"] = url_spam_filter
 
     def url_template_traps(spark, sf_dir):
-        """Crawl-trap detection by URL template: digit runs collapse to
-        '{n}' so pagination/calendar/session URLs share one key; a
+        """Crawl-trap detection by URL template: digit runs in the
+        PATH/QUERY collapse to '{n}' (the scheme://host prefix stays
+        verbatim — digit-bearing hosts are distinct sites), so one
+        site's pagination/calendar/session URLs share one key; a
         template with an exploding URL count is a trap. ONE
-        map-side-combined aggregate on template (countDistinct host
-        rides it via Expand); flag = integer threshold."""
+        map-side-combined aggregate on template; flag = integer
+        threshold."""
         tune_session(spark)
         seeds = _seeds_df(spark, sf_dir)
         t = F.expr(urlgen.url_template_expr("url_canon", "spark"))
-        agg = seeds.select(t.alias("template"), "host").groupBy(
-            "template"
-        ).agg(
+        agg = seeds.select(t.alias("template")).groupBy("template").agg(
             F.count(F.lit(1)).cast("bigint").alias("n_urls"),
-            F.countDistinct("host").cast("bigint").alias("n_hosts"),
         )
         return agg.withColumn(
             "is_trap",
@@ -2202,10 +2201,9 @@ FROM seeds
 WITH seeds AS ({_SEEDS_SQL}),
 agg AS (
   SELECT {urlgen.url_template_expr("url_canon", "duckdb")} AS template,
-         CAST(count(*) AS BIGINT) AS n_urls,
-         CAST(count(DISTINCT host) AS BIGINT) AS n_hosts
+         CAST(count(*) AS BIGINT) AS n_urls
   FROM seeds GROUP BY 1)
-SELECT template, n_urls, n_hosts,
+SELECT template, n_urls,
        CAST(CASE WHEN n_urls >= {urlgen.TRAP_MIN_URLS} THEN 1 ELSE 0 END
             AS BIGINT) AS is_trap
 FROM agg

@@ -382,25 +382,24 @@ def url_spam_exprs(url: str, dialect: str) -> dict[str, str]:
     - ``n_digits``: digit count in the full URL;
     - ``url_len``: total length;
     - ``spam_score``: 2*path_depth + 5*n_params + n_digits + url_len/10
-      (integer DIV). The weights are a documented heuristic dial, not a
-      trained model — production would tune them per corpus; the
-      structure (exact integer linear score + threshold) is the scale
-      contract.
+      (integer division via dialect.idiv). The weights are a documented
+      heuristic dial, not a trained model — production would tune them
+      per corpus; the structure (exact integer linear score + threshold)
+      is the scale contract.
     """
-    def cnt(ch: str) -> str:
-        return f"(length({url}) - length(replace({url}, '{ch}', '')))"
+    from ..functions.dialect import idiv
+    from ..functions.text_analysis import _sql_count_char
 
-    depth = f"({cnt('/')} - 2)"  # scheme '//' contributes two
+    depth = f"({_sql_count_char(url, '/')} - 2)"  # scheme '//' adds two
     q = f"CASE WHEN position('?' IN {url}) > 0 THEN 1 ELSE 0 END"
-    n_params = f"({q} + {cnt('&')})"
+    n_params = f"({q} + {_sql_count_char(url, '&')})"
     digits = (
         f"(length({url}) - length(regexp_replace({url}, "
         f"{rx('[0-9]', dialect)}, ''{g_flag(dialect)})))"
     )
-    div = "//" if dialect == "duckdb" else "DIV"
     spam = (
         f"(2 * ({depth}) + 5 * ({n_params}) + ({digits})"
-        f" + length({url}) {div} 10)"
+        f" + {idiv(f'length({url})', '10', dialect)})"
     )
     return {
         "url_len": f"CAST(length({url}) AS BIGINT)",
@@ -412,10 +411,11 @@ def url_spam_exprs(url: str, dialect: str) -> dict[str, str]:
 
 
 def py_url_spam(url: str) -> dict[str, int]:
-    """Python mirror of :func:`url_spam_exprs`."""
+    """Python mirror of :func:`url_spam_exprs` (ASCII digits only, like
+    the engines' [0-9] — str.isdigit would also count Unicode digits)."""
     depth = url.count("/") - 2
     n_params = (1 if "?" in url else 0) + url.count("&")
-    digits = sum(c.isdigit() for c in url)
+    digits = sum("0" <= c <= "9" for c in url)
     spam = 2 * depth + 5 * n_params + digits + len(url) // 10
     return {
         "url_len": len(url),
@@ -434,14 +434,20 @@ TRAP_MIN_URLS = 1000
 
 
 def url_template_expr(url: str, dialect: str) -> str:
-    """Collapse every digit run to '{n}' — URLs minted by the same
-    calendar/pagination/session template land on one key, so a template
-    whose URL count explodes is a crawl trap (infinite calendars,
-    faceted-nav cross products, session-id mirrors). One regex pass,
-    identical in both dialects."""
+    """Collapse every digit run IN THE PATH/QUERY to '{n}', keeping the
+    ``scheme://host`` prefix verbatim — URLs minted by the same
+    calendar/pagination/session template on ONE site land on one key, so
+    a template whose URL count explodes is a crawl trap (infinite
+    calendars, faceted-nav cross products, session-id mirrors). The host
+    must NOT be templated: digit-bearing hosts (host1.ex, host2.ex) are
+    distinct sites, and merging them would charge independent origins to
+    one fake trap. Two anchored extracts + one replace, identical in
+    both dialects."""
+    prefix = f"regexp_extract({url}, '^([a-z][a-z0-9+.-]*://[^/]*)', 1)"
+    rest = f"substring({url}, length({prefix}) + 1)"
     return (
-        f"regexp_replace({url}, {rx('[0-9]+', dialect)}, "
-        f"'{{n}}'{g_flag(dialect)})"
+        f"concat({prefix}, regexp_replace({rest}, "
+        f"{rx('[0-9]+', dialect)}, '{{n}}'{g_flag(dialect)}))"
     )
 
 
@@ -449,4 +455,6 @@ def py_url_template(url: str) -> str:
     """Python mirror of :func:`url_template_expr`."""
     import re
 
-    return re.sub(r"[0-9]+", "{n}", url)
+    m = re.match(r"^[a-z][a-z0-9+.-]*://[^/]*", url)
+    cut = m.end() if m else 0
+    return url[:cut] + re.sub(r"[0-9]+", "{n}", url[cut:])

@@ -649,10 +649,17 @@ def mixing_epoch_plan(
     staged = agg.withColumn("wnum", wnum).withColumn(
         "wsum", F.sum("wnum").over(w_all)
     )
-    epochs = F.round(
-        F.lit(float(1000 * budget)) * F.col("wnum")
-        / F.col("wsum") / F.col("total_tokens").cast("double")
-    ).cast("bigint")
+    # total_tokens = 0 (a lang whose docs all normalize empty) would give
+    # 0.0/0.0 = NaN — Spark casts NaN->0 but DuckDB's BIGINT cast raises,
+    # so guard explicitly (same device as quality_rules' n_words = 0 CASE)
+    epochs = F.when(
+        F.col("total_tokens") == 0, F.lit(0).cast("bigint")
+    ).otherwise(
+        F.round(
+            F.lit(float(1000 * budget)) * F.col("wnum")
+            / F.col("wsum") / F.col("total_tokens").cast("double")
+        ).cast("bigint")
+    )
     return staged.select(
         "lang", "n_docs", "total_tokens",
         epochs.alias("epochs_milli"),
@@ -683,9 +690,10 @@ staged AS (
 normed AS (SELECT *, sum(wnum) OVER () AS wsum FROM staged),
 planned AS (
   SELECT lang, n_docs, total_tokens,
-         CAST(round({float(1000 * budget)!r} * wnum / wsum
-                    / CAST(total_tokens AS DOUBLE)) AS BIGINT)
-           AS epochs_milli
+         CASE WHEN total_tokens = 0 THEN CAST(0 AS BIGINT)
+              ELSE CAST(round({float(1000 * budget)!r} * wnum / wsum
+                         / CAST(total_tokens AS DOUBLE)) AS BIGINT)
+         END AS epochs_milli
   FROM normed)
 SELECT lang, n_docs, total_tokens, epochs_milli,
        (epochs_milli * total_tokens) // 1000 AS planned_tokens

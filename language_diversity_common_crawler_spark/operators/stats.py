@@ -175,10 +175,11 @@ def sql_length_percentiles(
     table: str = "documents", value_col: str = "n_chars",
     group_col: str = "lang",
     probs: tuple[float, ...] = (0.25, 0.5, 0.75, 0.95),
+    count_alias: str = "n_docs",
 ) -> str:
     """DuckDB twin of :func:`length_percentiles` (quantile_disc is
     DuckDB's spelling of percentile_disc)."""
-    cols = ["CAST(count(*) AS BIGINT) AS n_docs"]
+    cols = [f"CAST(count(*) AS BIGINT) AS {count_alias}"]
     for p in probs:
         cols.append(
             f"CAST(quantile_disc({value_col}, {p!r}) AS BIGINT)"
@@ -226,8 +227,7 @@ def sql_sampled_length_quantiles(
 
     thresh = HASH_SPACE // rate_inv
     keep = sql_md5_60_salted("CAST(doc_id AS VARCHAR)", "qs", "duckdb")
-    inner = sql_length_percentiles(
+    return sql_length_percentiles(
         f"(SELECT * FROM {table} WHERE {keep} < {thresh})",
-        value_col, group_col, probs,
+        value_col, group_col, probs, count_alias="n_sampled",
     )
-    return inner.replace("AS n_docs", "AS n_sampled")

@@ -1255,10 +1255,12 @@ def test_url_spam_spark_python_parity(spark):
 
 def test_url_template_trap_detection(spark):
     # 1200 pagination URLs on one template + 3 one-off URLs: only the
-    # template crosses the trap threshold
+    # template crosses the trap threshold; digit-bearing HOSTS must not
+    # merge (host1/host2 are distinct sites, not one trap)
     urls = [(f"https://t.ex/page/{i}?cal=2024-{i % 12}", "t.ex")
             for i in range(1200)]
     urls += [(f"https://t.ex/{w}", "t.ex") for w in ("a", "b", "c")]
+    urls += [(f"https://host{i}.ex/p/1", f"host{i}.ex") for i in range(5)]
     df = spark.createDataFrame(urls, ["url_canon", "host"])
     t = F.expr(urlgen.url_template_expr("url_canon", "spark"))
     agg = (
@@ -1269,8 +1271,14 @@ def test_url_template_trap_detection(spark):
     )
     by_t = {r["template"]: r["count"] for r in agg}
     assert by_t["https://t.ex/page/{n}?cal={n}-{n}"] == 1200
+    # the five digit-hosts stay five separate templates
+    for i in range(5):
+        assert by_t[f"https://host{i}.ex/p/{{n}}"] == 1
     # python mirror agrees on the template key
     assert (
         urlgen.py_url_template("https://t.ex/page/7?cal=2024-7")
         == "https://t.ex/page/{n}?cal={n}-{n}"
+    )
+    assert urlgen.py_url_template("https://host3.ex/p/1") == (
+        "https://host3.ex/p/{n}"
     )

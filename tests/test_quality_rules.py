@@ -217,7 +217,7 @@ def test_funnel_stage_order_is_first_fail(spark):
         quality_rules as qr,
     )
 
-    bad_both = ("a " * 60).strip() + " #####"
+    bad_both = ("a " * 60).strip() + " " + "#" * 12
     got = {
         r["stage"]: r["n_docs"]
         for r in qr.filter_funnel_report(
