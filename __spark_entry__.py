@@ -1538,6 +1538,21 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["mixing_epoch_plan"] = mixing_epoch_plan
 
+    def label_centroid_similarity(spark, sf_dir):
+        """Corpus-geometry report: pairwise centroid similarity across
+        embedding labels as EXACT integers (quantize → integer sums →
+        dot + squared norms; no division, no sqrt — the oracle checks
+        the geometry itself). One corpus exchange; the tiny (label, dim)
+        relation is checkpointed against triple re-planning
+        (functions/similarity.py)."""
+        tune_session(spark)
+        emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").repartition(
+            spark.sparkContext.defaultParallelism
+        )
+        return similarity.label_centroid_similarity(emb)
+
+    q["label_centroid_similarity"] = label_centroid_similarity
+
     return q
 
 
@@ -2214,5 +2229,8 @@ FROM agg
         "documents"
     )
     o["mixing_epoch_plan"] = sampling.sql_mixing_epoch_plan("documents")
+    o["label_centroid_similarity"] = (
+        similarity.sql_label_centroid_similarity("embeddings")
+    )
 
     return o

@@ -121,6 +121,7 @@ HEADLINE = [
     "sampled_length_quantiles",
     "filter_funnel_report",
     "mixing_epoch_plan",
+    "label_centroid_similarity",
 ]
 
 

@@ -506,3 +506,96 @@ SELECT e.vec_id, dup.vec_id IS NULL AS kept, dup.dup_of, dup.max_cosine,
        coalesce(dup.n_near, 0) AS n_near
 FROM {table} e LEFT JOIN dup ON e.vec_id = dup.vec_id
 """
+
+
+# ---------------------------------------------------------------------------
+# label-centroid similarity matrix (corpus-geometry report)
+# ---------------------------------------------------------------------------
+
+CENTROID_QUANT = 1_000_000.0  # element quantization: micros
+
+
+def label_centroid_similarity(emb: DataFrame) -> DataFrame:
+    """Pairwise similarity of per-label centroid directions — the
+    corpus-geometry report (how separated are the clusters / language
+    groups in embedding space?) that steers diversity-aware selection.
+
+    Exact-integer formulation so the value-hash oracle can check it:
+    each element is quantized to integer micros FIRST (round of an
+    identical IEEE double product — engine-identical), centroids are the
+    per-(label, dim) integer SUMS (cosine of the sum equals cosine of
+    the mean, so no division ever happens), and the output is
+    (dot, norm_sq_a, norm_sq_b) as exact BIGINTs — the reader applies
+    sqrt, the engine never does. Magnitudes: |q| <= ~2^21 per element,
+    ~2^28 per centroid dim at 10^4 vectors/label, dot over 64 dims
+    < 2^62 — inside BIGINT until ~10^6 vectors/label, after which the
+    quantization dial (CENTROID_QUANT) scales down.
+
+    Scale shape: ONE corpus exchange (the (label, dim) sum aggregate
+    with map-side partials; out-cardinality = labels x dims). That tiny
+    relation is ``localCheckpoint``'d — it is referenced THREE times
+    (self-join both sides + norms) and Catalyst re-plans shared
+    DataFrames per reference, which would re-scan the corpus three
+    times (the components.py edge-list rationale). Everything after the
+    checkpoint is dimension-table work."""
+    q = F.transform(
+        F.col("embedding"),
+        lambda x: F.round(
+            x.cast("double") * F.lit(CENTROID_QUANT)
+        ).cast("bigint"),
+    )
+    s = (
+        emb.select("label", F.posexplode(q).alias("dim", "v"))
+        .groupBy("label", "dim")
+        .agg(F.sum("v").alias("s"))
+        .localCheckpoint(eager=True)
+    )
+    norms = s.groupBy("label").agg(
+        F.sum(F.col("s") * F.col("s")).cast("bigint").alias("norm_sq")
+    )
+    a, b = s.alias("a"), s.alias("b")
+    dots = (
+        a.join(b, (F.col("a.dim") == F.col("b.dim"))
+               & (F.col("a.label") < F.col("b.label")))
+        .groupBy(F.col("a.label").alias("label_a"),
+                 F.col("b.label").alias("label_b"))
+        .agg(F.sum(F.col("a.s") * F.col("b.s")).cast("bigint").alias("dot"))
+    )
+    na = norms.select(F.col("label").alias("label_a"),
+                      F.col("norm_sq").alias("norm_sq_a"))
+    nb = norms.select(F.col("label").alias("label_b"),
+                      F.col("norm_sq").alias("norm_sq_b"))
+    return (
+        dots.join(F.broadcast(na), "label_a")
+        .join(F.broadcast(nb), "label_b")
+        .select("label_a", "label_b", "dot", "norm_sq_a", "norm_sq_b")
+    )
+
+
+def sql_label_centroid_similarity(table: str = "embeddings") -> str:
+    """DuckDB twin of :func:`label_centroid_similarity` (lateral
+    unnest(range) + 1-based indexing for the positional explode; the
+    quantized product is the same widened-float IEEE double both
+    engines round identically)."""
+    return f"""
+WITH e AS (SELECT label, embedding AS emb FROM {table}),
+q AS (
+  SELECT label, t.d AS dim,
+         CAST(round(CAST(emb[CAST(t.d + 1 AS INT)] AS DOUBLE)
+                    * {CENTROID_QUANT!r}) AS BIGINT) AS v
+  FROM e, unnest(range(0, len(emb))) AS t(d)),
+s AS (SELECT label, dim, CAST(sum(v) AS BIGINT) AS s
+      FROM q GROUP BY label, dim),
+norms AS (SELECT label, CAST(sum(s * s) AS BIGINT) AS norm_sq
+          FROM s GROUP BY label),
+dots AS (
+  SELECT a.label AS label_a, b.label AS label_b,
+         CAST(sum(a.s * b.s) AS BIGINT) AS dot
+  FROM s a JOIN s b ON a.dim = b.dim AND a.label < b.label
+  GROUP BY a.label, b.label)
+SELECT label_a, label_b, dot,
+       na.norm_sq AS norm_sq_a, nb.norm_sq AS norm_sq_b
+FROM dots
+JOIN norms na ON na.label = dots.label_a
+JOIN norms nb ON nb.label = dots.label_b
+"""

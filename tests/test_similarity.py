@@ -150,3 +150,38 @@ def test_cosine_dedup_drops_planted_twins(spark):
     originals = [v for i, v in verdicts.items() if i % 2 == 0]
     kept_orig = sum(1 for v in originals if v["kept"])
     assert kept_orig >= 0.95 * len(originals), kept_orig
+
+
+def test_label_centroid_similarity_matches_numpy(spark):
+    """The integer geometry must equal a numpy recompute of the same
+    quantization, and the implied cosines must stay in [-1, 1]."""
+    import math
+
+    import numpy as np
+
+    from language_diversity_common_crawler_spark.functions import similarity
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    got = {
+        (r["label_a"], r["label_b"]): r
+        for r in similarity.label_centroid_similarity(emb).collect()
+    }
+    rows = emb.select("label", "embedding").collect()
+    cents: dict[int, np.ndarray] = {}
+    for r in rows:
+        q = np.array(
+            [round(float(np.float32(x)) * 1e6) for x in r["embedding"]],
+            dtype=np.int64,
+        )
+        cents[r["label"]] = cents.get(r["label"], 0) + q
+    labels = sorted(cents)
+    n_pairs = len(labels) * (len(labels) - 1) // 2
+    assert len(got) == n_pairs
+    for i, la in enumerate(labels):
+        for lb in labels[i + 1:]:
+            r = got[(la, lb)]
+            assert r["dot"] == int(cents[la] @ cents[lb]), (la, lb)
+            assert r["norm_sq_a"] == int(cents[la] @ cents[la])
+            assert r["norm_sq_b"] == int(cents[lb] @ cents[lb])
+            cos = r["dot"] / math.sqrt(r["norm_sq_a"] * r["norm_sq_b"])
+            assert -1.0 <= cos <= 1.0
