@@ -512,7 +512,8 @@ FROM {table} e LEFT JOIN dup ON e.vec_id = dup.vec_id
 # label-centroid similarity matrix (corpus-geometry report)
 # ---------------------------------------------------------------------------
 
-CENTROID_QUANT = 1_000_000.0  # element quantization: micros
+# element quantization reuses the module's ONE micros contract (QUANT)
+CENTROID_QUANT = QUANT
 
 
 def label_centroid_similarity(emb: DataFrame) -> DataFrame:

@@ -166,11 +166,22 @@ def test_label_centroid_similarity_matches_numpy(spark):
         (r["label_a"], r["label_b"]): r
         for r in similarity.label_centroid_similarity(emb).collect()
     }
+    from language_diversity_common_crawler_spark.functions.similarity import (
+        CENTROID_QUANT,
+    )
+
+    def _round_half_away(v: float) -> int:
+        # the engines round half AWAY from zero (Spark HALF_UP, DuckDB
+        # std::round); Python's round() is banker's and would diverge on
+        # exact .5 ties
+        return int(math.floor(abs(v) + 0.5)) * (1 if v >= 0 else -1)
+
     rows = emb.select("label", "embedding").collect()
     cents: dict[int, np.ndarray] = {}
     for r in rows:
         q = np.array(
-            [round(float(np.float32(x)) * 1e6) for x in r["embedding"]],
+            [_round_half_away(float(np.float32(x)) * CENTROID_QUANT)
+             for x in r["embedding"]],
             dtype=np.int64,
         )
         cents[r["label"]] = cents.get(r["label"], 0) + q
