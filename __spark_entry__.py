@@ -1553,6 +1553,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["label_centroid_similarity"] = label_centroid_similarity
 
+    def source_overlap_matrix(spark, sf_dir):
+        """Dataset-lineage overlap: distinct content fingerprints shared
+        by every source pair — decides dedup order when merging crawls.
+        One fp exchange (distinct), exchange-reusing self-join, pair
+        fan-out bounded by the source dimension (functions/dedup.py)."""
+        tune_session(spark)
+        return dedup.source_overlap_matrix(_docs_par(spark, sf_dir))
+
+    q["source_overlap_matrix"] = source_overlap_matrix
+
     return q
 
 
@@ -2232,5 +2242,6 @@ FROM agg
     o["label_centroid_similarity"] = (
         similarity.sql_label_centroid_similarity("embeddings")
     )
+    o["source_overlap_matrix"] = dedup.sql_source_overlap_matrix("documents")
 
     return o

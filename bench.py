@@ -122,6 +122,7 @@ HEADLINE = [
     "filter_funnel_report",
     "mixing_epoch_plan",
     "label_centroid_similarity",
+    "source_overlap_matrix",
 ]
 
 

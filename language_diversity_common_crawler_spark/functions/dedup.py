@@ -805,3 +805,64 @@ SELECT doc_id, n_shingles, n_eval_hits,
        (1000 * n_eval_hits) // n_shingles AS containment_milli
 FROM agg WHERE n_eval_hits > 0
 """
+
+
+def source_overlap_matrix(docs: DataFrame, k: int = 8) -> DataFrame:
+    """Pairwise content overlap BETWEEN sources at the k-token SPAN grain
+    (the spans.py grid): for every source pair, how many distinct span
+    fingerprints they share — the lineage report that decides dedup ORDER
+    when merging crawls/dumps (dedup the heaviest-overlap pair first; the
+    whole-corpus pair-grain complement of
+    spans.incremental_span_contamination's newest-vs-history check).
+    Span grain, not whole-doc md5: cross-source duplication in the wild
+    is overwhelmingly PARTIAL (syndicated paragraphs, quoted passages),
+    which document fingerprints cannot see.
+
+    Plan: distinct (span_hash, source) — ONE corpus exchange on the
+    hash — then a self-join on the SAME key (Catalyst reuses the
+    exchange; no second shuffle of the span stream). Per-hash fan-out
+    after the distinct is bounded by the source count, so join output is
+    |shared spans| x O(n_sources^2) worst case — a dimension, not a
+    corpus, axis. Output one row per source pair sharing >= 1 span."""
+    from .spans import spans_from_tokens
+
+    tok = docs.filter(F.col("text").isNotNull()).select(
+        "source", F.expr(tokens_expr("text", "spark")).alias("toks")
+    )
+    fp = tok.select(
+        "source",
+        F.explode(F.expr(spans_from_tokens("toks", "spark", k))).alias("s"),
+    ).filter(F.col("s") != "").select(
+        "source", F.expr(sql_md5_60("s", "spark")).alias("h")
+    ).distinct()
+    a, b = fp.alias("a"), fp.alias("b")
+    return (
+        a.join(b, (F.col("a.h") == F.col("b.h"))
+               & (F.col("a.source") < F.col("b.source")))
+        .groupBy(
+            F.col("a.source").alias("source_a"),
+            F.col("b.source").alias("source_b"),
+        )
+        .agg(F.count(F.lit(1)).cast("bigint").alias("shared_spans"))
+    )
+
+
+def sql_source_overlap_matrix(table: str = "documents", k: int = 8) -> str:
+    """DuckDB twin of :func:`source_overlap_matrix`."""
+    from .spans import spans_from_tokens
+
+    h = sql_md5_60("s", "duckdb")
+    return f"""
+WITH tok AS (
+  SELECT source, {tokens_expr('text', 'duckdb')} AS toks
+  FROM {table} WHERE text IS NOT NULL),
+sp AS (
+  SELECT source, unnest({spans_from_tokens('toks', 'duckdb', k)}) AS s
+  FROM tok),
+fp AS (
+  SELECT DISTINCT source, {h} AS h FROM sp WHERE s <> '')
+SELECT a.source AS source_a, b.source AS source_b,
+       CAST(count(*) AS BIGINT) AS shared_spans
+FROM fp a JOIN fp b ON a.h = b.h AND a.source < b.source
+GROUP BY a.source, b.source
+"""

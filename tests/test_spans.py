@@ -275,3 +275,46 @@ def test_span_removal_fuzz_three_way(spark):
         ).fetchall()
     }
     assert duck_inc == want_inc
+
+
+def test_source_overlap_matrix_planted(spark):
+    """Two sources share exactly one 8-token span; the third shares
+    nothing — the matrix reports exactly that pair."""
+    from pyspark.sql import Row
+
+    from language_diversity_common_crawler_spark.functions import dedup
+
+    shared = " ".join(f"s{i}" for i in range(8))
+    df = spark.createDataFrame(
+        [
+            Row(doc_id=1, source="A",
+                text=shared + " " + " ".join(f"a{i}" for i in range(8))),
+            Row(doc_id=2, source="B",
+                text=shared + " " + " ".join(f"b{i}" for i in range(8))),
+            Row(doc_id=3, source="C",
+                text=" ".join(f"c{i}" for i in range(16))),
+        ]
+    )
+    rows = dedup.source_overlap_matrix(df).collect()
+    assert len(rows) == 1
+    [r] = rows
+    assert (r["source_a"], r["source_b"]) == ("A", "B")
+    assert r["shared_spans"] == 1
+
+
+def test_source_overlap_matrix_within_source_ignored(spark):
+    """Duplication INSIDE one source must not create a pair row."""
+    from pyspark.sql import Row
+
+    from language_diversity_common_crawler_spark.functions import dedup
+
+    t = " ".join(f"w{i}" for i in range(8))
+    df = spark.createDataFrame(
+        [
+            Row(doc_id=1, source="A", text=t),
+            Row(doc_id=2, source="A", text=t),
+            Row(doc_id=3, source="B",
+                text=" ".join(f"z{i}" for i in range(8))),
+        ]
+    )
+    assert dedup.source_overlap_matrix(df).count() == 0
