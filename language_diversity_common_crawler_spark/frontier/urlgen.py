@@ -441,9 +441,11 @@ def url_template_expr(url: str, dialect: str) -> str:
     calendars, faceted-nav cross products, session-id mirrors). The host
     must NOT be templated: digit-bearing hosts (host1.ex, host2.ex) are
     distinct sites, and merging them would charge independent origins to
-    one fake trap. Two anchored extracts + one replace, identical in
-    both dialects."""
-    prefix = f"regexp_extract({url}, '^([a-z][a-z0-9+.-]*://[^/]*)', 1)"
+    one fake trap. The prefix class is '[^/?#]*' like host_expr —
+    canonicalize can emit path-less 'https://t.ex?page=2', and a bare
+    '[^/]*' would swallow the query, hiding query-only traps. Two
+    anchored extracts + one replace, identical in both dialects."""
+    prefix = f"regexp_extract({url}, '^([a-z][a-z0-9+.-]*://[^/?#]*)', 1)"
     rest = f"substring({url}, length({prefix}) + 1)"
     return (
         f"concat({prefix}, regexp_replace({rest}, "
@@ -455,6 +457,6 @@ def py_url_template(url: str) -> str:
     """Python mirror of :func:`url_template_expr`."""
     import re
 
-    m = re.match(r"^[a-z][a-z0-9+.-]*://[^/]*", url)
+    m = re.match(r"^[a-z][a-z0-9+.-]*://[^/?#]*", url)
     cut = m.end() if m else 0
     return url[:cut] + re.sub(r"[0-9]+", "{n}", url[cut:])

@@ -1282,3 +1282,19 @@ def test_url_template_trap_detection(spark):
     assert urlgen.py_url_template("https://host3.ex/p/1") == (
         "https://host3.ex/p/{n}"
     )
+
+
+def test_url_template_pathless_query_urls(spark):
+    # canonicalize can emit path-less 'https://t.ex?page=2'; the query
+    # must still be templated (a '[^/]*' prefix would swallow it and a
+    # query-only pagination trap would never aggregate)
+    urls = [(f"https://t.ex?page={i}",) for i in range(30)]
+    df = spark.createDataFrame(urls, ["url_canon"])
+    t = F.expr(urlgen.url_template_expr("url_canon", "spark"))
+    agg = df.select(t.alias("template")).groupBy("template").count().collect()
+    assert len(agg) == 1
+    assert agg[0]["template"] == "https://t.ex?page={n}"
+    assert agg[0]["count"] == 30
+    assert urlgen.py_url_template("https://t.ex?page=7") == (
+        "https://t.ex?page={n}"
+    )
