@@ -818,37 +818,50 @@ def source_overlap_matrix(docs: DataFrame, k: int = 8) -> DataFrame:
     is overwhelmingly PARTIAL (syndicated paragraphs, quoted passages),
     which document fingerprints cannot see.
 
-    Plan: distinct (span_hash, source) — ONE corpus exchange on the
-    hash — then a self-join on the SAME key (Catalyst reuses the
-    exchange; no second shuffle of the span stream). Per-hash fan-out
-    after the distinct is bounded by the source count, so join output is
-    |shared spans| x O(n_sources^2) worst case — a dimension, not a
-    corpus, axis. Output one row per source pair sharing >= 1 span."""
+    Plan: ONE corpus exchange — ``groupBy(span_hash)`` with a map-side
+    partial ``collect_set(source)`` (the set dedups (hash, source) for
+    free, so no separate distinct pass exists). Pairs are then GENERATED
+    from each hash's sorted source set with array lambdas — no self-join,
+    no second shuffle of the span stream (a distinct-then-self-join
+    formulation was rejected: its distinct keys on (source, hash) so the
+    join on hash re-exchanges both sides — 3 shuffles for the same
+    answer). Set size is bounded by the source count (a dimension, not a
+    corpus, axis), so the per-hash pair fan-out is O(n_sources^2) worst
+    case. Output one row per source pair sharing >= 1 span."""
     from .spans import spans_from_tokens
 
     tok = docs.filter(F.col("text").isNotNull()).select(
         "source", F.expr(tokens_expr("text", "spark")).alias("toks")
     )
-    fp = tok.select(
+    sp = tok.select(
         "source",
         F.explode(F.expr(spans_from_tokens("toks", "spark", k))).alias("s"),
     ).filter(F.col("s") != "").select(
         "source", F.expr(sql_md5_60("s", "spark")).alias("h")
-    ).distinct()
-    a, b = fp.alias("a"), fp.alias("b")
-    return (
-        a.join(b, (F.col("a.h") == F.col("b.h"))
-               & (F.col("a.source") < F.col("b.source")))
-        .groupBy(
-            F.col("a.source").alias("source_a"),
-            F.col("b.source").alias("source_b"),
-        )
-        .agg(F.count(F.lit(1)).cast("bigint").alias("shared_spans"))
     )
+    sets = (
+        sp.groupBy("h")
+        .agg(F.array_sort(F.collect_set("source")).alias("ss"))
+        .filter(F.size("ss") >= 2)
+    )
+    pairs = sets.select(
+        F.explode(
+            F.expr(
+                "flatten(transform(ss, (x, i) -> "
+                "transform(slice(ss, i + 2, size(ss)), "
+                "y -> struct(x AS a, y AS b))))"
+            )
+        ).alias("p")
+    )
+    return pairs.groupBy(
+        F.col("p.a").alias("source_a"), F.col("p.b").alias("source_b")
+    ).agg(F.count(F.lit(1)).cast("bigint").alias("shared_spans"))
 
 
 def sql_source_overlap_matrix(table: str = "documents", k: int = 8) -> str:
-    """DuckDB twin of :func:`source_overlap_matrix`."""
+    """DuckDB twin of :func:`source_overlap_matrix` (sorted distinct
+    source list per hash; pairs via a double lateral range unnest with
+    i < j — 1-based list indexing)."""
     from .spans import spans_from_tokens
 
     h = sql_md5_60("s", "duckdb")
@@ -859,10 +872,16 @@ WITH tok AS (
 sp AS (
   SELECT source, unnest({spans_from_tokens('toks', 'duckdb', k)}) AS s
   FROM tok),
-fp AS (
-  SELECT DISTINCT source, {h} AS h FROM sp WHERE s <> '')
-SELECT a.source AS source_a, b.source AS source_b,
+hs AS (SELECT {h} AS h, source FROM sp WHERE s <> ''),
+sets AS (
+  SELECT h, list_sort(list(DISTINCT source)) AS ss
+  FROM hs GROUP BY h HAVING len(list(DISTINCT source)) >= 2)
+SELECT ss[CAST(t1.i + 1 AS INT)] AS source_a,
+       ss[CAST(t2.j + 1 AS INT)] AS source_b,
        CAST(count(*) AS BIGINT) AS shared_spans
-FROM fp a JOIN fp b ON a.h = b.h AND a.source < b.source
-GROUP BY a.source, b.source
+FROM sets,
+     unnest(range(0, len(ss))) AS t1(i),
+     unnest(range(0, len(ss))) AS t2(j)
+WHERE t2.j > t1.i
+GROUP BY source_a, source_b
 """
