@@ -1563,6 +1563,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["source_overlap_matrix"] = source_overlap_matrix
 
+    def quality_length_moments(spark, sf_dir):
+        """Exact integer sufficient statistics (n, Σx, Σx², Σy, Σy², Σxy)
+        relating doc length and quality score per language — the
+        'are we selecting for length?' diagnostic whose covariance the
+        reader derives, division-free. Shuffle-free signals + ONE
+        map-side-combined aggregate (operators/stats.py)."""
+        tune_session(spark)
+        return stats.quality_length_moments(_docs_par(spark, sf_dir))
+
+    q["quality_length_moments"] = quality_length_moments
+
     return q
 
 
@@ -2243,5 +2254,8 @@ FROM agg
         similarity.sql_label_centroid_similarity("embeddings")
     )
     o["source_overlap_matrix"] = dedup.sql_source_overlap_matrix("documents")
+    o["quality_length_moments"] = stats.sql_quality_length_moments(
+        "documents"
+    )
 
     return o

@@ -123,6 +123,7 @@ HEADLINE = [
     "mixing_epoch_plan",
     "label_centroid_similarity",
     "source_overlap_matrix",
+    "quality_length_moments",
 ]
 
 

@@ -231,3 +231,57 @@ def sql_sampled_length_quantiles(
         f"(SELECT * FROM {table} WHERE {keep} < {thresh})",
         value_col, group_col, probs, count_alias="n_sampled",
     )
+
+
+def quality_length_moments(df: DataFrame, group_col: str = "lang") -> DataFrame:
+    """Exact integer moment report relating document LENGTH (n_chars)
+    and QUALITY (the text_analysis quality_score): per group, the six
+    sufficient statistics (n, Σx, Σx², Σy, Σy², Σxy) from which any
+    reader derives mean/variance/covariance/Pearson-r without the
+    engine ever dividing — the corpus-diagnostics pass ("are we
+    selecting for length when we think we select for quality?") with a
+    value-hash-exact oracle. At 10^10 docs the sums stay inside BIGINT
+    (x ~ 10^4, x² ~ 10^8, times 10^10 rows needs the per-group count
+    below ~10^10 — true for any per-language slice; the documented
+    scale dial is quantizing x down before squaring).
+
+    Plan: shuffle-free codegen signal projection + ONE map-side-combined
+    group aggregate."""
+    from ..functions.text_analysis import quality_exprs
+
+    q = quality_exprs("text", "spark")["quality_score"]
+    staged = df.filter(F.col("text").isNotNull()).select(
+        group_col,
+        F.col("n_chars").cast("bigint").alias("x"),
+        F.expr(q).alias("y"),
+    )
+    return staged.groupBy(group_col).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("x").cast("bigint").alias("sum_len"),
+        F.sum(F.col("x") * F.col("x")).cast("bigint").alias("sum_len_sq"),
+        F.sum("y").cast("bigint").alias("sum_q"),
+        F.sum(F.col("y") * F.col("y")).cast("bigint").alias("sum_q_sq"),
+        F.sum(F.col("x") * F.col("y")).cast("bigint").alias("sum_lq"),
+    )
+
+
+def sql_quality_length_moments(
+    table: str = "documents", group_col: str = "lang"
+) -> str:
+    """DuckDB twin of :func:`quality_length_moments`."""
+    from ..functions.text_analysis import quality_exprs
+
+    q = quality_exprs("text", "duckdb")["quality_score"]
+    return f"""
+WITH staged AS (
+  SELECT {group_col}, CAST(n_chars AS BIGINT) AS x, {q} AS y
+  FROM {table} WHERE text IS NOT NULL)
+SELECT {group_col},
+       CAST(count(*) AS BIGINT) AS n,
+       CAST(sum(x) AS BIGINT) AS sum_len,
+       CAST(sum(x * x) AS BIGINT) AS sum_len_sq,
+       CAST(sum(y) AS BIGINT) AS sum_q,
+       CAST(sum(y * y) AS BIGINT) AS sum_q_sq,
+       CAST(sum(x * y) AS BIGINT) AS sum_lq
+FROM staged GROUP BY {group_col}
+"""

@@ -234,3 +234,42 @@ def test_document_chunks_is_shuffle_free(spark):
     )
     assert "Exchange" not in plan
     assert "Generate" in plan
+
+
+def test_quality_length_moments_python_recompute(spark):
+    """The six sufficient statistics must equal a Python recompute, and
+    the derived Pearson r must be finite and in [-1, 1]."""
+    import math
+
+    from language_diversity_common_crawler_spark.functions.text_analysis import (
+        quality_exprs,
+    )
+    from language_diversity_common_crawler_spark.operators import stats
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    got = {r["lang"]: r for r in stats.quality_length_moments(docs).collect()}
+    # recompute y with the engines' own expression to avoid re-speccing
+    # the quality recipe in Python
+    ys = docs.selectExpr(
+        "lang", "CAST(n_chars AS BIGINT) AS x",
+        f"{quality_exprs('text', 'spark')['quality_score']} AS y",
+    ).collect()
+    per: dict[str, list[tuple[int, int]]] = {}
+    for r in ys:
+        per.setdefault(r["lang"], []).append((r["x"], r["y"]))
+    assert set(got) == set(per)
+    for lang, xy in per.items():
+        g = got[lang]
+        assert g["n"] == len(xy)
+        assert g["sum_len"] == sum(x for x, _ in xy)
+        assert g["sum_len_sq"] == sum(x * x for x, _ in xy)
+        assert g["sum_q"] == sum(y for _, y in xy)
+        assert g["sum_q_sq"] == sum(y * y for _, y in xy)
+        assert g["sum_lq"] == sum(x * y for x, y in xy)
+        n = g["n"]
+        cov = n * g["sum_lq"] - g["sum_len"] * g["sum_q"]
+        vx = n * g["sum_len_sq"] - g["sum_len"] ** 2
+        vy = n * g["sum_q_sq"] - g["sum_q"] ** 2
+        if vx > 0 and vy > 0:
+            r_p = cov / math.sqrt(vx * vy)
+            assert -1.0 <= r_p <= 1.0
