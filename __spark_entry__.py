@@ -1574,6 +1574,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["quality_length_moments"] = quality_length_moments
 
+    def source_novelty_report(spark, sf_dir):
+        """Crawl-yield curve: per source, the fraction of its distinct
+        spans first seen there (snapshot order) — decides whether the
+        next snapshot is worth fetching. Same single corpus exchange as
+        the overlap matrix; first-seen via an array reduction, no
+        snapshot-dim join (functions/dedup.py)."""
+        tune_session(spark)
+        return dedup.source_novelty_report(_docs_par(spark, sf_dir))
+
+    q["source_novelty_report"] = source_novelty_report
+
     return q
 
 
@@ -2257,5 +2268,6 @@ FROM agg
     o["quality_length_moments"] = stats.sql_quality_length_moments(
         "documents"
     )
+    o["source_novelty_report"] = dedup.sql_source_novelty_report("documents")
 
     return o

@@ -124,6 +124,7 @@ HEADLINE = [
     "label_centroid_similarity",
     "source_overlap_matrix",
     "quality_length_moments",
+    "source_novelty_report",
 ]
 
 

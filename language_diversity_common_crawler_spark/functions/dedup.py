@@ -885,3 +885,79 @@ FROM sets,
 WHERE t2.j > t1.i
 GROUP BY source_a, source_b
 """
+
+
+def source_novelty_report(docs: DataFrame, k: int = 8) -> DataFrame:
+    """Per-source content NOVELTY: of the distinct k-token spans a
+    source contains, how many appear there FIRST (by snapshot order,
+    spans.snap_ord_expr)? This is the crawl-yield curve of the Common
+    Crawl dedup studies — successive snapshots contribute progressively
+    less new text, and the report quantifies exactly that, deciding
+    whether fetching another snapshot is worth the compute.
+
+    Plan: the same single corpus exchange as source_overlap_matrix
+    (``groupBy(span_hash)`` + map-side partial ``collect_set(source)``);
+    the first-seen source per hash is an ARRAY reduction over the tiny
+    per-hash set (snapshot order is a pure function of the source name,
+    so no join against a snapshot dim exists), then one explode + one
+    dimension-sized aggregate. novelty_milli is exact integer millis."""
+    from .spans import snap_ord_expr, spans_from_tokens
+
+    tok = docs.filter(F.col("text").isNotNull()).select(
+        "source", F.expr(tokens_expr("text", "spark")).alias("toks")
+    )
+    sp = tok.select(
+        "source",
+        F.explode(F.expr(spans_from_tokens("toks", "spark", k))).alias("s"),
+    ).filter(F.col("s") != "").select(
+        "source", F.expr(sql_md5_60("s", "spark")).alias("h")
+    )
+    ord_of = snap_ord_expr("x", "spark")
+    sets = sp.groupBy("h").agg(F.collect_set("source").alias("ss"))
+    exploded = sets.select(
+        F.expr(f"array_min(transform(ss, x -> {ord_of}))").alias(
+            "first_ord"
+        ),
+        F.explode("ss").alias("source"),
+    )
+    is_new = (
+        F.expr(snap_ord_expr("source", "spark")) == F.col("first_ord")
+    ).cast("bigint")
+    agg = exploded.groupBy("source").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_spans"),
+        F.sum(is_new).cast("bigint").alias("n_new"),
+    )
+    return agg.withColumn(
+        "novelty_milli", F.expr("(1000 * n_new) DIV n_spans")
+    )
+
+
+def sql_source_novelty_report(table: str = "documents", k: int = 8) -> str:
+    """DuckDB twin of :func:`source_novelty_report`."""
+    from .spans import snap_ord_expr, spans_from_tokens
+
+    h = sql_md5_60("s", "duckdb")
+    ord_lambda = snap_ord_expr("x", "duckdb")
+    ord_src = snap_ord_expr("source", "duckdb")
+    return f"""
+WITH tok AS (
+  SELECT source, {tokens_expr('text', 'duckdb')} AS toks
+  FROM {table} WHERE text IS NOT NULL),
+sp AS (
+  SELECT source, unnest({spans_from_tokens('toks', 'duckdb', k)}) AS s
+  FROM tok),
+hs AS (SELECT {h} AS h, source FROM sp WHERE s <> ''),
+sets AS (
+  SELECT h, list(DISTINCT source) AS ss FROM hs GROUP BY h),
+exploded AS (
+  SELECT list_min(list_transform(ss, x -> {ord_lambda})) AS first_ord,
+         unnest(ss) AS source
+  FROM sets),
+agg AS (
+  SELECT source, CAST(count(*) AS BIGINT) AS n_spans,
+         CAST(sum(CASE WHEN {ord_src} = first_ord THEN 1 ELSE 0 END)
+              AS BIGINT) AS n_new
+  FROM exploded GROUP BY source)
+SELECT source, n_spans, n_new, (1000 * n_new) // n_spans AS novelty_milli
+FROM agg
+"""

@@ -318,3 +318,25 @@ def test_source_overlap_matrix_within_source_ignored(spark):
         ]
     )
     assert dedup.source_overlap_matrix(df).count() == 0
+
+
+def test_source_novelty_report_planted(spark):
+    """src0 introduces a span; src1 repeats it and adds one of its own:
+    src0 is fully novel, src1 half novel."""
+    from pyspark.sql import Row
+
+    from language_diversity_common_crawler_spark.functions import dedup
+
+    shared = " ".join(f"s{i}" for i in range(8))
+    own = " ".join(f"o{i}" for i in range(8))
+    df = spark.createDataFrame(
+        [
+            Row(doc_id=1, source="src0", text=shared),
+            Row(doc_id=2, source="src1", text=shared + " " + own),
+        ]
+    )
+    got = {r["source"]: r for r in dedup.source_novelty_report(df).collect()}
+    assert got["src0"]["n_spans"] == 1 and got["src0"]["n_new"] == 1
+    assert got["src0"]["novelty_milli"] == 1000
+    assert got["src1"]["n_spans"] == 2 and got["src1"]["n_new"] == 1
+    assert got["src1"]["novelty_milli"] == 500
