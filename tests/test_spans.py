@@ -340,3 +340,23 @@ def test_source_novelty_report_planted(spark):
     assert got["src0"]["novelty_milli"] == 1000
     assert got["src1"]["n_spans"] == 2 and got["src1"]["n_new"] == 1
     assert got["src1"]["novelty_milli"] == 500
+
+
+def test_source_novelty_tied_ordinals_single_credit(spark):
+    """Two sources with the SAME snapshot ordinal sharing one span: the
+    (ord, name) tie-break credits exactly one of them, so n_new sums
+    never exceed the distinct span count."""
+    from pyspark.sql import Row
+
+    from language_diversity_common_crawler_spark.functions import dedup
+
+    t = " ".join(f"w{i}" for i in range(8))
+    df = spark.createDataFrame(
+        [
+            Row(doc_id=1, source="cc1", text=t),
+            Row(doc_id=2, source="web1", text=t),  # both ord = 1
+        ]
+    )
+    got = {r["source"]: r for r in dedup.source_novelty_report(df).collect()}
+    assert got["cc1"]["n_new"] + got["web1"]["n_new"] == 1
+    assert got["cc1"]["n_new"] == 1  # 'cc1' < 'web1' lexicographically
