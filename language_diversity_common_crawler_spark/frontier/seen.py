@@ -51,6 +51,8 @@ from pyspark.sql.types import (
     StructType,
 )
 
+from ..plans.barrier import with_barrier_columns
+
 # canonical hash-range partition count for the URL-seen set — every state
 # producer/consumer (batch crawl rounds, streaming dedup state, bench jobs)
 # must agree on this or probe against the wrong bitset slice
@@ -583,13 +585,18 @@ def probe_bloom_jvm(
         "part_id", F.col("words").alias("__bf_words")
     )
     side = F.broadcast(w) if broadcast else w.hint("shuffle_hash")
-    flagged = (
-        candidates.join(side, on="part_id", how="left")
-        .withColumn(
-            "maybe_seen", _bloom_hit_expr(n_bits, n_hashes, "__bf_words")
-        )
-        .select(*cols, "maybe_seen")
-    )
+    # maybe_seen goes through the no-op Generate barrier (plans/barrier.py):
+    # a downstream filter(~maybe_seen) / filter(maybe_seen) would otherwise
+    # be pushed below this projection with the whole probe expression
+    # substituted — 2k copies of the h1/h2 index arithmetic (and of
+    # whatever expressions feed h1/h2 if the upstream stage is fused) in a
+    # single Filter method. Behind the barrier the probe is evaluated once
+    # and downstream predicates see an attribute.
+    joined = candidates.join(side, on="part_id", how="left")
+    flagged = with_barrier_columns(
+        joined,
+        {"maybe_seen": _bloom_hit_expr(n_bits, n_hashes, "__bf_words")},
+    ).select(*cols, "maybe_seen")
     if dedupe_on is None:
         return flagged
     return _dedupe_min_struct(flagged, dedupe_on, cols)

@@ -27,6 +27,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from ..functions.dialect import g_flag, rx
+from ..plans.barrier import with_barrier_columns
 
 _DOTSEG = r"/[^/]+/\.\./"
 
@@ -215,26 +216,31 @@ def with_canonical(df: DataFrame, raw_col: str = "url_raw") -> DataFrame:
             f"regexp_replace({_strip_tracking(p1, 'spark')}, '[?&]$', '')"
         ),
     )
-    out = out.withColumn(
-        "url_canon",
-        # terminator input passes through raw; other malformed input falls
-        # back to the fragment-stripped string, matching canonicalize_expr
-        # / oracle.py_canonicalize
-        F.expr(
-            "CASE WHEN __valid THEN concat("
-            "__scheme, '://', "
-            "CASE WHEN endswith(__hostport, ':443') "
-            "     THEN substr(__hostport, 1, length(__hostport) - 4) "
-            "     WHEN endswith(__hostport, ':80') "
-            "     THEN substr(__hostport, 1, length(__hostport) - 3) "
-            "     ELSE __hostport END, "
-            "CASE WHEN __path = '' THEN '/' ELSE __path END) "
-            f"WHEN {_term_guard(raw_col)} THEN {raw_col} "
-            "ELSE __e END"
-        ),
-    ).withColumn(
-        "host", F.expr("substring_index(__hostport, ':', 1)")
+    # terminator input passes through raw; other malformed input falls
+    # back to the fragment-stripped string, matching canonicalize_expr
+    # / oracle.py_canonicalize
+    canon = F.expr(
+        "CASE WHEN __valid THEN concat("
+        "__scheme, '://', "
+        "CASE WHEN endswith(__hostport, ':443') "
+        "     THEN substr(__hostport, 1, length(__hostport) - 4) "
+        "     WHEN endswith(__hostport, ':80') "
+        "     THEN substr(__hostport, 1, length(__hostport) - 3) "
+        "     ELSE __hostport END, "
+        "CASE WHEN __path = '' THEN '/' ELSE __path END) "
+        f"WHEN {_term_guard(raw_col)} THEN {raw_col} "
+        "ELSE __e END"
     )
+    host = F.expr("substring_index(__hostport, ':', 1)")
+    # Emit through a no-op Generate barrier (plans/barrier.py): a join on
+    # url_canon infers isnotnull(url_canon) and PushDownPredicates would
+    # substitute the WHOLE staged chain into one Filter — ~16 re-inlined
+    # copies of the fragment-strip regex, a >64 KB codegen method, and a
+    # silent whole-stage fallback on the frontier's hottest path (observed
+    # on frontier_seen_antijoin; janino "Code grows beyond 64 KB"). The
+    # barrier pins url_canon/host predicates above ONE evaluation while
+    # pass-through predicates (seed_id ranges) still reach the scan.
+    out = with_barrier_columns(out, {"url_canon": canon, "host": host})
     return out.drop(
         "__e", "__valid", "__scheme", "__rest", "__hpraw", "__hostport", "__path"
     )

@@ -49,12 +49,17 @@ def wet_text_expr(dialect: str) -> str:
     title line + body + a per-source footer line (the footer is the
     deliberately-duplicated boilerplate — every doc from the same source
     shares it, which is exactly the line class CCNet dedup removes).
-    Dialect-identical semantics; NULL text is filtered by callers."""
-    nl = "chr(10)" if dialect == "duckdb" else "chr(10)"
+    Dialect-identical semantics; NULL text is filtered by callers.
+    ``source`` is coalesced to '' so a NULL-source doc keeps its title +
+    body instead of the whole concat going NULL and the doc silently
+    vanishing from line_dedup's per-doc output (the sibling
+    _source_span_hashes filters NULL source explicitly — NULL sources are
+    in-domain)."""
+    nl = "chr(10)"
     cast = "VARCHAR" if dialect == "duckdb" else "STRING"
     return (
         f"('Page ' || CAST(doc_id AS {cast}) || {nl} || text || {nl} || "
-        f"'(c) example ' || source)"
+        f"'(c) example ' || COALESCE(source, ''))"
     )
 
 

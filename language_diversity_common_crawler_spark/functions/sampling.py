@@ -522,7 +522,20 @@ def lang_deficit_budget(
     through single-partition exchanges that carry dimension-table
     cardinality only. The budget table then enters
     ``frontier.scheduler.politeness_schedule`` exactly like the PageRank
-    budgets (host-keyed broadcast join, WindowGroupLimit intact)."""
+    budgets (host-keyed broadcast join, WindowGroupLimit intact).
+
+    Overflow bound: ``deficit < n_langs * total`` and a source's score is
+    ``Σ_l cnt*deficit < total * n_langs * total``, so BIGINT holds while
+    ``n_langs * total² < 2^63`` — with ~200 languages that is
+    total ≲ 2*10^8 docs. Spark wraps silently past it while DuckDB
+    raises, so the engines diverge DIFFERENTLY, not just wrongly. The
+    documented scale dial (same convention as
+    ``stats.quality_length_moments`` / ``label_centroid_similarity``):
+    once total approaches 2^31/√n_langs, quantize the deficit down by a
+    fixed power-of-two divisor — ``deficit DIV 2^q`` with
+    q = ceil(log2(n_langs·total²/2^62)) — before the cnt·deficit
+    product; budgets are a ratio of scores, so a shared divisor leaves
+    the allocation identical up to the DIV floor."""
     w_all = Window.partitionBy().rowsBetween(
         Window.unboundedPreceding, Window.unboundedFollowing
     )

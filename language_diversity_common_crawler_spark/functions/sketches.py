@@ -53,13 +53,36 @@ def _est_expr(k: int, n_col: str, kth_col: str) -> str:
 
 
 def kmv_shingle_cardinality(
-    docs: DataFrame, k: int = KMV_K, group_col: str = "lang"
+    docs: DataFrame,
+    k: int = KMV_K,
+    group_col: str = "lang",
+    prefilter_shift: int = 0,
 ) -> DataFrame:
     """Per-group estimate of the number of DISTINCT 3-token shingles,
     with the exact count alongside (at 100 TB you would drop the exact
     column and the sketch is all you pay for). Returns
     (group, k_used, n_in_sketch, kth_min_hash, est_distinct,
-    exact_distinct)."""
+    exact_distinct).
+
+    ``prefilter_shift`` (the module docstring's ``s`` dial, the 10^10
+    production knob) drops ``h >= 2^60 >> s`` with a shuffle-free codegen
+    filter BEFORE the sketch's distinct exchange — only ~2^-s of the
+    shingle stream is shuffled, and the k minima provably survive
+    whenever the group has >= k distinct hashes below the threshold (the
+    sketch only ever reads small hashes), leaving est_distinct
+    bit-identical to s=0 (pinned in tests/test_sketches.py). Validity
+    caveat: if a group has FEWER than k distinct hashes under the
+    threshold, ``n_in_sketch < k`` makes the estimator take its
+    exact-count branch over a truncated set and silently undercount —
+    size s so that expected_distinct * 2^-s >> k (e.g. s <= log2(D/k) - 3).
+    The exact_distinct companion column always uses the unfiltered
+    stream; at production scale it is dropped and only the filtered
+    exchange is paid. Default s=0 scans everything (exact parity at test
+    scale)."""
+    if prefilter_shift < 0:
+        raise ValueError(
+            f"prefilter_shift must be >= 0, got {prefilter_shift}"
+        )
     sh = docs.select(
         group_col,
         F.explode(
@@ -68,8 +91,17 @@ def kmv_shingle_cardinality(
         ).alias("h"),
     )
     d = sh.groupBy(group_col, "h").agg(F.lit(1).alias("_one")).drop("_one")
+    if prefilter_shift:
+        sk_src = (
+            sh.filter(F.col("h") < F.lit(HASH_SPACE >> prefilter_shift))
+            .groupBy(group_col, "h")
+            .agg(F.lit(1).alias("_one"))
+            .drop("_one")
+        )
+    else:
+        sk_src = d
     w = Window.partitionBy(group_col).orderBy("h")
-    topk = d.withColumn("rn", F.row_number().over(w)).filter(
+    topk = sk_src.withColumn("rn", F.row_number().over(w)).filter(
         F.col("rn") <= k
     )
     sketch = topk.groupBy(group_col).agg(

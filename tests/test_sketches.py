@@ -81,3 +81,59 @@ def test_kmv_plans_window_group_limit(spark):
         ._jdf.queryExecution().executedPlan().toString()
     )
     assert "WindowGroupLimit" in plan, plan
+
+
+def test_kmv_prefilter_preserves_minima(spark):
+    """The s dial (prefilter_shift): with every group holding >= k distinct
+    hashes below 2^60 >> s, the threshold prefilter must leave the whole
+    sketch row — n_in_sketch, kth_min_hash, est_distinct — bit-identical
+    to s=0, while exact_distinct (unfiltered companion) is unchanged by
+    construction. s=4 keeps 1/16 of the hash space; the documents corpus
+    has thousands of distinct shingles per lang, so the k=8 minima all sit
+    far below the threshold (asserted, not assumed)."""
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    k = 8
+    base = {
+        r["lang"]: (r["n_in_sketch"], r["kth_min_hash"], r["est_distinct"],
+                    r["exact_distinct"])
+        for r in sketches.kmv_shingle_cardinality(docs, k=k).collect()
+    }
+    # precondition: the k-th minimum of every group is under the s=4
+    # threshold, so the prefilter provably preserves all k minima
+    thr = HASH_SPACE >> 4
+    assert all(v[1] < thr for v in base.values()), base
+    got = {
+        r["lang"]: (r["n_in_sketch"], r["kth_min_hash"], r["est_distinct"],
+                    r["exact_distinct"])
+        for r in sketches.kmv_shingle_cardinality(
+            docs, k=k, prefilter_shift=4
+        ).collect()
+    }
+    assert got == base
+
+
+def test_kmv_prefilter_is_pre_exchange_codegen_filter(spark):
+    """The s>0 plan must place the threshold filter BEFORE the sketch's
+    distinct exchange (that ordering is the whole point: only ~2^-s of
+    the shingle stream is shuffled)."""
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    df = sketches.kmv_shingle_cardinality(docs, k=8, prefilter_shift=4)
+    plan = df._jdf.queryExecution().optimizedPlan().toString()
+    thr = HASH_SPACE >> 4
+    fpos = plan.find(str(thr))
+    assert fpos != -1, plan
+    # top-down print: the Generate (shingle explode) below the filter must
+    # appear AFTER the threshold in the same subtree — i.e. the filter
+    # sits between explode and aggregate, not above the aggregate
+    agg_pos = plan.rfind("Aggregate", 0, fpos)
+    gen_pos = plan.find("Generate", fpos)
+    assert gen_pos != -1, plan
+    assert agg_pos < fpos < gen_pos, plan[:2000]
+
+
+def test_kmv_prefilter_validation(spark):
+    import pytest
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    with pytest.raises(ValueError, match="prefilter_shift"):
+        sketches.kmv_shingle_cardinality(docs, prefilter_shift=-1)
