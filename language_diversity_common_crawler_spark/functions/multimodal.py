@@ -94,43 +94,108 @@ def repartition_for_media(df: DataFrame, n_partitions: int) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
-# stubbed codec cores (the ONLY places that change when real libs exist)
+# codec cores: real-library delegation with deterministic sandbox fallback
+#
+# ``require_codecs=False`` (the default, and what every queries()/oracle
+# path uses) is the deterministic fake — environment-independent, so the
+# DuckDB value-hash gate stays meaningful on any box. ``require_codecs=
+# True`` DELEGATES to the real codec libraries (pillow / soundfile / av),
+# imported lazily INSIDE the core so the import happens in the executor's
+# Python worker, mirroring langid_models._predict_real; a missing library
+# raises NotImplementedError with install guidance. The delegation call
+# contracts are pinned by injected API-faithful fakes in
+# tests/test_multimodal.py (same strategy as test_real_model_delegation —
+# the libs are absent in this container).
 # ---------------------------------------------------------------------------
 
+def _real_image_decode(payload: bytes) -> np.ndarray:
+    """PIL delegation: open → grayscale ('L') → uint8 (h, w) array. The
+    'L' convert gives every downstream feature a single-channel array,
+    matching the stub's 2-D shape contract."""
+    import io
+
+    from PIL import Image
+
+    img = Image.open(io.BytesIO(payload))
+    return np.asarray(img.convert("L"), dtype=np.uint8)
+
+
+def _real_audio_decode(payload: bytes) -> np.ndarray:
+    """soundfile delegation: decode to float32 samples, downmixing
+    multi-channel to mono by mean (the features are channel-agnostic)."""
+    import io
+
+    import soundfile as sf
+
+    data, _sr = sf.read(io.BytesIO(payload), dtype="float32",
+                        always_2d=False)
+    arr = np.asarray(data, dtype=np.float32)
+    if arr.ndim > 1:
+        arr = arr.mean(axis=1).astype(np.float32)
+    return arr
+
+
+def _real_split_frames(payload: bytes) -> list[bytes]:
+    """pyav delegation: decode the first video stream, one grayscale
+    ndarray payload per frame (frame order = decode order)."""
+    import io
+
+    import av
+
+    out = []
+    with av.open(io.BytesIO(payload)) as container:
+        for frame in container.decode(video=0):
+            out.append(frame.to_ndarray(format="gray").tobytes())
+    return out
+
+
 def _decode_image_stub(payload: bytes, require_codecs: bool) -> np.ndarray:
-    """STUB: real impl = PIL.Image.open(io.BytesIO(payload)) → np.asarray.
-    Deterministic fake: payload bytes tiled into a (h, w) uint8 array."""
+    """require_codecs=True → PIL (NotImplementedError if not installed);
+    False → deterministic fake: payload bytes tiled into a (h, w) uint8
+    array."""
     if require_codecs:
-        raise NotImplementedError(
-            "image codec not available in this container; "
-            "install pillow and replace _decode_image_stub"
-        )
+        try:
+            return _real_image_decode(payload)
+        except ImportError as e:
+            raise NotImplementedError(
+                "image codec not available in this container; "
+                "install pillow to enable real decode"
+            ) from e
     raw = np.frombuffer(payload, dtype=np.uint8)
     side = max(int(len(raw) ** 0.5), 1)
     return np.resize(raw, (side, side))
 
 
 def _decode_audio_stub(payload: bytes, require_codecs: bool) -> np.ndarray:
-    """STUB: real impl = soundfile/librosa load. Deterministic fake:
-    payload bytes as centered float32 samples in [-1, 1)."""
+    """require_codecs=True → soundfile (NotImplementedError if not
+    installed); False → deterministic fake: payload bytes as centered
+    float32 samples in [-1, 1)."""
     if require_codecs:
-        raise NotImplementedError(
-            "audio codec not available; install soundfile and replace "
-            "_decode_audio_stub"
-        )
+        try:
+            return _real_audio_decode(payload)
+        except ImportError as e:
+            raise NotImplementedError(
+                "audio codec not available; install soundfile to enable "
+                "real decode"
+            ) from e
     raw = np.frombuffer(payload, dtype=np.uint8).astype(np.float32)
     return (raw - 128.0) / 128.0
 
 
 def _split_frames_stub(payload: bytes, n_frames: int,
                        require_codecs: bool) -> list[bytes]:
-    """STUB: real impl = pyav demux/decode keyframes. Deterministic fake:
-    payload sliced into n_frames contiguous chunks."""
+    """require_codecs=True → pyav (NotImplementedError if not installed;
+    the real decoder ignores the declared n_frames and emits what the
+    container holds); False → deterministic fake: payload sliced into
+    n_frames contiguous chunks."""
     if require_codecs:
-        raise NotImplementedError(
-            "video codec not available; install av and replace "
-            "_split_frames_stub"
-        )
+        try:
+            return _real_split_frames(payload)
+        except ImportError as e:
+            raise NotImplementedError(
+                "video codec not available; install av to enable real "
+                "frame decode"
+            ) from e
     n = max(n_frames, 1)
     step = max(len(payload) // n, 1)
     return [payload[i * step: (i + 1) * step] for i in range(n)]

@@ -92,3 +92,134 @@ def test_decode_stats_matches_sql(spark, media):
         ).collect()
     }
     assert got == want
+
+
+# ---------------------------------------------------------------------------
+# real-codec delegation contracts, pinned with injected API-faithful fakes
+# (pillow / soundfile / av are absent in this container; same strategy as
+# tests/test_real_model_delegation.py). These run the codec cores directly
+# (driver-side, no Spark) because sys.modules injection does not propagate
+# into executor Python workers.
+# ---------------------------------------------------------------------------
+
+import types  # noqa: E402
+
+import numpy as np  # noqa: E402
+
+
+@pytest.fixture()
+def fake_pil(monkeypatch):
+    """PIL.Image.open(BytesIO) -> Image; .convert('L') -> 2-D uint8 via
+    np.asarray. Records the call sequence the delegation must make."""
+    calls = []
+
+    class _FakeImg:
+        def __init__(self, data):
+            self._data = data
+            self.converted = None
+
+        def convert(self, mode):
+            calls.append(("convert", mode))
+            out = _FakeImg(self._data)
+            out.converted = mode
+            return out
+
+        def __array__(self, dtype=None, copy=None):
+            raw = np.frombuffer(self._data, dtype=np.uint8)
+            side = max(int(len(raw) ** 0.5), 1)
+            arr = np.resize(raw, (side, side + 1))  # non-square: w != h
+            return arr.astype(dtype) if dtype else arr
+
+    image_mod = types.ModuleType("PIL.Image")
+
+    def _open(fp):
+        calls.append(("open",))
+        return _FakeImg(fp.read())
+
+    image_mod.open = _open
+    pil_mod = types.ModuleType("PIL")
+    pil_mod.Image = image_mod
+    monkeypatch.setitem(sys.modules, "PIL", pil_mod)
+    monkeypatch.setitem(sys.modules, "PIL.Image", image_mod)
+    return calls
+
+
+def test_real_image_delegation_contract(fake_pil):
+    arr = mm._decode_image_stub(b"0123456789abcdef", require_codecs=True)
+    assert fake_pil == [("open",), ("convert", "L")]
+    assert arr.dtype == np.uint8
+    assert arr.ndim == 2 and arr.shape == (4, 5)
+    # features downstream rely on shape[0]=h, shape[1]=w of the converted
+    # grayscale image, exactly what the fake emitted
+
+
+def test_real_audio_delegation_contract(monkeypatch):
+    calls = []
+    sf_mod = types.ModuleType("soundfile")
+
+    def _read(fp, dtype=None, always_2d=None):
+        calls.append(("read", dtype, always_2d))
+        # stereo float64 on purpose: the delegation must downmix to mono
+        # float32
+        data = np.array([[0.5, -0.5], [1.0, 0.0]], dtype=np.float64)
+        return data, 16000
+
+    sf_mod.read = _read
+    monkeypatch.setitem(sys.modules, "soundfile", sf_mod)
+    sig = mm._decode_audio_stub(b"\x00\x01", require_codecs=True)
+    assert calls == [("read", "float32", False)]
+    assert sig.dtype == np.float32
+    assert sig.tolist() == [0.0, 0.5]  # per-frame channel mean
+
+
+def test_real_video_delegation_contract(monkeypatch):
+    calls = []
+
+    class _FakeFrame:
+        def __init__(self, i):
+            self.i = i
+
+        def to_ndarray(self, format=None):
+            calls.append(("to_ndarray", format))
+            return np.full((2, 2), self.i, dtype=np.uint8)
+
+    class _FakeContainer:
+        def decode(self, video=None):
+            calls.append(("decode", video))
+            return iter([_FakeFrame(1), _FakeFrame(2), _FakeFrame(3)])
+
+        def __enter__(self):
+            return self
+
+        def __exit__(self, *a):
+            calls.append(("close",))
+            return False
+
+    av_mod = types.ModuleType("av")
+
+    def _open(fp):
+        calls.append(("open",))
+        return _FakeContainer()
+
+    av_mod.open = _open
+    monkeypatch.setitem(sys.modules, "av", av_mod)
+    frames = mm._split_frames_stub(b"xyz", 99, require_codecs=True)
+    # the real decoder emits what the container holds, not declared counts
+    assert len(frames) == 3
+    assert frames[0] == bytes([1] * 4)
+    assert calls[0] == ("open",)
+    assert ("decode", 0) in calls
+    assert calls[-1] == ("close",)
+
+
+def test_missing_codec_raises_not_implemented_with_guidance():
+    """In this container the libs are genuinely absent: the delegation
+    path must degrade to the guarded NotImplementedError (not a raw
+    ImportError) for all three codecs."""
+    for fn, kwargs in [
+        (lambda: mm._decode_image_stub(b"x", True), "pillow"),
+        (lambda: mm._decode_audio_stub(b"x", True), "soundfile"),
+        (lambda: mm._split_frames_stub(b"x", 1, True), "install av"),
+    ]:
+        with pytest.raises(NotImplementedError, match=kwargs):
+            fn()
