@@ -995,6 +995,23 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["host_pagerank"] = host_pagerank
 
+    def host_pagerank_deep(spark, sf_dir):
+        """Deep-iteration PageRank (iters=10) RUN WITH the
+        checkpoint_every lineage cut — the configuration the unrolled
+        oracle cannot afford at 10^8 hosts — checked against the plain
+        10-step unrolled SQL twin: localCheckpoint must be a pure plan
+        transformation (identical BIGINT micro-unit scores)."""
+        tune_session(spark)
+        from language_diversity_common_crawler_spark.frontier import graph
+
+        return graph.host_pagerank(
+            graph.host_edges(_links_df(spark, sf_dir)),
+            iters=10,
+            checkpoint_every=2,
+        )
+
+    q["host_pagerank_deep"] = host_pagerank_deep
+
     def pagerank_budget_schedule(spark, sf_dir):
         """Crawl-budget allocation by authority: per-host fetch budgets
         proportional to host PageRank (1 + rank_micro/20000, global cap
@@ -1357,6 +1374,21 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return sketches.kmv_shingle_cardinality(_docs_par(spark, sf_dir))
 
     q["kmv_shingle_cardinality"] = kmv_shingle_cardinality
+
+    def kmv_prefiltered_cardinality(spark, sf_dir):
+        """The sketch's 10^10 production knob as a driver-checked query:
+        prefilter_shift=4 discards 15/16 of the shingle hash stream with
+        a shuffle-free codegen filter BEFORE the distinct exchange, and
+        the estimate is provably unchanged whenever each group holds >= k
+        distinct hashes under the threshold (tests/test_sketches.py pins
+        bit-identity vs s=0; this entry pins the filtered pipeline itself
+        against the DuckDB twin with the same threshold)."""
+        tune_session(spark)
+        return sketches.kmv_shingle_cardinality(
+            _docs_par(spark, sf_dir), prefilter_shift=4
+        )
+
+    q["kmv_prefiltered_cardinality"] = kmv_prefiltered_cardinality
 
     def line_dedup(spark, sf_dir):
         """CCNet-style duplicated-line removal over WET-style page text:
@@ -2036,6 +2068,7 @@ FROM documents
     )
     o["host_graph_degrees"] = _graph.sql_host_degrees(_EDGES_SQL)
     o["host_pagerank"] = _graph.sql_host_pagerank(_EDGES_SQL)
+    o["host_pagerank_deep"] = _graph.sql_host_pagerank(_EDGES_SQL, iters=10)
 
     o["pagerank_budget_schedule"] = f"""
 WITH seeds AS ({_SEEDS_SQL}),
@@ -2220,6 +2253,9 @@ FROM documents
     )
     o["kmv_shingle_cardinality"] = sketches.sql_kmv_shingle_cardinality(
         "documents"
+    )
+    o["kmv_prefiltered_cardinality"] = sketches.sql_kmv_shingle_cardinality(
+        "documents", prefilter_shift=4
     )
 
     from language_diversity_common_crawler_spark.functions import lines as _lines

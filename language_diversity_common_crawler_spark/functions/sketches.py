@@ -127,19 +127,27 @@ def kmv_shingle_cardinality(
 
 
 def sql_kmv_shingle_cardinality(
-    table: str, k: int = KMV_K, group_col: str = "lang"
+    table: str, k: int = KMV_K, group_col: str = "lang",
+    prefilter_shift: int = 0,
 ) -> str:
-    """DuckDB twin of kmv_shingle_cardinality."""
+    """DuckDB twin of kmv_shingle_cardinality (incl. the ``s`` dial:
+    the sketch branch filters ``h < 2^60 >> s`` before ranking, the
+    exact branch never does — same structure as the Spark plan)."""
     hashes = shingle_hash60_expr(shingles_expr("text", "duckdb"), "duckdb")
+    sk_filter = (
+        f"WHERE h < {HASH_SPACE >> prefilter_shift}" if prefilter_shift
+        else ""
+    )
     return f"""
 WITH sh AS (
   SELECT {group_col}, unnest({hashes}) AS h FROM {table}),
 d AS (SELECT DISTINCT {group_col}, h FROM sh),
+dsk AS (SELECT * FROM d {sk_filter}),
 topk AS (
   SELECT * FROM (
     SELECT {group_col}, h,
            row_number() OVER (PARTITION BY {group_col} ORDER BY h) AS rn
-    FROM d)
+    FROM dsk)
   WHERE rn <= {k}),
 sketch AS (
   SELECT {group_col}, CAST(count(*) AS BIGINT) AS n_in_sketch,
