@@ -137,21 +137,28 @@ def host_pagerank(
     so each round's plan is two joins over leaves. Default ``None``
     keeps the fully-unrolled single declarative plan, which is what the
     DuckDB oracle mirrors and is fine at the gate's K=3."""
+    if checkpoint_every is not None and checkpoint_every < 1:
+        raise ValueError(
+            f"checkpoint_every must be >= 1, got {checkpoint_every}"
+        )
+    if checkpoint_every is not None:
+        # edges becomes a leaf FIRST, so nodes/outdeg below derive from
+        # the checkpointed data (not the original lineage, which would
+        # recompute the edge source once per derived checkpoint)
+        edges = edges.localCheckpoint(eager=True)
     nodes = (
         edges.select(F.col("src_host").alias("host"))
         .union(edges.select(F.col("dst_host").alias("host")))
         .distinct()
     )
-    if checkpoint_every is not None:
-        if checkpoint_every < 1:
-            raise ValueError(
-                f"checkpoint_every must be >= 1, got {checkpoint_every}"
-            )
-        edges = edges.localCheckpoint(eager=True)
-        nodes = nodes.localCheckpoint(eager=True)
     outdeg = edges.groupBy(F.col("src_host").alias("host")).agg(
         F.count(F.lit(1)).cast("bigint").alias("out_deg")
     )
+    if checkpoint_every is not None:
+        # both are referenced by EVERY iteration's subtree: as leaves each
+        # round's plan is two joins, with no repeated distinct/groupBy
+        nodes = nodes.localCheckpoint(eager=True)
+        outdeg = outdeg.localCheckpoint(eager=True)
     n_nodes = F.lit(nodes.count())  # tiny count job; N is a plan literal
     scores = nodes.select(
         "host",

@@ -542,7 +542,12 @@ def probe_bloom_jvm(
     a crawl commit can write once so every later probe skips the
     conversion pass. A words-form input must be pre-merged: one row per
     ``part_id`` (a duplicate part would duplicate candidate rows through
-    the join; the geometry aggregate enforces this)."""
+    the join; the geometry aggregate enforces this).
+
+    Candidates carrying a pre-existing ``maybe_seen`` column raise (the
+    output barrier appends, it does not replace) — drop the stale flag
+    before a re-probe; the previous withColumn form silently produced a
+    duplicate-column select for that input, never a meaningful result."""
     words_form = "words" in bloom.columns
     if geometry is None:
         g = bloom.agg(

@@ -240,6 +240,17 @@ def with_canonical(df: DataFrame, raw_col: str = "url_raw") -> DataFrame:
     # on frontier_seen_antijoin; janino "Code grows beyond 64 KB"). The
     # barrier pins url_canon/host predicates above ONE evaluation while
     # pass-through predicates (seed_id ranges) still reach the scan.
+    # Pre-existing url_canon/host columns are REPLACED (the pre-barrier
+    # withColumn contract) — dropped here after the staged projections are
+    # built, since the barrier itself appends and would raise on collision.
+    if raw_col in ("url_canon", "host"):
+        raise ValueError(
+            f"with_canonical: raw_col={raw_col!r} collides with an output "
+            "column — alias the raw URL column first"
+        )
+    stale = [c for c in ("url_canon", "host") if c in df.columns]
+    if stale:
+        out = out.drop(*stale)
     out = with_barrier_columns(out, {"url_canon": canon, "host": host})
     return out.drop(
         "__e", "__valid", "__scheme", "__rest", "__hpraw", "__hostport", "__path"

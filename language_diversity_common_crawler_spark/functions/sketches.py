@@ -79,9 +79,12 @@ def kmv_shingle_cardinality(
     stream; at production scale it is dropped and only the filtered
     exchange is paid. Default s=0 scans everything (exact parity at test
     scale)."""
-    if prefilter_shift < 0:
+    if not 0 <= prefilter_shift < 60:
+        # >= 60 collapses the threshold 2^60 >> s to 1 or 0: the sketch
+        # branch goes empty and whole groups VANISH from the inner join
+        # output on both engines — a misconfiguration, not an estimate
         raise ValueError(
-            f"prefilter_shift must be >= 0, got {prefilter_shift}"
+            f"prefilter_shift must be in [0, 60), got {prefilter_shift}"
         )
     sh = docs.select(
         group_col,
@@ -133,6 +136,10 @@ def sql_kmv_shingle_cardinality(
     """DuckDB twin of kmv_shingle_cardinality (incl. the ``s`` dial:
     the sketch branch filters ``h < 2^60 >> s`` before ranking, the
     exact branch never does — same structure as the Spark plan)."""
+    if not 0 <= prefilter_shift < 60:
+        raise ValueError(
+            f"prefilter_shift must be in [0, 60), got {prefilter_shift}"
+        )
     hashes = shingle_hash60_expr(shingles_expr("text", "duckdb"), "duckdb")
     sk_filter = (
         f"WHERE h < {HASH_SPACE >> prefilter_shift}" if prefilter_shift

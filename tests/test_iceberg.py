@@ -166,7 +166,11 @@ def test_ddl_is_idempotent_if_not_exists():
 # write protocol: DELETE round-k first, then append (replace-not-append)
 # ---------------------------------------------------------------------------
 
-def test_write_deletes_round_before_append():
+def test_write_deletes_round_before_append(spark):
+    # the session fixture is unused directly but REQUIRED: backend.write
+    # builds F.lit/F.col expressions, which assert an active SparkContext
+    # — without it this test is order-dependent on earlier files creating
+    # the session
     fake = _FakeSpark()
     st = iceberg.IcebergStateBackend(fake)
     del fake.log[:]
@@ -184,7 +188,7 @@ def test_write_deletes_round_before_append():
     assert df.with_columns == ["round"]
 
 
-def test_write_manifest_replaces_then_appends_schema_row():
+def test_write_manifest_replaces_then_appends_schema_row(spark):
     fake = _FakeSpark()
     st = iceberg.IcebergStateBackend(fake)
     del fake.log[:]

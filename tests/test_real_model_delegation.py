@@ -245,3 +245,92 @@ def test_golden_fixture_replay():
         for model in ("detect_fast", "langid", "cld2"):
             out = _predict_real(model, pd.Series([text]))
             assert out["lang"][0] == rec[model]["lang"], (rec["id"], model)
+
+
+# ---------------------------------------------------------------------------
+# recorder entrypoint: `python -m tests.test_real_model_delegation record
+# <out.jsonl>` on a machine with the pinned real libs (reference
+# my_dependencies.yml:9-15). Writes one JSON object per line in the
+# fixtures/README format; the replay test above consumes it verbatim.
+# ---------------------------------------------------------------------------
+
+_RECORD_SAMPLES = [
+    ("en-basic", "<html><head><title>T</title></head><body><p>The quick "
+                 "brown fox jumps over the lazy dog and keeps on running "
+                 "through the quiet English countryside.</p></body></html>"),
+    ("fr-basic", "<html><body><p>Le renard brun rapide saute par-dessus le "
+                 "chien paresseux et continue de courir dans la campagne "
+                 "française tranquille.</p></body></html>"),
+    ("de-basic", "<html><body><p>Der schnelle braune Fuchs springt über den "
+                 "faulen Hund und läuft weiter durch die ruhige deutsche "
+                 "Landschaft.</p></body></html>"),
+    ("es-basic", "<html><body><p>El rápido zorro marrón salta sobre el perro "
+                 "perezoso y sigue corriendo por el tranquilo campo "
+                 "español.</p></body></html>"),
+    ("boiler", "<html><body><nav>Home | About | Contact</nav><p>Actual "
+               "article content about language identification in web "
+               "crawls, long enough to classify reliably as English "
+               "text.</p><footer>(c) example</footer></body></html>"),
+    ("short", "<html><body><p>ok</p></body></html>"),
+]
+
+
+def _record_fixture(out_path: str) -> int:
+    """Run the REAL libraries over the sample corpus and write the golden
+    jsonl. Returns the number of records written; raises if the libs are
+    not importable (recording with fakes would defeat the fixture)."""
+    from language_diversity_common_crawler_spark.functions import (
+        boilerplate,
+        langspec,
+    )
+
+    if not langspec.real_models_available():
+        raise SystemExit(
+            "real model libraries are not importable here — run this on a "
+            "machine with the pinned deps (resiliparse, py3langid, pycld2; "
+            "see the reference my_dependencies.yml)"
+        )
+    from language_diversity_common_crawler_spark.functions.langid_models import (
+        _predict_real,
+    )
+
+    n = 0
+    with open(out_path, "w", encoding="utf-8") as f:
+        for rid, html in _RECORD_SAMPLES:
+            text = boilerplate.ResiliparseStrategy().apply(html)
+            rec = {"id": rid, "html": html, "text": text}
+            for model in ("detect_fast", "langid", "cld2"):
+                out = _predict_real(model, pd.Series([text]))
+                rec[model] = {"lang": str(out["lang"][0])}
+            f.write(json.dumps(rec, ensure_ascii=False) + "\n")
+            n += 1
+    return n
+
+
+def test_record_fixture_mechanics_with_fakes(fake_libs, tmp_path):
+    """The recorder entrypoint writes replay-consumable records (keys,
+    one-object-per-line) — exercised against the injected fakes so the
+    machinery is covered here; a deploy box records real outputs."""
+    out = tmp_path / "golden.jsonl"
+    n = _record_fixture(str(out))
+    assert n == len(_RECORD_SAMPLES)
+    recs = [json.loads(line) for line in open(out, encoding="utf-8")]
+    assert [r["id"] for r in recs] == [rid for rid, _ in _RECORD_SAMPLES]
+    for r in recs:
+        assert set(r) == {"id", "html", "text", "detect_fast", "langid",
+                          "cld2"}
+        for model in ("detect_fast", "langid", "cld2"):
+            assert isinstance(r[model]["lang"], str) and r[model]["lang"]
+
+
+if __name__ == "__main__":
+    import sys as _sys
+
+    if len(_sys.argv) >= 2 and _sys.argv[1] == "record":
+        dest = _sys.argv[2] if len(_sys.argv) > 2 else FIXTURE
+        print(f"recorded {_record_fixture(dest)} records -> {dest}")
+    else:
+        raise SystemExit(
+            "usage: python -m tests.test_real_model_delegation record "
+            "[out.jsonl]"
+        )

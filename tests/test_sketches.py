@@ -128,6 +128,10 @@ def test_kmv_prefilter_is_pre_exchange_codegen_filter(spark):
     agg_pos = plan.rfind("Aggregate", 0, fpos)
     gen_pos = plan.find("Generate", fpos)
     assert gen_pos != -1, plan
+    # rfind returns -1 when NO Aggregate precedes the filter — that is
+    # the regression this test exists to catch (filter hoisted above the
+    # sketch aggregate), so it must fail, not trivially pass
+    assert agg_pos != -1, plan[:2000]
     assert agg_pos < fpos < gen_pos, plan[:2000]
 
 
