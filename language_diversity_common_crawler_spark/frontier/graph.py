@@ -43,6 +43,26 @@ PAGERANK_DAMPING = 0.85
 PAGERANK_ITERS = 3
 _MICRO = 1_000_000.0
 
+# "auto" checkpoint policy: unrolled plans are fine shallow, but at
+# iters >= _AUTO_CHECKPOINT_MIN_ITERS the lineage cut becomes the default
+# (host_pagerank_deep's oracle twin proves the cut is bit-exact)
+_AUTO_CHECKPOINT_MIN_ITERS = 5
+_AUTO_CHECKPOINT_EVERY = 2
+
+
+def _unpersist_local_checkpoint(df: DataFrame) -> None:
+    """Free the block-manager storage of an eagerly localCheckpoint-ed
+    DataFrame once a newer checkpoint supersedes it. The checkpointed RDD
+    lives inside the plan's LogicalRDD leaf (Dataset.checkpoint wraps the
+    materialized internalRdd); ``df.unpersist()`` only touches the SQL
+    cache manager, so reach the RDD via the analyzed plan. Best-effort:
+    a Spark-internals change degrades to the old leak-until-GC behavior,
+    never to an error."""
+    try:  # pragma: no cover - guard against internals drift
+        df._jdf.queryExecution().analyzed().rdd().unpersist(False)
+    except Exception:
+        pass
+
 
 def host_edges(links: DataFrame) -> DataFrame:
     """links.extract_links output (src_url, link_url, host) → distinct
@@ -118,7 +138,7 @@ def host_pagerank(
     edges: DataFrame,
     iters: int = PAGERANK_ITERS,
     damping: float = PAGERANK_DAMPING,
-    checkpoint_every: int | None = None,
+    checkpoint_every: int | None | str = "auto",
 ) -> DataFrame:
     """(host, rank_micro) after ``iters`` damped power-iteration steps.
 
@@ -134,9 +154,22 @@ def host_pagerank(
     (at iters=10+ over a 10^8-host graph, re-analyzing the unrolled plan
     costs more driver time than the shuffle costs executor time). The
     edge/node/outdeg tables are checkpointed once up front in this mode
-    so each round's plan is two joins over leaves. Default ``None``
-    keeps the fully-unrolled single declarative plan, which is what the
-    DuckDB oracle mirrors and is fine at the gate's K=3."""
+    so each round's plan is two joins over leaves; each score snapshot is
+    unpersisted as soon as the next one materializes (only the latest
+    leaf is referenced by the live plan — without this, ~iters/k stale
+    score tables sit in MEMORY_AND_DISK until driver GC at 10^8-host
+    scale). The default ``"auto"`` enables the cut at
+    ``iters >= _AUTO_CHECKPOINT_MIN_ITERS`` (= 5, every
+    _AUTO_CHECKPOINT_EVERY = 2 iterations) and keeps the fully-unrolled
+    single declarative plan below that — the unrolled plan is what the
+    DuckDB oracle mirrors and is fine at the gate's K=3; pass ``None``
+    to force unrolled at any depth (the oracle twin of deep runs),
+    or an int to pin the cadence."""
+    if checkpoint_every == "auto":
+        checkpoint_every = (
+            _AUTO_CHECKPOINT_EVERY if iters >= _AUTO_CHECKPOINT_MIN_ITERS
+            else None
+        )
     if checkpoint_every is not None and checkpoint_every < 1:
         raise ValueError(
             f"checkpoint_every must be >= 1, got {checkpoint_every}"
@@ -168,6 +201,7 @@ def host_pagerank(
     base = F.round(
         F.lit(1.0 - damping) * F.lit(_MICRO) / n_nodes.cast("double")
     )
+    prev_snapshot: DataFrame | None = None
     for it in range(iters):
         contrib = (
             edges.join(scores, edges.src_host == scores.host)
@@ -200,6 +234,13 @@ def host_pagerank(
             and (it + 1) < iters
         ):
             scores = scores.localCheckpoint(eager=True)
+            # the new eager snapshot has materialized (it consumed the
+            # previous one during the count above), so the superseded
+            # snapshot's blocks are dead — free them now instead of
+            # waiting for driver GC
+            if prev_snapshot is not None:
+                _unpersist_local_checkpoint(prev_snapshot)
+            prev_snapshot = scores
     return scores
 
 

@@ -43,10 +43,13 @@ KMV_K = 64
 
 
 def _est_expr(k: int, n_col: str, kth_col: str) -> str:
-    """CASE: exact when the group fits in the sketch, else the KMV
-    estimate floor((k-1) * 2^60 / h_k). Dialect-identical text."""
+    """CASE: NULL when the sketch saw nothing (a prefiltered-out group —
+    no estimate exists, the caller still gets the group row), exact when
+    the group fits in the sketch, else the KMV estimate
+    floor((k-1) * 2^60 / h_k). Dialect-identical text."""
     return (
-        f"CAST(CASE WHEN {n_col} < {k} THEN CAST({n_col} AS DOUBLE) "
+        f"CAST(CASE WHEN {n_col} = 0 THEN NULL "
+        f"WHEN {n_col} < {k} THEN CAST({n_col} AS DOUBLE) "
         f"ELSE floor({float(k - 1)!r} * {float(HASH_SPACE)!r} "
         f"/ CAST({kth_col} AS DOUBLE)) END AS BIGINT)"
     )
@@ -75,14 +78,18 @@ def kmv_shingle_cardinality(
     threshold, ``n_in_sketch < k`` makes the estimator take its
     exact-count branch over a truncated set and silently undercount —
     size s so that expected_distinct * 2^-s >> k (e.g. s <= log2(D/k) - 3).
+    A group with NO hashes under the threshold still gets its row —
+    the exact branch drives the join, so it surfaces with
+    ``n_in_sketch = 0`` and NULL kth_min_hash/est_distinct instead of
+    vanishing (groups must never silently disappear at scale).
     The exact_distinct companion column always uses the unfiltered
     stream; at production scale it is dropped and only the filtered
     exchange is paid. Default s=0 scans everything (exact parity at test
     scale)."""
     if not 0 <= prefilter_shift < 60:
         # >= 60 collapses the threshold 2^60 >> s to 1 or 0: the sketch
-        # branch goes empty and whole groups VANISH from the inner join
-        # output on both engines — a misconfiguration, not an estimate
+        # branch goes empty for EVERY group and the whole output is NULL
+        # estimates — a misconfiguration, not an estimate
         raise ValueError(
             f"prefilter_shift must be in [0, 60), got {prefilter_shift}"
         )
@@ -114,16 +121,20 @@ def kmv_shingle_cardinality(
     exact = d.groupBy(group_col).agg(
         F.count(F.lit(1)).cast("bigint").alias("exact_distinct")
     )
+    # exact drives a LEFT join: with prefilter_shift>0, a group whose
+    # hashes all sit above the threshold has an EMPTY sketch branch — an
+    # inner join would drop the whole group row (and its exact_distinct)
     return (
-        sketch.join(exact, group_col)
+        exact.join(sketch, group_col, "left")
         .select(
             group_col,
             F.lit(k).cast("bigint").alias("k_used"),
-            "n_in_sketch",
+            F.coalesce(F.col("n_in_sketch"), F.lit(0)).cast("bigint")
+            .alias("n_in_sketch"),
             "kth_min_hash",
-            F.expr(_est_expr(k, "n_in_sketch", "kth_min_hash")).alias(
-                "est_distinct"
-            ),
+            F.expr(
+                _est_expr(k, "coalesce(n_in_sketch, 0)", "kth_min_hash")
+            ).alias("est_distinct"),
             "exact_distinct",
         )
     )
@@ -135,7 +146,9 @@ def sql_kmv_shingle_cardinality(
 ) -> str:
     """DuckDB twin of kmv_shingle_cardinality (incl. the ``s`` dial:
     the sketch branch filters ``h < 2^60 >> s`` before ranking, the
-    exact branch never does — same structure as the Spark plan)."""
+    exact branch never does, and the exact branch LEFT-joins the sketch
+    so fully-prefiltered groups surface with NULL estimate — same
+    structure as the Spark plan)."""
     if not 0 <= prefilter_shift < 60:
         raise ValueError(
             f"prefilter_shift must be in [0, 60), got {prefilter_shift}"
@@ -163,9 +176,11 @@ sketch AS (
 exact AS (
   SELECT {group_col}, CAST(count(*) AS BIGINT) AS exact_distinct
   FROM d GROUP BY {group_col})
-SELECT sketch.{group_col}, CAST({k} AS BIGINT) AS k_used, n_in_sketch,
+SELECT exact.{group_col}, CAST({k} AS BIGINT) AS k_used,
+       CAST(coalesce(n_in_sketch, 0) AS BIGINT) AS n_in_sketch,
        kth_min_hash,
-       {_est_expr(k, 'n_in_sketch', 'kth_min_hash')} AS est_distinct,
+       {_est_expr(k, 'coalesce(n_in_sketch, 0)', 'kth_min_hash')}
+         AS est_distinct,
        exact_distinct
-FROM sketch JOIN exact USING ({group_col})
+FROM exact LEFT JOIN sketch USING ({group_col})
 """

@@ -60,7 +60,7 @@ WARC_PAGES_SCHEMA = (
     "segment string"
 )
 
-_SEG_RE = re.compile(r"-(\d{5})\.warc(\.wet)?(\.gz)?$")
+_SEG_RE = re.compile(r"-(\d{5})\.warc(\.wet|\.wat)?(\.gz)?$")
 
 
 # ---------------------------------------------------------------------------
@@ -236,7 +236,7 @@ def segment_of(path: str) -> str:
     if m:
         return m.group(1)
     base = os.path.basename(path)
-    return re.sub(r"\.warc(\.wet)?(\.gz)?$", "", base)
+    return re.sub(r"\.warc(\.wet|\.wat)?(\.gz)?$", "", base)
 
 
 def _file_parse_fn(record_types, use_fastwarc: bool):

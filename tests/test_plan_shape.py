@@ -342,10 +342,12 @@ def test_jvm_bloom_probe_filter_stays_codegen(spark, no_codegen_fallback):
 
 
 def test_canonicalize_barrier_is_selective(spark):
-    """The Generate barrier must not block pass-through predicate pushdown:
-    a seed_id range filter applied AFTER with_canonical still reaches the
-    parquet scan as a pushed filter, while isnotnull(url_canon) from a join
-    stays ABOVE the Generate (no regex in any Filter node)."""
+    """isnotnull(url_canon) inferred by the anti-join must stay ABOVE the
+    Generate barrier: no Filter node anywhere in the optimized plan may
+    contain the canonicalizer's regex chain (the >64 KB-codegen
+    re-inlining this barrier exists to prevent). The pass-through half of
+    'selective' — pushdown of predicates on ordinary columns — is pinned
+    separately by test_canonicalize_barrier_passes_range_pushdown."""
     import __spark_entry__ as entrymod
 
     q = entrymod.queries()["frontier_seen_antijoin"](spark, SF_DIR)
@@ -356,3 +358,25 @@ def test_canonicalize_barrier_is_selective(spark):
         ):
             assert "regexp_replace" not in line, line[:400]
             assert "RLIKE" not in line, line[:400]
+
+
+def test_canonicalize_barrier_passes_range_pushdown(spark):
+    """Round-3 advice: actually ASSERT the pass-through-pushdown half of
+    the barrier contract. A seed_id range filter applied AFTER
+    with_canonical must reach the orders parquet scan as a PushedFilter —
+    a regression to an all-blocking fence (e.g. barriering every column
+    instead of just url_canon/host) fails here instead of shipping a
+    full-table scan at 10^10 URLs."""
+    from language_diversity_common_crawler_spark.frontier import urlgen
+
+    orders = spark.read.parquet(f"{SF_DIR}/orders.parquet")
+    seeds = urlgen.with_canonical(
+        orders.select(
+            F.col("o_orderkey").alias("seed_id"),
+            F.expr(urlgen.synthetic_url_expr("spark")).alias("url_raw"),
+        )
+    )
+    q = seeds.filter(F.col("seed_id") < 1000).select("seed_id", "url_canon")
+    scans = _scan_blocks(_formatted_plan(q))
+    assert len(scans) == 1, scans
+    assert "LessThan(o_orderkey,1000)" in scans[0], scans[0]

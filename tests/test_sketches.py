@@ -135,6 +135,48 @@ def test_kmv_prefilter_is_pre_exchange_codegen_filter(spark):
     assert agg_pos < fpos < gen_pos, plan[:2000]
 
 
+def test_kmv_prefiltered_out_groups_survive_with_null_estimate(spark):
+    """Round-3 advice: a group whose hashes ALL sit at/above the prefilter
+    threshold must NOT vanish — it surfaces with n_in_sketch = 0, NULL
+    kth_min_hash/est_distinct, and its exact_distinct intact. s=59 makes
+    the threshold 2 (2^60 >> 59), so every group's sketch branch is empty
+    with probability ~1 — the extreme of the misconfigured-dial case. The
+    DuckDB twin must do the identical thing (oracle parity)."""
+    import duckdb
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    exact = {
+        r["lang"]: r["exact_distinct"]
+        for r in sketches.kmv_shingle_cardinality(docs).collect()
+    }
+    rows = sketches.kmv_shingle_cardinality(docs, prefilter_shift=59).collect()
+    got = {r["lang"]: r for r in rows}
+    assert set(got) == set(exact), "groups vanished from the left join"
+    for lang, r in got.items():
+        assert r["n_in_sketch"] == 0
+        assert r["kth_min_hash"] is None
+        assert r["est_distinct"] is None
+        assert r["exact_distinct"] == exact[lang]
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW documents AS SELECT * FROM "
+        f"read_parquet('{SF_DIR}/documents.parquet')"
+    )
+    duck = {
+        r[0]: r
+        for r in con.execute(
+            sketches.sql_kmv_shingle_cardinality(
+                "documents", prefilter_shift=59
+            )
+        ).fetchall()
+    }
+    assert {
+        lang: (r["k_used"], r["n_in_sketch"], r["kth_min_hash"],
+               r["est_distinct"], r["exact_distinct"])
+        for lang, r in got.items()
+    } == {lang: tuple(r[1:]) for lang, r in duck.items()}
+
+
 def test_kmv_prefilter_validation(spark):
     import pytest
 
