@@ -863,6 +863,19 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["wat_link_graph"] = wat_link_graph
 
+    def wat_anchor_corpus(spark, sf_dir):
+        """Anchor-text corpus from the WAT fixture's pre-extracted link
+        metadata (sources/wat.py:wat_anchor_corpus) — must equal the
+        html-regex anchor corpus of the same synthetic pages."""
+        tune_session(spark)
+        from language_diversity_common_crawler_spark.sources import wat
+
+        fx = f"/tmp/ldcc_wat_{os.path.basename(sf_dir.rstrip('/'))}"
+        wat.write_fixture_from_documents(sf_dir, fx)
+        return wat.wat_anchor_corpus(spark, f"{fx}/*.warc.wat.gz")
+
+    q["wat_anchor_corpus"] = wat_anchor_corpus
+
     # ---- training-data ops: multimodal (binary payload plumbing) ----
     def media_decode_stats(spark, sf_dir):
         tune_session(spark)
@@ -2136,6 +2149,9 @@ FROM documents
     # WAT-fed and HTML-fed ingest must produce the SAME canonical link
     # graph (the fixture encodes the html corpus's outlinks verbatim)
     o["wat_link_graph"] = _links.sql_extract_links(
+        f"({_PAGES_HTML_SQL}) AS pages_t"
+    )
+    o["wat_anchor_corpus"] = _links.sql_anchor_text_corpus(
         f"({_PAGES_HTML_SQL}) AS pages_t"
     )
     from language_diversity_common_crawler_spark.frontier import (

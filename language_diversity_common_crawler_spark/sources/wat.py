@@ -175,6 +175,33 @@ def wat_links(spark, path: str, max_links: int = 64):
     return raw.mapInPandas(_file_parse_fn(max_links), WAT_LINKS_SCHEMA)
 
 
+def wat_links_stream(
+    spark,
+    path: str,
+    max_links: int = 64,
+    max_files_per_trigger: int = 1,
+    path_glob: str = "*.warc.wat.gz",
+):
+    """Streaming WAT ingest: new link shards landing in ``path`` become
+    micro-batches of link rows — the 'segments arrive continuously from
+    the fetch fleet' shape, same parser as the batch reader (mirrors
+    warc.warc_pages_stream / cdx.cdx_records_stream). Feed into
+    streaming/seen_state.py dedup or a foreachBatch host-graph
+    increment."""
+    raw = (
+        spark.readStream.format("binaryFile")
+        .schema(
+            "path string, modificationTime timestamp, "
+            "length long, content binary"
+        )
+        .option("maxFilesPerTrigger", max_files_per_trigger)
+        .option("pathGlobFilter", path_glob)
+        .load(path)
+        .select("path", "content")
+    )
+    return raw.mapInPandas(_file_parse_fn(max_links), WAT_LINKS_SCHEMA)
+
+
 def wat_link_graph(spark, path: str, max_links: int = 64):
     """WAT shards → the canonical link graph (src_url, link_url, host) —
     schema-identical to frontier/links.extract_links, feeding host_edges
@@ -201,6 +228,40 @@ def wat_link_graph(spark, path: str, max_links: int = 64):
     return out.select(
         "src_url", F.col("url_canon").alias("link_url"), "host"
     ).dropDuplicates(["src_url", "link_url"])
+
+
+def wat_anchor_corpus(spark, path: str, max_links: int = 64):
+    """WAT shards → the anchor-text corpus (link_url, anchor, n_refs,
+    n_src_pages) — schema-identical to frontier/links.anchor_text_corpus,
+    but fed from the published link metadata (WAT's ``text`` field is the
+    anchor) instead of re-regexing HTML. Same lowercase+trim+non-empty
+    anchor contract, same resolution/canonicalization JVM path, same
+    map-side-combined final aggregate."""
+    from pyspark.sql import functions as F
+
+    from ..frontier import links as links_mod
+    from ..frontier import urlgen
+
+    raw = wat_links(spark, path, max_links=max_links)
+    base = F.regexp_extract(
+        F.col("src_url"), "^([a-z][a-z0-9+.-]*://[^/?#]*)", 1
+    )
+    parsed = raw.select(
+        "src_url",
+        base.alias("__base"),
+        F.col("href").alias("__href"),
+        F.lower(F.trim(F.coalesce(F.col("anchor"), F.lit("")))).alias(
+            "anchor"
+        ),
+    ).filter(F.col("anchor") != "")
+    resolved = links_mod._resolve_hrefs(parsed)
+    out = urlgen.with_canonical(resolved, raw_col="__raw")
+    return out.groupBy(
+        F.col("url_canon").alias("link_url"), "anchor"
+    ).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_refs"),
+        F.countDistinct("src_url").cast("bigint").alias("n_src_pages"),
+    )
 
 
 # ---------------------------------------------------------------------------

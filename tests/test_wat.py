@@ -138,6 +138,42 @@ def test_wat_link_graph_matches_html_extraction(spark, tmp_path):
     assert len(got) == 3  # mailto + protocol-relative dropped
 
 
+def test_wat_anchor_corpus_semantics(spark, tmp_path):
+    """WAT 'text' fields behave exactly like HTML anchors: lowercased,
+    trimmed, empty/NULL dropped, counts per canonical (target, anchor)."""
+    path = str(tmp_path / "a-00001.warc.wat.gz")
+    wat.write_wat_gz(
+        path,
+        [
+            {"url": "https://a.ex/1", "warc_date": WD,
+             "record_id": "<urn:uuid:1>",
+             "links": [
+                 {"path": "A@/href", "url": "https://T.EX:443/p#f",
+                  "text": "  Click HERE "},
+                 {"path": "A@/href", "url": "/rel", "text": "click here"},
+                 {"path": "A@/href", "url": "https://t.ex/p", "text": ""},
+             ]},
+            {"url": "https://b.ex/2", "warc_date": WD,
+             "record_id": "<urn:uuid:2>",
+             "links": [
+                 {"path": "A@/href", "url": "https://t.ex/p",
+                  "text": "click here"},
+                 {"path": "A@/href", "url": "mailto:x@y.z",
+                  "text": "mail me"},
+                 {"path": "A@/href", "url": "https://t.ex/q"},  # no text
+             ]},
+        ],
+    )
+    got = {
+        (r["link_url"], r["anchor"]): (r["n_refs"], r["n_src_pages"])
+        for r in wat.wat_anchor_corpus(spark, path).collect()
+    }
+    assert got[("https://t.ex/p", "click here")] == (2, 2)
+    assert got[("https://a.ex/rel", "click here")] == (1, 1)
+    assert all(a != "" for (_, a) in got)
+    assert not any("mail" in a for (_, a) in got)
+
+
 def test_wat_fixture_idempotent_and_prunes(tmp_path):
     sf = "/root/testdata/sf0.001"
     out = str(tmp_path / "wat_fx")
@@ -196,6 +232,48 @@ def test_wat_fixture_graph_matches_synthetic_links(spark, tmp_path):
         for r in links.extract_links(pages).collect()
     )
     assert got == want
+
+
+def test_wat_links_stream_matches_batch(spark, tmp_path):
+    """Streaming WAT ingest: shards arriving in a directory become
+    micro-batches through the SAME parser (availableNow drain, one file
+    per trigger); the union of batches equals the batch reader."""
+    src = tmp_path / "incoming"
+    src.mkdir()
+    for i in range(2):
+        wat.write_wat_gz(
+            str(src / f"CC-MAIN-x-{i:05d}.warc.wat.gz"),
+            [{"url": f"https://a.ex/{i}-{j}", "warc_date": WD,
+              "record_id": f"<urn:uuid:{i}-{j}>",
+              "links": [{"path": "A@/href", "url": f"/p{j}", "text": "t"}]}
+             for j in range(5)],
+        )
+    stream = wat.wat_links_stream(spark, str(src))
+    assert stream.isStreaming
+    out = str(tmp_path / "out")
+    batches = []
+
+    def _sink(df, batch_id):
+        batches.append(df.count())
+        df.write.mode("overwrite").parquet(f"{out}/batch={batch_id:05d}")
+
+    q = (
+        stream.writeStream.foreachBatch(_sink)
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    batch_rows = sorted(
+        (r.src_url, r.href, r.segment)
+        for r in wat.wat_links(spark, f"{src}/*.warc.wat.gz").collect()
+    )
+    assert len(batches) == 2 and sum(batches) == len(batch_rows) == 10
+    got = sorted(
+        (r.src_url, r.href, r.segment)
+        for r in spark.read.parquet(f"{out}/batch=*").collect()
+    )
+    assert got == batch_rows
 
 
 def test_wat_gz_one_member_per_record(tmp_path):
