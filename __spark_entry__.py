@@ -1415,6 +1415,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         surv = marked.filter(
             lang_agnostic_pass & F.col("__keep")
         ).select("doc_id", "text", "lang", "source")
+        # surv is referenced from TWO branches (line dedup + the
+        # temperature sampler's rate aggregation) that are later joined;
+        # Catalyst re-plans multi-branch subtrees, so without a lineage
+        # cut the gopher regex gates + md5 dedup window — the dominant
+        # cost — execute twice (three times counting the sampler's
+        # count aggregate). The checkpoint is the same pure plan
+        # transformation host_pagerank_deep's oracle twin proves safe.
+        surv = surv.localCheckpoint(eager=True)
         clean = lines.line_dedup(surv)
         sampled = sampling.temperature_rebalanced_sample(surv)
         chosen = clean.join(sampled.select("doc_id"), "doc_id")
@@ -1710,13 +1718,44 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return _driver_coverage_order(q)
 
 
+# Keys green in SOME driver CORRECTNESS_r{1,2}.json artifact (kept so the
+# ordering can put never-driver-checked keys — this round's brand-new
+# queries — ahead of merely-stale ones; the driver samples only ~50 keys
+# per round, so a new query parked behind 50+ stale keys would never get
+# a driver artifact at all).
+_DRIVER_CHECKED_R1_R2 = frozenset({
+    "accuracy_stats", "corpus_token_budget", "dataset_split",
+    "decode_roundtrip", "dedup_clusters", "dedup_exact", "document_chunks",
+    "embedding_ivf_topk", "embedding_lsh_neighbors", "embedding_topk",
+    "events_hourly", "experiment_dataset", "fixed_lang_crosstab",
+    "frontier_budget_schedule", "frontier_canonicalize",
+    "frontier_link_extract", "frontier_politeness_schedule",
+    "frontier_robots_filter", "frontier_seen_antijoin", "gopher_quality",
+    "hist_chunks", "http_header_extract", "inverted_index",
+    "lang_consensus", "lang_diversity_index", "lang_histogram",
+    "lang_length_percentiles", "lang_predictions", "lang_stratified_sample",
+    "media_decode_stats", "media_frame_sample", "meta_extract",
+    "minhash_dedup_survivors", "minhash_jaccard_verified",
+    "minhash_lsh_pairs", "minhash_lsh_pairs_16x8", "minhash_signatures",
+    "model_agreement", "nation_region_rollup", "offset_skip",
+    "pack_manifest", "pages_extract_pipeline", "part_type_margin",
+    "pricing_summary", "quote_sanitize", "record_limit", "repetition_2gram",
+    "segment_union_counts", "sequence_packing", "shipping_priority",
+    "simhash_fingerprints", "simhash_near_dup", "source_balanced_sample",
+    "source_lang_diversity", "source_lang_kl",
+    "temperature_rebalanced_sample", "tfidf_top_terms",
+    "token_quality_stats", "top_customers", "training_set_selection",
+    "unknown_stats", "window_events", "winnow_fingerprints",
+    "winnow_near_dup_pairs",
+})
+
 # Rotation set, round 4 (round-3 judge item #6): the keys green in the
 # driver's CORRECTNESS_r03.json sample. The driver samples queries() in
-# insertion order (~50 per round), so everything NOT in r03 — the 52 keys
-# last shown in r01/r02 plus this round's new queries — moves to the
-# FRONT, keeping every key <= 2 rounds stale (union of r03+r04 alone
-# covers all keys). All pass the full local gate
-# (tools/check_correctness.py) either way.
+# insertion order (~50 per round), so the ordering is three tiers:
+# never-driver-checked (this round's new queries) FIRST, then keys last
+# shown in r01/r02, then the r03 keys — keeping every key <= 2 rounds
+# stale and guaranteeing new queries land in the very next artifact. All
+# pass the full local gate (tools/check_correctness.py) either way.
 _DRIVER_CHECKED_R3 = frozenset({
     "accuracy_stats", "anchor_text_corpus", "benchmark_decontamination",
     "budget_threshold_selection", "cdx_fetch_plan", "cdx_parse",
@@ -1739,11 +1778,17 @@ _DRIVER_CHECKED_R3 = frozenset({
 
 
 def _driver_coverage_order(q: dict) -> dict:
-    """Entries NOT sampled in the latest driver round first, each block
-    in build order."""
-    fresh = {k: v for k, v in q.items() if k not in _DRIVER_CHECKED_R3}
+    """Three tiers, each in build order: never driver-checked in ANY
+    round (brand-new queries — must land in the next ~50-key sample),
+    then keys whose last artifact is r01/r02, then the r03 keys."""
+    ever = _DRIVER_CHECKED_R1_R2 | _DRIVER_CHECKED_R3
+    never = {k: v for k, v in q.items() if k not in ever}
+    stale = {
+        k: v for k, v in q.items()
+        if k in ever and k not in _DRIVER_CHECKED_R3
+    }
     rest = {k: v for k, v in q.items() if k in _DRIVER_CHECKED_R3}
-    return {**fresh, **rest}
+    return {**never, **stale, **rest}
 
 
 # snapshot boundary for snapshot_url_diff: a parameter in production (the

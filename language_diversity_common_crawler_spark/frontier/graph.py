@@ -170,6 +170,11 @@ def host_pagerank(
             _AUTO_CHECKPOINT_EVERY if iters >= _AUTO_CHECKPOINT_MIN_ITERS
             else None
         )
+    elif isinstance(checkpoint_every, str):
+        raise ValueError(
+            "checkpoint_every must be 'auto', None, or an int >= 1; "
+            f"got {checkpoint_every!r}"
+        )
     if checkpoint_every is not None and checkpoint_every < 1:
         raise ValueError(
             f"checkpoint_every must be >= 1, got {checkpoint_every}"

@@ -123,9 +123,17 @@ def kmv_shingle_cardinality(
     )
     # exact drives a LEFT join: with prefilter_shift>0, a group whose
     # hashes all sit above the threshold has an EMPTY sketch branch — an
-    # inner join would drop the whole group row (and its exact_distinct)
+    # inner join would drop the whole group row (and its exact_distinct).
+    # The join is NULL-SAFE (eqNullSafe / IS NOT DISTINCT FROM): a NULL
+    # group key is a legitimate group (nullable group_col), and a plain
+    # equi-join would never pair its exact row with its sketch row —
+    # misreporting a populated sketch as empty (and silently dropping the
+    # group entirely under the old inner join).
+    sk = sketch.withColumnRenamed(group_col, "__g")
     return (
-        exact.join(sketch, group_col, "left")
+        exact.join(
+            sk, F.col(group_col).eqNullSafe(F.col("__g")), "left"
+        )
         .select(
             group_col,
             F.lit(k).cast("bigint").alias("k_used"),
@@ -182,5 +190,6 @@ SELECT exact.{group_col}, CAST({k} AS BIGINT) AS k_used,
        {_est_expr(k, 'coalesce(n_in_sketch, 0)', 'kth_min_hash')}
          AS est_distinct,
        exact_distinct
-FROM exact LEFT JOIN sketch USING ({group_col})
+FROM exact LEFT JOIN sketch
+  ON exact.{group_col} IS NOT DISTINCT FROM sketch.{group_col}
 """

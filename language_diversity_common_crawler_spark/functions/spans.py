@@ -127,17 +127,43 @@ def strided_windows_from_tokens(
     toks: str, dialect: str, k: int = SPAN_K, stride: int = 1
 ) -> str:
     """Array of OVERLAPPING k-token windows at starts 0, stride, 2*stride…
-    (``ceil(len/stride)`` windows — every token is covered, the last
-    windows clamp short). stride == k degenerates to the non-overlapping
-    grid of spans_from_tokens."""
-    if dialect == "duckdb":
+
+    At ``stride < k`` only FULL windows are emitted (starts with
+    ``start + k <= len``), plus the single whole-doc clamped window for
+    docs shorter than k tokens: ``max(1, floor((len-k)/stride) + 1)``
+    windows. Clamped tail windows would make two docs sharing merely
+    their last 1..k-1 tokens count as 'duplicated' and delete a full
+    unrelated grid span — a silent false-positive mass-removal; full
+    windows lose nothing for detection, since every token of a >= k-token
+    shared run lies inside some full window of the run. ``stride == k``
+    keeps the full clamped grid (``ceil(len/k)`` windows) — that IS the
+    base grid operator's documented contract, which this degenerates to."""
+    if stride == k:
+        if dialect == "duckdb":
+            return (
+                f"list_transform(range(0, CAST(ceil(len({toks}) / {stride}.0)"
+                f" AS BIGINT)), i -> {_win_at(toks, 'i', k, stride, 'duckdb')})"
+            )
         return (
-            f"list_transform(range(0, CAST(ceil(len({toks}) / {stride}.0)"
-            f" AS BIGINT)), i -> {_win_at(toks, 'i', k, stride, 'duckdb')})"
+            f"transform(sequence(0, CAST(ceil(size({toks}) / {stride}.0)"
+            f" AS INT) - 1), i -> {_win_at(toks, 'i', k, stride, 'spark')})"
         )
+    if dialect == "duckdb":
+        n_w = (
+            f"greatest(1, CAST(floor((len({toks}) - {k}) / {stride}.0)"
+            f" AS BIGINT) + 1)"
+        )
+        return (
+            f"list_transform(range(0, {n_w}),"
+            f" i -> {_win_at(toks, 'i', k, stride, 'duckdb')})"
+        )
+    n_w = (
+        f"greatest(1, CAST(floor((size({toks}) - {k}) / {stride}.0)"
+        f" AS INT) + 1)"
+    )
     return (
-        f"transform(sequence(0, CAST(ceil(size({toks}) / {stride}.0) AS INT)"
-        f" - 1), i -> {_win_at(toks, 'i', k, stride, 'spark')})"
+        f"transform(sequence(0, {n_w} - 1),"
+        f" i -> {_win_at(toks, 'i', k, stride, 'spark')})"
     )
 
 
@@ -235,13 +261,29 @@ def duplicated_span_removal_strided(
     trade needs content-defined sampling (see winnow_fingerprints,
     text_analysis.py), which detects but cannot bound what to REMOVE.
 
+    Precision: at stride < k only FULL k-token windows are hashed (plus
+    the whole-doc window for sub-k docs) — clamped tail windows would
+    let two docs sharing merely their last few tokens count as
+    'duplicated' and delete a full unrelated grid span (silent
+    false-positive mass removal at corpus scale; every doc shares a
+    common final token with some other doc). Nothing is lost for
+    detection: every token of a >= k-token shared run lies inside a full
+    window of that run. The grid operator's clamped-tail matching is its
+    own documented contract and survives via stride == k.
+
     Scale shape (100 TB): the window stream is ``k/stride`` times the
     grid's span stream — the dial's whole cost (8x at the k=8 default).
     Everything downstream stays bucketed: ONE hash-partitioned aggregate
     on the 60-bit window hash (map-side partials), the duplicated-window
     set is a small fraction so the membership join is AQE-sized/broadcast,
     and each duplicated window fans out to at most 2 grid indices (a tiny
-    sequence explode), deduplicated before the grid join."""
+    sequence explode), deduplicated before the grid join. Known +~12%:
+    the corpus is tokenized twice (window stream + grid table) — the
+    grid cannot be derived from the full-window stream because clamped
+    tail grid spans are deliberately absent from it (see Precision), and
+    checkpointing the token arrays to share one tokenize would
+    materialize the whole tokenized corpus; at 8x window cost the second
+    tokenize is the cheaper trade."""
     if not 1 <= stride <= k:
         raise ValueError(f"stride must be in [1, {k}], got {stride}")
     tok = docs.select(
@@ -328,11 +370,20 @@ def sql_duplicated_span_removal_strided(
     if not 1 <= stride <= k:
         raise ValueError(f"stride must be in [1, {k}], got {stride}")
     win_at = _win_at("toks", "i", k, stride, "duckdb")
+    if stride == k:
+        n_w = f"CAST(ceil(len(toks) / {stride}.0) AS BIGINT)"
+    else:
+        # full windows only (+ the whole-doc window for sub-k docs) —
+        # same rule as strided_windows_from_tokens
+        n_w = (
+            f"greatest(1, CAST(floor((len(toks) - {k}) / {stride}.0)"
+            f" AS BIGINT) + 1)"
+        )
     return f"""
 WITH {_sql_span_cte(table, k)},
 w0 AS (SELECT doc_id, len(toks) AS n_toks, i AS w_idx, {win_at} AS span
        FROM tok,
-            unnest(range(0, CAST(ceil(len(toks) / {stride}.0) AS BIGINT)))
+            unnest(range(0, {n_w}))
             AS t(i)),
 win AS (SELECT doc_id, n_toks, w_idx * {stride} AS w_start,
                least({k}, n_toks - w_idx * {stride}) AS w_len,

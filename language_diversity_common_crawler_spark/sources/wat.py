@@ -22,10 +22,15 @@ one file per task, pure-Python JSON decode per record inside the Arrow
 batch loop (a record is one page's whole link set — per-record, not
 per-link, Python work). Downstream resolution/canonicalization is the
 SAME JVM path html-extracted links take (frontier/links._resolve_hrefs +
-urlgen.with_canonical), so WAT-fed and HTML-fed link graphs are
-byte-comparable — pinned by the ``wat_link_graph`` oracle query, whose
-expected output is the html-regex link graph of the same synthetic
-corpus.
+urlgen.with_canonical), so the two ingest paths cannot drift at the
+resolution/canonicalization stage — pinned by the ``wat_link_graph``
+oracle query, whose expected output is the html-regex link graph of the
+same synthetic corpus. The EXTRACTION stages are not byte-equivalent on
+arbitrary real pages: the html path's href regex drops hrefs containing
+whitespace and its anchor regex skips nested-markup anchors, both of
+which a WAT publisher may ingest — on real crawls the WAT path is the
+more faithful (and authoritative) link source, which is exactly why it
+exists.
 
 The writer half builds deterministic fixture ``.warc.wat.gz`` shards
 from the documents table (same idempotent atomic-publish protocol as
@@ -143,18 +148,27 @@ def _file_parse_fn(max_links: int):
                     if rec["warc_type"] != "metadata":
                         continue
                     uri, links = _links_of(rec["html"])
-                    src = uri or rec["url"]
+                    src = uri if isinstance(uri, str) and uri else rec["url"]
                     ts = _parse_warc_date(rec["warc_date"])
                     for ln in links[:max_links]:
                         if not isinstance(ln, dict):
                             continue
                         href = ln.get("url")
-                        if not href:
+                        # malformed-record tolerance goes down to the
+                        # FIELD level: a non-string url/text/path (a
+                        # number, an object) would pass truthiness, land
+                        # in the pandas rows, and kill the whole task at
+                        # the Arrow cast to the string schema
+                        if not isinstance(href, str) or not href:
                             continue
-                        rows.append(
-                            (src, ts, href, ln.get("text"),
-                             ln.get("path"), seg)
-                        )
+                        anchor = ln.get("text")
+                        lpath = ln.get("path")
+                        rows.append((
+                            src, ts, href,
+                            anchor if isinstance(anchor, str) else None,
+                            lpath if isinstance(lpath, str) else None,
+                            seg,
+                        ))
             yield pd.DataFrame(
                 rows,
                 columns=["src_url", "warc_ts", "href", "anchor",

@@ -256,3 +256,9 @@ def test_pagerank_checkpoint_every_validation(spark):
     e = _edges(spark, [("a", "b")])
     with pytest.raises(ValueError, match="checkpoint_every"):
         graph.host_pagerank(e, checkpoint_every=0)
+    # any string other than the literal "auto" is a ValueError with the
+    # valid values named, not an opaque str<int TypeError
+    with pytest.raises(ValueError, match="'auto'"):
+        graph.host_pagerank(e, checkpoint_every="Auto")
+    with pytest.raises(ValueError, match="'auto'"):
+        graph.host_pagerank(e, checkpoint_every="2")

@@ -177,6 +177,36 @@ def test_kmv_prefiltered_out_groups_survive_with_null_estimate(spark):
     } == {lang: tuple(r[1:]) for lang, r in duck.items()}
 
 
+def test_kmv_null_group_key_survives_null_safe_join(spark):
+    """A NULL group key is a legitimate group: the exact↔sketch join is
+    null-safe in both engines, so the NULL group carries its REAL sketch
+    (not a fake-empty one) and never vanishes."""
+    import duckdb
+
+    rows = [(0, "alpha beta gamma delta", None),
+            (1, "epsilon zeta eta theta", None),
+            (2, "one two three four", "en")]
+    df = spark.createDataFrame(rows, "doc_id bigint, text string, lang string")
+    got = {r["lang"]: r for r in sketches.kmv_shingle_cardinality(df).collect()}
+    assert set(got) == {None, "en"}
+    assert got[None]["exact_distinct"] == 4  # 2 shingles per NULL doc
+    assert got[None]["n_in_sketch"] == 4     # real sketch, not fake-empty
+    assert got[None]["est_distinct"] == 4
+    con = duckdb.connect()
+    con.execute("CREATE TABLE documents(doc_id BIGINT, text VARCHAR,"
+                " lang VARCHAR)")
+    con.executemany("INSERT INTO documents VALUES (?, ?, ?)", rows)
+    duck = {
+        r[0]: r for r in con.execute(
+            sketches.sql_kmv_shingle_cardinality("documents")
+        ).fetchall()
+    }
+    assert {lang: (r["n_in_sketch"], r["kth_min_hash"], r["est_distinct"],
+                   r["exact_distinct"])
+            for lang, r in got.items()} == \
+        {lang: tuple(r[2:]) for lang, r in duck.items()}
+
+
 def test_kmv_prefilter_validation(spark):
     import pytest
 

@@ -281,15 +281,19 @@ def _py_removal_strided(
     texts: dict[int, str], k: int = 8, stride: int = 1, min_docs: int = 2
 ):
     """Pure-Python mirror of duplicated_span_removal_strided: overlapping
-    k-token windows at the given stride detect duplicates; a grid span is
-    removed iff a duplicated window overlaps it."""
+    k-token windows at the given stride detect duplicates (FULL windows
+    only at stride<k, plus the whole-doc window for sub-k docs); a grid
+    span is removed iff a duplicated window overlaps it."""
     from collections import defaultdict
 
     toks_per_doc = {i: _py_norm_tokens(t) for i, t in texts.items()}
     wins_per_doc = {}
     win_docs = defaultdict(set)
     for i, toks in toks_per_doc.items():
-        n = math.ceil(len(toks) / stride)
+        if stride == k:
+            n = math.ceil(len(toks) / stride)
+        else:
+            n = max(1, (len(toks) - k) // stride + 1)
         wins = [
             (j * stride, " ".join(toks[j * stride:j * stride + k]))
             for j in range(n)
@@ -368,6 +372,41 @@ def test_strided_removal_catches_offgrid_duplicate(spark):
         r["doc_id"]: (r["n_spans"], r["n_spans_removed"], r["clean_text"])
         for r in spans.duplicated_span_removal_strided(df, stride=2).collect()
     }
+
+
+def test_strided_removal_no_tail_window_false_positive(spark):
+    """Two docs sharing ONLY their final token must not trigger removal
+    at stride<k: clamped tail windows are excluded from the duplicate
+    hash stream (the false-positive mass-removal a naive clamped window
+    set would cause), while sub-k whole-doc duplicates ARE still caught
+    via the single whole-doc window."""
+    import duckdb
+
+    rows = [
+        (0, " ".join(f"a{i}" for i in range(15)) + " omega"),
+        (1, " ".join(f"b{i}" for i in range(11)) + " omega"),
+        (2, "tiny doc"),          # sub-k exact duplicates
+        (3, "tiny doc"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id bigint, text string")
+    got = {
+        r["doc_id"]: (r["n_spans"], r["n_spans_removed"], r["clean_text"])
+        for r in spans.duplicated_span_removal_strided(df).collect()
+    }
+    want = _py_removal_strided(dict(rows))
+    assert got == want
+    assert got[0][1] == 0 and got[1][1] == 0, "shared last token removed a span"
+    assert got[2][1] == 1 and got[3][1] == 1, "sub-k exact dup must be caught"
+    con = duckdb.connect()
+    con.execute("CREATE TABLE documents(doc_id BIGINT, text VARCHAR)")
+    con.executemany("INSERT INTO documents VALUES (?, ?)", rows)
+    duck = {
+        r[0]: (r[1], r[2], r[3])
+        for r in con.execute(
+            spans.sql_duplicated_span_removal_strided("documents")
+        ).fetchall()
+    }
+    assert duck == want
 
 
 def test_strided_removal_stride_k_degenerates_to_grid(spark):

@@ -84,6 +84,47 @@ def test_wat_links_reader_end_to_end(spark, tmp_path):
     assert all(str(r.warc_ts).startswith("2023-09-21") for r in rows)
 
 
+def test_wat_links_tolerates_non_string_fields(spark, tmp_path):
+    """Field-level malformation tolerance: a numeric/object url, text, or
+    path in the Links JSON must not reach the Arrow cast and kill the
+    task — bad hrefs are skipped, bad anchors/paths null out."""
+    import gzip
+
+    payload = json.dumps({
+        "Envelope": {
+            "WARC-Header-Metadata": {"WARC-Target-URI": "https://a.ex/1"},
+            "Payload-Metadata": {"HTTP-Response-Metadata": {
+                "HTML-Metadata": {"Links": [
+                    {"path": "A@/href", "url": 123, "text": "num href"},
+                    {"path": "A@/href", "url": "/ok", "text": 456},
+                    {"path": {"x": 1}, "url": "/ok2", "text": "fine"},
+                    "not a dict",
+                    {"path": "A@/href", "url": "/ok3"},
+                ]}}},
+        }
+    }).encode()
+    rec = (
+        b"WARC/1.0\r\nWARC-Type: metadata\r\n"
+        b"WARC-Target-URI: https://a.ex/1\r\n"
+        b"WARC-Date: 2023-09-21T07:37:11Z\r\n"
+        b"Content-Type: application/json\r\n"
+        b"Content-Length: " + str(len(payload)).encode() + b"\r\n\r\n"
+        + payload + b"\r\n\r\n"
+    )
+    path = str(tmp_path / "bad-00001.warc.wat.gz")
+    with open(path, "wb") as f:
+        f.write(gzip.compress(rec, mtime=0))
+    rows = sorted(
+        (r.href, r.anchor, r.link_path)
+        for r in wat.wat_links(spark, path).collect()
+    )
+    assert rows == [
+        ("/ok", None, "A@/href"),
+        ("/ok2", "fine", None),
+        ("/ok3", None, "A@/href"),
+    ]
+
+
 def test_wat_links_max_links_cap(spark, tmp_path):
     path = str(tmp_path / "links-00001.warc.wat.gz")
     wat.write_wat_gz(
