@@ -118,24 +118,35 @@ def write_wat_gz(path: str, records: list[dict]) -> None:
 # reader
 # ---------------------------------------------------------------------------
 
+def _dict_at(d, key):
+    """d[key] when d is a dict AND the value is a dict, else {} — the
+    level-by-level tolerance _links_of needs: ``.get(k, {})`` only covers
+    a MISSING key, while a real-world malformed record can carry ``null``
+    (or a list/string) AT any envelope level."""
+    v = d.get(key) if isinstance(d, dict) else None
+    return v if isinstance(v, dict) else {}
+
+
 def _links_of(payload: bytes) -> tuple[str | None, list[dict]]:
     """(target_uri, links) from one WAT JSON payload; tolerates missing
-    levels (non-HTML responses carry no HTML-Metadata) by returning an
-    empty link list — a malformed record must not kill the task."""
+    OR non-dict levels (non-HTML responses carry no HTML-Metadata; a
+    malformed record can hold null anywhere) by returning an empty link
+    list — a malformed record must not kill the task."""
     try:
-        env = json.loads(payload).get("Envelope", {})
+        env = _dict_at(json.loads(payload), "Envelope")
     except (ValueError, UnicodeDecodeError):
         return None, []
-    hdr = env.get("WARC-Header-Metadata", {})
-    links = (
-        env.get("Payload-Metadata", {})
-        .get("HTTP-Response-Metadata", {})
-        .get("HTML-Metadata", {})
-        .get("Links", [])
-    )
+    hdr = _dict_at(env, "WARC-Header-Metadata")
+    links = _dict_at(
+        _dict_at(
+            _dict_at(env, "Payload-Metadata"), "HTTP-Response-Metadata"
+        ),
+        "HTML-Metadata",
+    ).get("Links", [])
     if not isinstance(links, list):
         links = []
-    return hdr.get("WARC-Target-URI"), links
+    uri = hdr.get("WARC-Target-URI")
+    return (uri if isinstance(uri, str) else None), links
 
 
 def _file_parse_fn(max_links: int):

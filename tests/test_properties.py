@@ -290,3 +290,85 @@ def test_document_chunks_start_set_properties(n, ws):
     assert ends[-1] == n or (n == 0 and ends[-1] == 0)   # full coverage
     for prev, cur in zip(ends, ends[1:]):
         assert cur > prev, (n, width, stride, ends)       # no contained chunk
+
+
+# arbitrary JSON-ish values (bounded depth) for the WAT envelope fuzz
+_json_val = st.recursive(
+    st.none() | st.booleans() | st.integers() | st.floats(allow_nan=False)
+    | st.text(max_size=8),
+    lambda children: st.lists(children, max_size=3)
+    | st.dictionaries(st.text(max_size=6), children, max_size=3),
+    max_leaves=8,
+)
+
+
+@settings(max_examples=200, deadline=None)
+@given(st.binary(max_size=128))
+def test_wat_links_of_total_on_bytes(payload):
+    """_links_of must be total on arbitrary bytes: (uri-or-None, list),
+    never an exception — one mojibake WAT record must not kill a task."""
+    from language_diversity_common_crawler_spark.sources.wat import _links_of
+
+    uri, links = _links_of(payload)
+    assert uri is None or isinstance(uri, (str, int, float, bool, list, dict))
+    assert isinstance(links, list)
+
+
+@settings(max_examples=200, deadline=None)
+@given(_json_val, _json_val)
+def test_wat_links_of_total_on_json(links_val, hdr_val):
+    """Any JSON shape in the Links slot (or the header slot) degrades to
+    an empty/partial link list, never an exception."""
+    import json as _json
+
+    from language_diversity_common_crawler_spark.sources.wat import _links_of
+
+    env = {"Envelope": {
+        "WARC-Header-Metadata": hdr_val,
+        "Payload-Metadata": {"HTTP-Response-Metadata": {
+            "HTML-Metadata": {"Links": links_val}}},
+    }}
+    try:
+        payload = _json.dumps(env).encode()
+    except (TypeError, ValueError):
+        return  # unserializable combos are not reachable from real WAT
+    uri, links = _links_of(payload)
+    assert isinstance(links, list)
+
+
+@settings(max_examples=100, deadline=None)
+@given(_json_val)
+def test_wat_row_fields_always_string_or_none(links_val):
+    """The field-level guards: whatever JSON sits in Links, every row the
+    parse function would emit has str-or-None href/anchor/path and a str
+    href — the Arrow cast to the string schema can never see an object."""
+    import json as _json
+
+    from language_diversity_common_crawler_spark.sources import wat
+
+    env = {"Envelope": {
+        "WARC-Header-Metadata": {"WARC-Target-URI": "https://a.ex/1"},
+        "Payload-Metadata": {"HTTP-Response-Metadata": {
+            "HTML-Metadata": {"Links": links_val}}},
+    }}
+    try:
+        payload = _json.dumps(env).encode()
+    except (TypeError, ValueError):
+        return
+    _, links = wat._links_of(payload)
+    for ln in links[:64]:
+        if not isinstance(ln, dict):
+            continue
+        href = ln.get("url")
+        if not isinstance(href, str) or not href:
+            continue  # the parse fn skips these rows
+        anchor = ln.get("text")
+        lpath = ln.get("path")
+        assert isinstance(href, str)
+        assert anchor is None or isinstance(anchor, (str, int, float, bool,
+                                                     list, dict))
+        # the emit path coerces non-str anchor/path to None
+        emitted_anchor = anchor if isinstance(anchor, str) else None
+        emitted_path = lpath if isinstance(lpath, str) else None
+        assert emitted_anchor is None or isinstance(emitted_anchor, str)
+        assert emitted_path is None or isinstance(emitted_path, str)

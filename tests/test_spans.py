@@ -425,6 +425,70 @@ def test_strided_removal_stride_k_degenerates_to_grid(spark):
     assert got == base
 
 
+def test_strided_removal_fuzz_three_way(spark):
+    """Seeded fuzz for the strided operator: 120 random docs with shared
+    blocks injected at RANDOM offsets (the off-grid case the operator
+    exists for), adversarial whitespace, NULL texts, and shared suffixes
+    (the tail-window false-positive trap). Spark, DuckDB, and the Python
+    mirror must agree at stride=1 (offset-free), stride=3 (non-divisor of
+    k — grid-coverage explode spans 2 cells), and stride=8 (grid
+    degeneracy)."""
+    import random
+
+    import duckdb
+
+    rng = random.Random(20260821)
+    words = ["alpha", "beta", "gamma", "delta", "eps", "zeta", "eta", "mu"]
+    block12 = " ".join(rng.choice(words) for _ in range(12))
+    block20 = " ".join(rng.choice(words) for _ in range(20))
+    suffix = "omega"
+    ws = [" ", "  ", "\t", "\n", " \t "]
+
+    def doc():
+        parts = [rng.choice(words) for _ in range(rng.randint(0, 7))]
+        if rng.random() < 0.4:
+            parts.append(block12)
+        if rng.random() < 0.3:
+            parts.append(block20)
+        parts.extend(rng.choice(words) for _ in range(rng.randint(0, 10)))
+        if rng.random() < 0.5:
+            parts.append(suffix)  # shared LAST token: must never match
+        rng.shuffle(parts[:-1])  # keep the suffix last when present
+        return rng.choice(ws).join(parts) if parts else rng.choice(ws)
+
+    texts = {i: doc() for i in range(120)}
+    for i in range(0, 120, 37):
+        texts[i] = None
+    rows = [(i, t) for i, t in texts.items()]
+    df = spark.createDataFrame(rows, "doc_id bigint, text string")
+    con = duckdb.connect()
+    con.execute("CREATE TABLE documents(doc_id BIGINT, text VARCHAR)")
+    con.executemany("INSERT INTO documents VALUES (?, ?)", rows)
+
+    py_texts = {i: t if t is not None else "" for i, t in texts.items()}
+    for stride in (1, 3, 8):
+        want = _py_removal_strided(py_texts, stride=stride)
+        got = {
+            r["doc_id"]: (r["n_spans"], r["n_spans_removed"], r["clean_text"])
+            for r in spans.duplicated_span_removal_strided(
+                df, stride=stride
+            ).collect()
+        }
+        assert got == want, f"spark stride={stride}"
+        duck = {
+            r[0]: (r[1], r[2], r[3])
+            for r in con.execute(
+                spans.sql_duplicated_span_removal_strided(
+                    "documents", stride=stride
+                )
+            ).fetchall()
+        }
+        assert duck == want, f"duckdb stride={stride}"
+    # sanity: the fuzz corpus actually exercised removals at stride=1
+    w1 = _py_removal_strided(py_texts, stride=1)
+    assert any(v[1] > 0 for v in w1.values())
+
+
 def test_strided_removal_validation(spark):
     import pytest
 
