@@ -1750,12 +1750,8 @@ _DRIVER_CHECKED_R1_R2 = frozenset({
 })
 
 # Rotation set, round 4 (round-3 judge item #6): the keys green in the
-# driver's CORRECTNESS_r03.json sample. The driver samples queries() in
-# insertion order (~50 per round), so the ordering is three tiers:
-# never-driver-checked (this round's new queries) FIRST, then keys last
-# shown in r01/r02, then the r03 keys — keeping every key <= 2 rounds
-# stale and guaranteeing new queries land in the very next artifact. All
-# pass the full local gate (tools/check_correctness.py) either way.
+# driver's CORRECTNESS_r03.json sample. Together with _DRIVER_CHECKED_R4
+# below, these drive a stalest-first ordering (see _driver_coverage_order).
 _DRIVER_CHECKED_R3 = frozenset({
     "accuracy_stats", "anchor_text_corpus", "benchmark_decontamination",
     "budget_threshold_selection", "cdx_fetch_plan", "cdx_parse",
@@ -1777,18 +1773,51 @@ _DRIVER_CHECKED_R3 = frozenset({
 })
 
 
+# Rotation set, round 5 (round-4 judge item #1): the 50 keys green in the
+# driver's CORRECTNESS_r04.json sample. The driver samples queries() in
+# insertion order (~50 per round), so the ordering is stalest-first
+# tiers: never-driver-checked (brand-new queries — must land in the very
+# next artifact) FIRST, then keys last shown in r01/r02 (six frontier
+# keys were three rounds stale entering r05 — this tier puts them at the
+# head of the sample), then keys last shown in r03, then the r04 keys.
+# All pass the full local gate (tools/check_correctness.py) either way.
+_DRIVER_CHECKED_R4 = frozenset({
+    "corpus_token_budget", "decode_roundtrip", "dedup_clusters",
+    "dedup_exact", "document_chunks", "embedding_ivf_topk",
+    "embedding_lsh_neighbors", "embedding_topk", "events_hourly",
+    "experiment_dataset", "gopher_quality", "http_header_extract",
+    "inverted_index", "lang_length_percentiles", "lang_stratified_sample",
+    "media_decode_stats", "media_frame_sample", "meta_extract",
+    "minhash_dedup_survivors", "minhash_jaccard_verified",
+    "minhash_lsh_pairs", "minhash_lsh_pairs_16x8", "minhash_signatures",
+    "nation_region_rollup", "offset_skip", "pack_manifest",
+    "pages_extract_pipeline", "part_type_margin", "pretrain_corpus_build",
+    "pricing_summary", "quote_sanitize", "record_limit", "repetition_2gram",
+    "segment_union_counts", "sequence_packing", "shipping_priority",
+    "simhash_fingerprints", "simhash_near_dup", "source_balanced_sample",
+    "span_removal_strided", "temperature_rebalanced_sample",
+    "tfidf_top_terms", "token_quality_stats", "top_customers",
+    "training_set_selection", "wat_anchor_corpus", "wat_link_graph",
+    "window_events", "winnow_fingerprints", "winnow_near_dup_pairs",
+})
+
+
 def _driver_coverage_order(q: dict) -> dict:
-    """Three tiers, each in build order: never driver-checked in ANY
-    round (brand-new queries — must land in the next ~50-key sample),
-    then keys whose last artifact is r01/r02, then the r03 keys."""
-    ever = _DRIVER_CHECKED_R1_R2 | _DRIVER_CHECKED_R3
+    """Stalest-first tiers, each in build order: never driver-checked in
+    ANY round (brand-new queries — must land in the next ~50-key sample),
+    then keys whose last artifact is r01/r02, then r03, then r04."""
+    ever = _DRIVER_CHECKED_R1_R2 | _DRIVER_CHECKED_R3 | _DRIVER_CHECKED_R4
+    fresh_r3 = _DRIVER_CHECKED_R3 - _DRIVER_CHECKED_R4
     never = {k: v for k, v in q.items() if k not in ever}
-    stale = {
+    stale_r12 = {
         k: v for k, v in q.items()
-        if k in ever and k not in _DRIVER_CHECKED_R3
+        if k in ever
+        and k not in _DRIVER_CHECKED_R4
+        and k not in _DRIVER_CHECKED_R3
     }
-    rest = {k: v for k, v in q.items() if k in _DRIVER_CHECKED_R3}
-    return {**never, **stale, **rest}
+    stale_r3 = {k: v for k, v in q.items() if k in fresh_r3}
+    rest = {k: v for k, v in q.items() if k in _DRIVER_CHECKED_R4}
+    return {**never, **stale_r12, **stale_r3, **rest}
 
 
 # snapshot boundary for snapshot_url_diff: a parameter in production (the
