@@ -34,6 +34,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..functions.dialect import cast_str, rx
+from .paths import load_text
 
 # line = SURT key, space, 14-digit ts, space, JSON rest-of-line
 _LINE_RX = r"^(\S+) (\d{14}) (.*)$"
@@ -71,7 +72,7 @@ def _parse_lines(lines: DataFrame) -> DataFrame:
 def cdx_records(spark: SparkSession, path: str) -> DataFrame:
     """Parse CDX-J shards into (surt, ts, url, status, mime, length,
     offset, filename)."""
-    return _parse_lines(spark.read.text(path))
+    return _parse_lines(load_text(spark, path))
 
 
 # ---------------------------------------------------------------------------

@@ -53,6 +53,7 @@ import pandas as pd
 # the ONE Content-Type→charset parser, shared with the HTTP fetcher so
 # both ingest paths emit identical http_charset for identical headers
 from ..functions.decode import charset_of as _charset_of
+from .paths import load_binary
 
 WARC_PAGES_SCHEMA = (
     "url string, warc_ts timestamp, html binary, http_charset string, "
@@ -284,7 +285,7 @@ def warc_pages(spark, path, record_types: tuple[str, ...] = ("response",)):
     call per Arrow batch of files, vectorized output columns. Pass
     ``record_types=None`` for the reference's unfiltered iteration.
     """
-    raw = spark.read.format("binaryFile").load(path).select("path", "content")
+    raw = load_binary(spark, path).select("path", "content")
     return raw.mapInPandas(
         _file_parse_fn(record_types, _have_fastwarc()), WARC_PAGES_SCHEMA
     )

@@ -48,6 +48,7 @@ from datetime import datetime, timedelta, timezone
 
 import pandas as pd
 
+from .paths import load_binary
 from .warc import _parse_warc_date, iter_warc_records, segment_of
 
 WAT_LINKS_SCHEMA = (
@@ -161,7 +162,14 @@ def _file_parse_fn(max_links: int):
                     uri, links = _links_of(rec["html"])
                     src = uri if isinstance(uri, str) and uri else rec["url"]
                     ts = _parse_warc_date(rec["warc_date"])
-                    for ln in links[:max_links]:
+                    # the per-page budget counts only EMITTED links
+                    # (round-4 advice): capping the raw list first would
+                    # let malformed entries in a hostile record crowd
+                    # valid links out of the budget
+                    emitted = 0
+                    for ln in links:
+                        if emitted >= max_links:
+                            break
                         if not isinstance(ln, dict):
                             continue
                         href = ln.get("url")
@@ -172,6 +180,7 @@ def _file_parse_fn(max_links: int):
                         # the Arrow cast to the string schema
                         if not isinstance(href, str) or not href:
                             continue
+                        emitted += 1
                         anchor = ln.get("text")
                         lpath = ln.get("path")
                         rows.append((
@@ -196,7 +205,7 @@ def wat_links(spark, path: str, max_links: int = 64):
 
     ``max_links`` bounds per-page fan-out like links.extract_links does,
     so one link-farm page cannot blow up a partition."""
-    raw = spark.read.format("binaryFile").load(path).select("path", "content")
+    raw = load_binary(spark, path).select("path", "content")
     return raw.mapInPandas(_file_parse_fn(max_links), WAT_LINKS_SCHEMA)
 
 

@@ -453,7 +453,11 @@ def test_strided_removal_fuzz_three_way(spark):
         parts.extend(rng.choice(words) for _ in range(rng.randint(0, 10)))
         if rng.random() < 0.5:
             parts.append(suffix)  # shared LAST token: must never match
-        rng.shuffle(parts[:-1])  # keep the suffix last when present
+        # shuffle in place, keeping the last part fixed (the suffix when
+        # present) — shuffling the slice copy was a no-op (round-4 advice)
+        head = parts[:-1]
+        rng.shuffle(head)
+        parts[: len(head)] = head
         return rng.choice(ws).join(parts) if parts else rng.choice(ws)
 
     texts = {i: doc() for i in range(120)}
