@@ -1391,45 +1391,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         at sf0.01 — the composed query would be vacuous). Plan:
         shuffle-free codegen gates → one md5(text) window → line-hash
         agg + doc reassembly → tiny broadcast rate join → per-shard
-        packing window."""
+        packing window. The stage chain lives in plans/corpus.py so the
+        crawl→fetch→extract integration test runs the exact same code
+        (tests/test_crawl_to_corpus.py)."""
         tune_session(spark)
-        from language_diversity_common_crawler_spark.functions import lines
+        from language_diversity_common_crawler_spark.plans.corpus import (
+            pretrain_corpus_build as _build,
+        )
 
-        docs = _docs_par(spark, sf_dir)
-        staged = quality_rules.with_gopher_quality(
-            docs.select(
-                "doc_id",
-                F.coalesce(F.col("text"), F.lit("")).alias("text"),
-                "lang",
-                "source",
-            )
-        )
-        wdup = Window.partitionBy(F.md5(F.col("text")))
-        marked = staged.withColumn(
-            "__keep", F.col("doc_id") == F.min("doc_id").over(wdup)
-        )
-        lang_agnostic_pass = (
-            F.col("words_ok") & F.col("word_len_ok") & F.col("symbol_ok")
-            & F.col("ellipsis_ok") & F.col("bullet_ok") & F.col("alpha_ok")
-        )
-        surv = marked.filter(
-            lang_agnostic_pass & F.col("__keep")
-        ).select("doc_id", "text", "lang", "source")
-        # surv is referenced from TWO branches (line dedup + the
-        # temperature sampler's rate aggregation) that are later joined;
-        # Catalyst re-plans multi-branch subtrees, so without a lineage
-        # cut the gopher regex gates + md5 dedup window — the dominant
-        # cost — execute twice (three times counting the sampler's
-        # count aggregate). The checkpoint is the same pure plan
-        # transformation host_pagerank_deep's oracle twin proves safe.
-        surv = surv.localCheckpoint(eager=True)
-        clean = lines.line_dedup(surv)
-        sampled = sampling.temperature_rebalanced_sample(surv)
-        chosen = clean.join(sampled.select("doc_id"), "doc_id")
-        return packing.sequence_packing(
-            chosen, budget=64, n_shards=8, width=160, stride=120,
-            text_col="clean_text",
-        )
+        return _build(_docs_par(spark, sf_dir))
 
     q["pretrain_corpus_build"] = pretrain_corpus_build
 

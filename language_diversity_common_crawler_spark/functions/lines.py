@@ -28,10 +28,13 @@ every occurrence of a hot line through one task with no partial
 aggregation), and reassembly is one doc-keyed exchange. Everything is
 whole-stage-codegen JVM expressions; no Python.
 
-Key packing: ``doc_id * 2^20 + line_pos`` fits a signed 64-bit int for
-doc_id < 2^43 and < 2^20 lines/doc (both hold at Common Crawl scale:
-record ids are per-segment sequence numbers and pages are < 1M lines) —
-a single BIGINT min is exact and identical in Spark / DuckDB / Python.
+Key packing: ``doc_id * 2^20 + line_pos`` as DECIMAL(38,0) — exact in
+both engines for any BIGINT doc_id and < 2^20 lines/doc. The original
+BIGINT key overflowed for doc_id >= 2^43, which the crawl→corpus
+integration test (tests/test_crawl_to_corpus.py) hit immediately: at
+frontier scale the natural doc_id is the 60-bit md5 of the URL, not a
+small per-segment sequence number. A single DECIMAL min is exact and
+identical in Spark / DuckDB / Python.
 """
 
 from __future__ import annotations
@@ -84,7 +87,8 @@ def line_dedup(docs: DataFrame) -> DataFrame:
             "line",
             F.expr(sql_md5_60("lower(trim(line))", "spark")).alias("lh"),
             (
-                F.col("doc_id") * F.lit(1 << POS_BITS) + F.col("pos")
+                F.col("doc_id").cast("decimal(38,0)")
+                * F.lit(1 << POS_BITS) + F.col("pos")
             ).alias("okey"),
         )
     )
@@ -132,7 +136,7 @@ raw AS (
   FROM split, unnest(range(0, len(ls))) AS t(pos)),
 lines AS (
   SELECT doc_id, pos, line, {lh} AS lh,
-         doc_id * {1 << POS_BITS} + pos AS okey
+         CAST(doc_id AS DECIMAL(38,0)) * {1 << POS_BITS} + pos AS okey
   FROM raw WHERE trim(line) <> ''),
 keepers AS (SELECT lh, min(okey) AS keep_key FROM lines GROUP BY lh)
 SELECT l.doc_id,
