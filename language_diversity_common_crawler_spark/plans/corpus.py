@@ -38,10 +38,14 @@ def pretrain_corpus_build(
     n_shards: int = 8,
     width: int = 160,
     stride: int = 120,
+    alpha: float = sampling.TEMPERATURE_ALPHA,
 ) -> DataFrame:
     """``docs`` (doc_id, text, lang, source) → packed-sequence table
     (doc_id, chunk_idx, shard, n_tokens, pack_id, pack_offset,
-    straddles). NULL text is treated as '' (gated out by words_ok)."""
+    straddles). NULL text is treated as '' (gated out by words_ok).
+    ``alpha`` is the temperature-rebalance exponent; ``alpha=1.0`` is the
+    proven keep-everything identity (tests use it to make every stage's
+    drop set exact)."""
     staged = quality_rules.with_gopher_quality(
         docs.select(
             "doc_id",
@@ -70,7 +74,7 @@ def pretrain_corpus_build(
     # host_pagerank_deep's oracle twin proves safe.
     surv = surv.localCheckpoint(eager=True)
     clean = lines.line_dedup(surv)
-    sampled = sampling.temperature_rebalanced_sample(surv)
+    sampled = sampling.temperature_rebalanced_sample(surv, alpha=alpha)
     chosen = clean.join(sampled.select("doc_id"), "doc_id")
     return packing.sequence_packing(
         chosen, budget=budget, n_shards=n_shards, width=width,

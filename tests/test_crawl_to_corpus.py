@@ -58,8 +58,8 @@ _BODY_WORDS = (
 def _page_text(path: str) -> str:
     if path == "/junk":
         return "tiny"
-    if path.startswith("/dup-"):
-        return f"shared duplicate body {_BODY_WORDS}"
+    if path in ("/dup-a", "/dup-b"):  # exact match: their /c<i> children
+        return f"shared duplicate body {_BODY_WORDS}"  # must stay unique
     return f"page {path.strip('/').replace('/', ' ')} {_BODY_WORDS}"
 
 
@@ -142,8 +142,13 @@ def test_crawl_fetch_extract_corpus_end_to_end(spark, server, tmp_path):
     for path in seed_paths:
         assert by_url[f"{server}{path}"]["text"] == _page_text(path)
 
-    # --- corpus build: the exact oracle-checked stage chain
-    packed = pretrain_corpus_build(docs, budget=64, n_shards=4)
+    # --- corpus build: the exact oracle-checked stage chain. alpha=1 is
+    # the proven keep-everything temperature identity, so the only drops
+    # are the two this test plants (the words gate and exact-dedup) —
+    # the default alpha would add a salted per-doc draw whose outcome
+    # depends on doc_id = md5(url) and thus on the server's ephemeral
+    # port (observed flaky before pinning).
+    packed = pretrain_corpus_build(docs, budget=64, n_shards=4, alpha=1.0)
     rows = packed.collect()
     assert rows, "crawled corpus packed to zero sequences"
     assert packed.columns == [
@@ -157,14 +162,18 @@ def test_crawl_fetch_extract_corpus_end_to_end(spark, server, tmp_path):
         by_url[f"{server}/dup-b"]["doc_id"],
     }
     assert junk_id not in packed_ids  # Gopher words gate dropped it
-    assert len(dup_ids & packed_ids) == 1  # exact-dedup kept one copy
-    assert packed_ids <= {r["doc_id"] for r in by_url.values()}
+    assert len(dup_ids & packed_ids) == 1  # exact-dedup kept exactly one
+    # ...and NOTHING else was dropped: every other crawled doc packs
+    expect = {r["doc_id"] for r in by_url.values()} - {junk_id} - (
+        dup_ids - packed_ids
+    )
+    assert packed_ids == expect
     for r in rows:  # packing contract on crawled text
         assert 0 < r["n_tokens"] and 0 <= r["pack_offset"] < 64
 
     # --- determinism: the whole downstream is a pure function of the
     # fetched bytes (no rand(), salted hashes only)
     again = sorted(map(tuple, pretrain_corpus_build(
-        docs, budget=64, n_shards=4
+        docs, budget=64, n_shards=4, alpha=1.0
     ).collect()))
     assert again == sorted(map(tuple, rows))

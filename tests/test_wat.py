@@ -137,6 +137,27 @@ def test_wat_links_max_links_cap(spark, tmp_path):
     assert wat.wat_links(spark, path, max_links=3).count() == 3
 
 
+def test_malformed_entries_do_not_consume_link_budget(spark, tmp_path):
+    """Round-4 advice: the per-page max_links budget counts EMITTED links
+    only — a hostile record front-loaded with malformed entries must not
+    crowd the valid links out of the cap."""
+    path = str(tmp_path / "budget-00001.warc.wat.gz")
+    junk = ["not a dict"] * 5 + [{"path": "A@/href", "url": 1, "text": "n"}]
+    good = [{"path": "A@/href", "url": f"/v{i}", "text": "t"}
+            for i in range(4)]
+    wat.write_wat_gz(
+        path,
+        [{"url": "https://a.ex/1", "warc_date": WD,
+          "record_id": "<urn:uuid:1>", "links": junk + good}],
+    )
+    hrefs = sorted(
+        r.href for r in wat.wat_links(spark, path, max_links=3).collect()
+    )
+    # cap-before-filter would have burned the whole budget on the 6 junk
+    # entries and emitted nothing
+    assert hrefs == ["/v0", "/v1", "/v2"]
+
+
 def test_wat_link_graph_matches_html_extraction(spark, tmp_path):
     """The headline contract: WAT shards carrying the same hrefs the HTML
     corpus embeds must yield the identical canonical (src_url, link_url,
