@@ -488,6 +488,21 @@ def test_strided_removal_fuzz_three_way(spark):
             ).fetchall()
         }
         assert duck == want, f"duckdb stride={stride}"
+    # the BASE grid operator (restaged in r5 to the same token-array
+    # output rebuild) shares the stride=k mirror: fuzz it three-way too
+    want8 = _py_removal_strided(py_texts, stride=8)
+    got_base = {
+        r["doc_id"]: (r["n_spans"], r["n_spans_removed"], r["clean_text"])
+        for r in spans.duplicated_span_removal(df).collect()
+    }
+    assert got_base == want8, "spark base grid op"
+    duck_base = {
+        r[0]: (r[1], r[2], r[3])
+        for r in con.execute(
+            spans.sql_duplicated_span_removal("documents")
+        ).fetchall()
+    }
+    assert duck_base == want8, "duckdb base grid op"
     # sanity: the fuzz corpus actually exercised removals at stride=1
     w1 = _py_removal_strided(py_texts, stride=1)
     assert any(v[1] > 0 for v in w1.values())
