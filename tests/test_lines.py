@@ -63,6 +63,33 @@ def test_line_dedup_matches_python_mirror(spark):
     assert got == want
 
 
+def test_line_dedup_hash_scale_doc_ids(spark):
+    """Regression pin (r5): with 60-bit hash doc_ids — the natural id at
+    frontier scale, doc_id = md5_60(url) — the BIGINT order key
+    doc_id * 2^20 + pos overflowed (ANSI ArithmeticException; caught by
+    the crawl→corpus integration test). The DECIMAL(38,0) key must give
+    the same first-occurrence-wins results the python mirror computes
+    with unbounded ints."""
+    big = (1 << 59) + 7  # well past the old 2^43 overflow threshold
+    rows = [
+        (big, "shared line\nunique one", "s1"),
+        (big + 12345, "shared line\nunique two", "s1"),
+        (3, "shared line\nunique three", "s1"),  # smallest id wins
+    ]
+    docs = spark.createDataFrame(
+        [Row(doc_id=d, text=t, source=s) for d, t, s in rows]
+    )
+    got = {
+        r["doc_id"]: (r["n_lines"], r["n_kept"], r["clean_text"])
+        for r in lines.line_dedup(docs).collect()
+    }
+    assert got == _py_line_dedup(rows)
+    # the duplicated "shared line" survives only in the min-okey doc
+    assert "shared line" in got[3][2]
+    assert "shared line" not in got[big][2]
+    assert "shared line" not in got[big + 12345][2]
+
+
 def test_line_dedup_footer_removed_once(spark):
     # three docs from one source: the shared footer line survives only in
     # the lowest (doc_id, pos); unique body/title lines all survive
